@@ -1,0 +1,140 @@
+"""Aggregation operators (SURVEY.md §2.5).
+
+Reference parity:
+  - Aggregate transform (PRO/Глава 05:77) -> groupBy().agg() — Spark
+    always runs partial (map-side) + final aggregation, so the SSIS
+    "fully blocking" cost model improves to semi-blocking for free.
+  - ClickHouse ``groupArray`` (DM/Правильное построение витрины с
+    множественными агрегациями.md:20-35) -> ``group_array`` with the
+    determinism convention: collected values are ALWAYS sorted
+    (collect_list order is nondeterministic under parallelism).
+  - ``STRING_AGG(expr, sep ORDER BY k)`` (SCRIPTS/Скрипт для
+    миграции...md:29-55) -> ``string_agg``.
+  - ``groupArrayState``/``Merge`` partial-state MV pattern
+    (DM/...md:83-99) -> ``partial_states`` / ``merge_states``:
+    re-aggregatable sum/count intermediates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+AGGS = {
+    "sum": F.sum, "count": F.count, "avg": F.avg, "min": F.min,
+    "max": F.max, "stddev": F.stddev, "first": F.first, "last": F.last,
+    "approx_count_distinct": F.approx_count_distinct,
+    "count_distinct": F.count_distinct, "collect_set": F.collect_set,
+}
+
+
+def aggregate(df: DataFrame, keys: Sequence[str],
+              aggs: Mapping[str, Column]) -> DataFrame:
+    """Hash aggregate: ``aggs`` maps output name -> agg Column."""
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+
+
+def group_array(col: str | Column, sort: bool = True,
+                asc: bool = True) -> Column:
+    """ClickHouse ``groupArray`` with deterministic (sorted) order.
+    Use inside ``aggregate``: ``{"ks": group_array("o_orderkey")}``."""
+    c = F.collect_list(col)
+    return F.sort_array(c, asc=asc) if sort else c
+
+
+def group_array_ordered_by(value: Column, order: Column) -> Column:
+    """groupArray ordered by a DIFFERENT column: collect (order, value)
+    structs, sort by the struct (order leads), then project the value —
+    the standard Spark idiom for ordered collection."""
+    return F.transform(
+        F.sort_array(F.collect_list(F.struct(order.alias("o"),
+                                             value.alias("v")))),
+        lambda s: s.getField("v"))
+
+
+def string_agg(value: Column, sep: str = ",",
+               order: Column | None = None) -> Column:
+    """Ordered string concatenation per group (PG STRING_AGG ... ORDER BY)."""
+    arr = (group_array_ordered_by(value, order) if order is not None
+           else F.sort_array(F.collect_list(value)))
+    return F.array_join(arr, sep)
+
+
+def distinct(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Dedup (Sort transform's remove-duplicates, PRO/Глава 05:78)."""
+    return df.dropDuplicates(list(keys)) if keys else df.distinct()
+
+
+def rollup(df: DataFrame, keys: Sequence[str],
+           aggs: Mapping[str, Column]) -> DataFrame:
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    return df.rollup(*keys).agg(*exprs)
+
+
+def cube(df: DataFrame, keys: Sequence[str],
+         aggs: Mapping[str, Column]) -> DataFrame:
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    return df.cube(*keys).agg(*exprs)
+
+
+# ------------------------------------------------ partial-state (MV) ops
+
+def partial_states(df: DataFrame, keys: Sequence[str],
+                   measures: Mapping[str, Column]) -> DataFrame:
+    """Phase 1 of the ClickHouse AggregateFunction-state MV pattern:
+    per-key re-aggregatable states.  For each measure m we persist
+    ``m__sum`` and ``m__cnt`` (enough to merge sum/count/avg exactly).
+    The output is itself a valid aggregation input — the incremental-MV
+    building block (write per-batch states, merge at read)."""
+    exprs = []
+    for name, c in measures.items():
+        exprs.append(F.sum(c).alias(f"{name}__sum"))
+        exprs.append(F.count(c).alias(f"{name}__cnt"))
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def merge_states(states: DataFrame, keys: Sequence[str],
+                 measures: Sequence[str],
+                 finals: Mapping[str, str] | None = None) -> DataFrame:
+    """Phase 2 (``-Merge`` combinators): merge state tables (possibly a
+    union of many incremental batches) and finalize.  ``finals`` maps
+    output name -> one of sum|count|avg per measure, default avg."""
+    finals = finals or {m: "avg" for m in measures}
+    merged = states.groupBy(*keys).agg(
+        *[F.sum(f"{m}__sum").alias(f"{m}__sum") for m in measures],
+        *[F.sum(f"{m}__cnt").alias(f"{m}__cnt") for m in measures])
+    cols: list = list(keys)
+    for m in measures:
+        kind = finals.get(m, "avg")
+        if kind == "sum":
+            cols.append(F.col(f"{m}__sum").alias(m))
+        elif kind == "count":
+            cols.append(F.col(f"{m}__cnt").alias(m))
+        else:
+            cols.append((F.col(f"{m}__sum") / F.col(f"{m}__cnt")).alias(m))
+    return merged.select(*cols)
+
+
+def pre_aggregate_then_join(base: DataFrame, base_key: str,
+                            details: Sequence[tuple[DataFrame, str,
+                                                    Mapping[str, Column]]],
+                            ) -> DataFrame:
+    """The reference's canonical datamart builder (DM/Правильное
+    построение витрины с множественными агрегациями.md:5-46): GROUP BY
+    each detail table down to <=1 row per key FIRST, then LEFT JOIN the
+    shrunken aggregates — structurally impossible to fan out rows.
+
+    details: (detail_df, detail_key, {out_name: agg_col}) per source.
+    At scale each detail agg shuffles once on its key and the final
+    joins are on pre-reduced (dimension-sized) inputs, which AQE will
+    typically broadcast.
+    """
+    out = base
+    for detail, key, aggs in details:
+        shrunk = detail.groupBy(F.col(key).alias(base_key)).agg(
+            *[c.alias(n) for n, c in aggs.items()])
+        out = out.join(shrunk, base_key, "left")
+    return out

@@ -1,0 +1,135 @@
+"""Cleansing / data-quality operators (SURVEY.md §2.3, §2.8).
+
+Reference parity:
+  - Data Conversion w/ divertable failures (PRO/Глава 05:80, Глава 08:63)
+    -> ``cast_with_quarantine`` (try-cast + error stream).
+  - Character Map (APRESS/004.md:78-80) -> ``character_map``.
+  - Audit columns (APRESS/003.md:11-15) -> ``audit``.
+  - Row Count into pipeline variable (PRO/Глава 05:81) -> ``row_count``
+    via ``observe`` (single-pass, no extra job).
+  - Data Profiling (PRO/Глава 10:18-30) -> ``profile``.
+  - DQS domain cleansing: Corrected/Suggested/Invalid streams
+    (PRO/Глава 11:66-84) -> ``domain_cleanse`` (rules are DATA — a
+    domain DataFrame + correction map — editable without touching ETL).
+  - Regex validation Script-Component example (PRO/Глава 09:82-102)
+    -> ``regex_validate``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def cast_with_quarantine(df: DataFrame, col: str, dtype: str,
+                         out: str | None = None,
+                         ) -> tuple[DataFrame, DataFrame]:
+    """Cast ``col`` to ``dtype``; rows where the cast fails (non-null
+    source, null result) divert to the error stream.  Returns
+    (good_with_cast, quarantined)."""
+    out = out or col
+    casted = df.withColumn(out, F.col(col).try_cast(dtype))
+    failed = F.col(col).isNotNull() & F.col(out).isNull()
+    return casted.where(~failed), df.where(
+        F.col(col).isNotNull() & F.col(col).try_cast(dtype).isNull())
+
+
+def character_map(df: DataFrame, mappings: Mapping[str, str],
+                  in_place: bool = True) -> DataFrame:
+    """Character Map: 'upper'/'lower' (and 'translate:abc:xyz') ops."""
+    out = df
+    for col, op in mappings.items():
+        if op == "upper":
+            c = F.upper(F.col(col))
+        elif op == "lower":
+            c = F.lower(F.col(col))
+        elif op.startswith("translate:"):
+            _, frm, to = op.split(":", 2)
+            c = F.translate(F.col(col), frm, to)
+        else:
+            raise ValueError(f"unknown character_map op {op!r}")
+        out = out.withColumn(col if in_place else f"{col}_{op}", c)
+    return out
+
+
+def audit(df: DataFrame, pipeline_name: str, **extra) -> DataFrame:
+    """Append system metadata columns (Audit transform)."""
+    out = (df.withColumn("audit_load_ts", F.current_timestamp())
+             .withColumn("audit_pipeline", F.lit(pipeline_name)))
+    for k, v in extra.items():
+        out = out.withColumn(f"audit_{k}", F.lit(v))
+    return out
+
+
+def row_count(df: DataFrame, name: str = "rows",
+              ) -> tuple[DataFrame, Observation]:
+    """Row Count transform: count rows flowing through WITHOUT a second
+    pass — ``Observation`` piggybacks on whatever action consumes the
+    flow (the SSIS semantics: variable available after the flow ran)."""
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias(name)), obs
+
+
+def profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Data Profiling: one aggregation pass computing per-column null
+    count/ratio, approx distinct, min/max — the pre-ETL analysis the
+    reference prescribes (candidate keys = distinct ≈ rowcount)."""
+    cols = list(columns or df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
+    row = df.agg(*aggs)
+    per_col = []
+    for c in cols:
+        per_col.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("approx_distinct"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max")))
+    return (row.select(F.explode(F.array(*per_col)).alias("p"))
+            .select("p.*"))
+
+
+def regex_validate(df: DataFrame, col: str, pattern: str,
+                   ) -> dict[str, DataFrame]:
+    """Regex check splitting valid/invalid streams."""
+    ok = F.col(col).rlike(pattern)
+    return {"valid": df.where(ok),
+            "invalid": df.where(~ok | F.col(col).isNull())}
+
+
+def domain_cleanse(df: DataFrame, col: str, domain: DataFrame,
+                   domain_col: str,
+                   corrections: Mapping[str, str] | None = None,
+                   ) -> dict[str, DataFrame]:
+    """DQS-style cleansing against a valid-value domain table.
+
+    Streams: ``valid`` (exact domain member), ``corrected`` (value had a
+    correction-map entry whose target is in the domain), ``invalid``.
+    The domain is broadcast (dictionary semantics).  Correction rules
+    live in data, not code — the reference's 'KB editable without
+    touching ETL' requirement (PRO/Глава 11:84).
+    """
+    dom = F.broadcast(domain.select(F.col(domain_col).alias("__dom"))
+                      .distinct())
+    base = df.join(dom, df[col] == F.col("__dom"), "left")
+    valid = base.where(F.col("__dom").isNotNull()).drop("__dom")
+    rest = base.where(F.col("__dom").isNull()).drop("__dom")
+    if corrections:
+        corr_map = F.create_map(
+            *[F.lit(x) for kv in corrections.items() for x in kv])
+        fixed = rest.withColumn("__fix", corr_map[F.col(col)])
+        corrected = (fixed.where(F.col("__fix").isNotNull())
+                     .withColumn(col, F.col("__fix")).drop("__fix"))
+        invalid = fixed.where(F.col("__fix").isNull()).drop("__fix")
+    else:
+        corrected = rest.limit(0)
+        invalid = rest
+    return {"valid": valid, "corrected": corrected, "invalid": invalid}

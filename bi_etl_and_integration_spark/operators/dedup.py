@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines
+(beyond-reference surface; BASELINE.json north star).
+
+Five regimes, all expressed as shuffle-bounded DataFrame plans:
+
+  exact_dedup      hash-groupBy on a normalized content key (1 shuffle)
+  minhash_lsh      shingle -> minhash signature -> band buckets ->
+                   bucket-join candidate pairs -> Jaccard verify.
+                   The band/bucket join is the ONLY pair generator; no
+                   O(n^2) stage exists, so it survives 100 TB corpora.
+  simhash          64-bit simhash from token hashes; near-dups =
+                   Hamming distance <= k via band equality
+  ngram_jaccard    word n-gram shingle sets + exact Jaccard on blocked
+                   candidate pairs
+  embedding_dedup  cosine near-dup over an embedding column via
+                   LSH-ish bucketing (sign of random projections)
+
+Minhash math: h_i(doc) = min over shingles of ((a_i*x + b_i) mod p);
+row-wise via higher-order functions — signatures never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators.fuzzy import tokenize
+
+_P = 2_147_483_647  # Mersenne prime 2^31-1 for the minhash hash family
+
+
+def _normalized(text: Column) -> Column:
+    return F.array_join(tokenize(text), " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized content: canonical = min id per content
+    hash; emits (canonical id, n_dups, the ids collapsed)."""
+    keyed = df.withColumn("__k", F.xxhash64(_normalized(F.col(text_col))))
+    return (keyed.groupBy("__k")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_dups"),
+                 F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+            .drop("__k"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), JVM-side: sliding window over
+    the token array via transform+slice, then array_distinct."""
+    toks = tokenize(text)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(k <= 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.transform(F.sequence(F.lit(1), k),
+                               lambda i: F.array_join(
+                                   F.slice(toks, i, n), " "))))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """Minhash signature as array<long> of length ``num_hashes``.
+
+    Uses the affine family (a_i * xxhash64(s) + b_i) mod p with
+    deterministic (seeded) coefficients; computed entirely with
+    higher-order functions (no UDF)."""
+    import random
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P))
+              for _ in range(num_hashes)]
+    hashed = F.transform(shingle_arr,
+                         lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            hashed, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))))
+        for a, b in coeffs])
+    return sig
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *, num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.8,
+                      seed: int = 42) -> DataFrame:
+    """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard_sim)
+    with id_a < id_b and verified similarity >= threshold.
+
+    bands=16 over 64 hashes => rows/band=4; collision prob at s=0.8 is
+    1-(1-s^4)^16 ≈ 0.999 — the standard S-curve tuning.  Candidate
+    generation = explode band keys + self-join on (band, bucket): the
+    shuffle is on bucket keys, never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"))
+            .withColumn("__sh", shingles(F.col("text"), shingle_n))
+            .withColumn("__sig", minhash_signature(F.col("__sh"),
+                                                   num_hashes, seed)))
+    banded = base.select(
+        "id", "__sh",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.concat_ws(
+                ",", F.slice(F.col("__sig"), b * rows_per_band + 1,
+                             rows_per_band))))).alias("band", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (cand.withColumn("jaccard_sim",
+                            (inter / F.greatest(union, F.lit(1)))
+                            .cast("double"))
+            .where(F.col("jaccard_sim") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard_sim", 4)
+                    .alias("jaccard_sim")))
+
+
+def _bit_masks(bits: int) -> list[int]:
+    # two's-complement literal for the sign bit so every mask fits a long
+    return [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash: sum per-bit ±1 votes of token xxhash64 values,
+    sign -> bit.  One JVM-side array-accumulator pass: votes for all 64
+    bits accumulate in a single ``aggregate`` (bit masks are compile-time
+    literals), then fold into the long."""
+    masks = _bit_masks(bits)
+    toks = tokenize(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1))
+                      .otherwise(F.lit(-1)) for m in masks]),
+            lambda a, b: a + b))
+    out = F.lit(0).cast("long")
+    for i, m in enumerate(masks):
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(m).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, max_hamming: int = 3,
+                  bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit hash into ``bands`` chunks —
+    any pair within distance < bands shares at least one exact chunk, so
+    an equi-join per chunk finds all candidates (no cross join).
+    """
+    chunk = 64 // bands
+    base = df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col)).alias("__sh"))
+    banded = base.select(
+        "id", "__sh",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("__sh"), b * chunk)
+            .bitwiseAND(F.lit((1 << chunk) - 1))
+            for b in range(bands)])).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.key") == F.col("b.key")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *, n: int = 3,
+                        threshold: float = 0.8,
+                        block: Column | None = None) -> DataFrame:
+    """Exact n-gram Jaccard on blocked candidate pairs (the verify-only
+    variant of minhash_lsh_dedup for modest corpora / audits)."""
+    blk = block if block is not None else F.xxhash64(
+        F.slice(tokenize(F.col(text_col)), 1, n))
+    base = df.select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col), n).alias("sh"),
+                     blk.alias("blk"))
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(b, (F.col("a.blk") == F.col("b.blk")) &
+                  (F.col("a.id") < F.col("b.id")))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (cand.select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.round((inter / F.greatest(union, F.lit(1)))
+                                .cast("double"), 4).alias("jaccard_sim"))
+            .where(F.col("jaccard_sim") >= threshold))
+
+
+def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", *, threshold: float = 0.95,
+                    n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding cosine near-dup: bucket by sign-of-random-projection
+    (n_planes hyperplanes -> 2^n buckets), verify cosine within bucket.
+    Exactness note: random-projection LSH is approximate; near-dups
+    straddling a hyperplane need multi-probe (repeat with different
+    seeds and union) — documented recall/cost dial."""
+    from bi_etl_and_integration_spark.operators.similarity import (
+        cosine_similarity, random_hyperplanes, sign_bucket)
+    planes = random_hyperplanes(_dim(df, vec_col), n_planes, seed)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     sign_bucket(F.col(vec_col), planes).alias("bkt"))
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(b, (F.col("a.bkt") == F.col("b.bkt")) &
+                  (F.col("a.id") < F.col("b.id")))
+    return (cand.select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")),
+                                4).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))
+
+
+def _dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0

@@ -1,0 +1,119 @@
+"""Dimensional-loading operators (SURVEY.md §2.4, §2.6; PRO/Глава 10).
+
+Reference parity:
+  - set-based MERGE upsert replacing RBAR row-updates
+    (PRO/Глава 12:48-51,87-99; APRESS/004.md:84) -> ``merge_apply``
+  - SCD Type 1 / Type 2 maintenance (PRO/Глава 10:49-59) -> ``scd1``,
+    ``scd2_apply``
+  - new-dimension-row detection via lookup no-match (PRO/Глава 10:41-46)
+    -> anti-join inside ``scd1``/``scd2_apply``
+  - idempotent re-apply after crash (PRACT/004 CDC.md:342-362): all ops
+    here are deterministic functions of (target, source) — re-running a
+    failed batch converges to the same result.
+
+Without a transactional table format, the atomic-swap protocol for
+persisting results is ``write temp dir -> atomic rename`` handled by
+``pipeline.checkpointed_write`` (single-writer assumption documented).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_apply(target: DataFrame, source: DataFrame, keys: Sequence[str],
+                *, update_cols: Sequence[str] | None = None,
+                insert_new: bool = True,
+                delete_missing: bool = False) -> DataFrame:
+    """MERGE semantics on DataFrames: rows in both -> target row with
+    ``update_cols`` taken from source; source-only rows -> inserted
+    (when ``insert_new``); target-only rows -> kept (or dropped when
+    ``delete_missing``).
+
+    Plan shape: one shuffle on ``keys`` shared by the outer join; no
+    row-by-row work (the RBAR antipattern the reference bans).
+    """
+    keys = list(keys)
+    update_cols = list(update_cols if update_cols is not None
+                       else [c for c in source.columns
+                             if c in target.columns and c not in keys])
+    t = target.alias("t")
+    s = source.alias("s")
+    how = "full" if insert_new else "left"
+    joined = t.join(s, keys, how)
+    in_src = F.col(f"s.{update_cols[0]}").isNotNull() if update_cols else None
+
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.col(c))
+        elif c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                            .alias(c))
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    merged = joined.select(*out_cols)
+    if delete_missing:
+        merged = merged.join(s.select(*keys), keys, "left_semi")
+    return merged
+
+
+def scd1(target: DataFrame, source: DataFrame, keys: Sequence[str],
+         ) -> DataFrame:
+    """SCD Type 1: overwrite attributes in place, insert new keys."""
+    return merge_apply(target, source, keys, insert_new=True)
+
+
+def scd2_apply(target: DataFrame, source: DataFrame, keys: Sequence[str],
+               compare_cols: Sequence[str], eff_ts_col: str, *,
+               start_col: str = "start_ts", end_col: str = "end_ts",
+               current_col: str = "is_current") -> DataFrame:
+    """SCD Type 2 'close old version + insert new' (PRO/Глава 10:49-59).
+
+    target carries (keys, compare_cols, start_col, end_col, current_col);
+    source carries (keys, compare_cols, eff_ts_col).  Changed keys get
+    their current version end-dated at the new effective ts and a new
+    open version appended; unchanged keys pass through untouched.
+    """
+    keys = list(keys)
+    src = source.select(*keys, *compare_cols,
+                        F.col(eff_ts_col).alias("__eff"))
+    cur = target.where(F.col(current_col))
+    hist = target.where(~F.col(current_col))
+
+    cmp_changed = F.lit(False)
+    for c in compare_cols:
+        cmp_changed = cmp_changed | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+
+    j = cur.alias("t").join(src.alias("s"), keys, "full")
+    is_new = F.col(f"t.{start_col}").isNull()          # key only in source
+    no_change = F.col("s.__eff").isNull() | ~cmp_changed
+
+    # 1. unchanged current versions (incl. keys absent from source)
+    unchanged = (j.where(~is_new & no_change)
+                 .select(*keys, *[F.col(f"t.{c}").alias(c)
+                                  for c in compare_cols],
+                         F.col(f"t.{start_col}").alias(start_col),
+                         F.col(f"t.{end_col}").alias(end_col),
+                         F.col(f"t.{current_col}").alias(current_col)))
+    # 2. changed: close the old version at the new effective ts
+    closed = (j.where(~is_new & ~no_change)
+              .select(*keys, *[F.col(f"t.{c}").alias(c)
+                               for c in compare_cols],
+                      F.col(f"t.{start_col}").alias(start_col),
+                      F.col("s.__eff").alias(end_col),
+                      F.lit(False).alias(current_col)))
+    # 3. changed or brand-new: open a fresh current version
+    opened = (j.where(is_new | ~no_change)
+              .where(F.col("s.__eff").isNotNull())
+              .select(*keys, *[F.col(f"s.{c}").alias(c)
+                               for c in compare_cols],
+                      F.col("s.__eff").alias(start_col),
+                      F.lit(None).cast(target.schema[end_col].dataType)
+                      .alias(end_col),
+                      F.lit(True).alias(current_col)))
+    return (hist.select(*keys, *compare_cols, start_col, end_col, current_col)
+            .unionByName(unchanged).unionByName(closed).unionByName(opened))

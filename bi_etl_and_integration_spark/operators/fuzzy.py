@@ -1,0 +1,170 @@
+"""Fuzzy matching / text-quality operators (SURVEY.md §2.8).
+
+Reference parity:
+  - Fuzzy Lookup (PRO/Глава 11:31-44): approximate join of dirty rows
+    against a clean reference with a similarity threshold.  Implemented
+    as a BLOCKED join (never a full cross product): candidate pairs come
+    from a cheap equi-join on a blocking key, then Levenshtein-based
+    similarity scores filter + rank.  At 100 TB the blocking join is the
+    only shuffle; block keys (prefix / soundex / length band) bound the
+    candidate set per row.
+  - Fuzzy Grouping (PRO/Глава 11:46-55): duplicate clusters WITHIN one
+    dataset; emits ``_key_in`` / ``_key_out`` (canonical row) / ``_score``
+    exactly like the SSIS component.  Connected components via iterative
+    min-key label propagation over the similarity edge set.
+  - Term Extraction / Term Lookup (PRO/Глава 05:91-92): tokenize +
+    stopword filter + frequency; lookup = join on term.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def similarity(a: Column, b: Column) -> Column:
+    """Normalized token-free similarity in [0,1]:
+    1 - levenshtein/greatest(len) — the SSIS fuzzy score analog."""
+    return (1.0 - F.levenshtein(a, b) /
+            F.greatest(F.length(a), F.length(b), F.lit(1))).cast("double")
+
+
+def fuzzy_lookup(df: DataFrame, ref: DataFrame, col: str, ref_col: str, *,
+                 block: Column | None = None, ref_block: Column | None = None,
+                 min_similarity: float = 0.6, keep_best: bool = True,
+                 score_col: str = "_similarity") -> DataFrame:
+    """Approximate join ``df[col] ≈ ref[ref_col]``.
+
+    ``block``/``ref_block`` default to the first character — replace
+    with soundex/prefix expressions per use case.  The equi-join on the
+    block key keeps the pair generation linear-ish; a cross join is
+    never planned.
+    """
+    block = block if block is not None else F.substring(F.col(col), 1, 1)
+    ref_block = (ref_block if ref_block is not None
+                 else F.substring(F.col(ref_col), 1, 1))
+    d = df.withColumn("__blk", block)
+    r = ref.withColumn("__blk", ref_block)
+    if col == ref_col:
+        r = r.withColumnRenamed(ref_col, f"{ref_col}__ref")
+        ref_col = f"{ref_col}__ref"
+    cand = d.join(r, "__blk").drop("__blk")
+    scored = cand.withColumn(score_col, similarity(F.col(col), F.col(ref_col)))
+    matched = scored.where(F.col(score_col) >= min_similarity)
+    if keep_best:
+        w = Window.partitionBy(*[df[c] for c in df.columns]).orderBy(
+            F.col(score_col).desc(), F.col(ref_col))
+        matched = (matched.withColumn("__rn", F.row_number().over(w))
+                   .where(F.col("__rn") == 1).drop("__rn"))
+    return matched
+
+
+def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
+                   block: Column | None = None,
+                   min_similarity: float = 0.8,
+                   max_iter: int = 10) -> DataFrame:
+    """SSIS Fuzzy Grouping: cluster near-duplicate rows.
+
+    Output = input columns + ``_key_in`` (row key), ``_key_out``
+    (canonical/minimal key of the cluster), ``_score`` (similarity to
+    the canonical row's value; 1.0 for the canonical itself).
+
+    Algorithm (scales to the LSH regime by swapping the blocker):
+      1. blocked self-join -> similarity edges (undirected)
+      2. iterative min-label propagation until fixpoint (connected
+         components; O(diameter) joins, each a shuffle on ``key``)
+      3. canonical = min key per component
+    """
+    block = block if block is not None else F.substring(F.col(col), 1, 2)
+    nodes = df.select(F.col(key).alias("id"),
+                      F.col(col).alias("val"),
+                      block.alias("__blk"))
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    edges = (a.join(b, (F.col("a.__blk") == F.col("b.__blk")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .withColumn("__sim", similarity(F.col("a.val"), F.col("b.val")))
+             .where(F.col("__sim") >= min_similarity)
+             .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst")))
+    # undirected adjacency (both directions) + self loops
+    adj = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .persist())
+    labels = nodes.select("id", F.col("id").alias("label")).persist()
+    for _ in range(max_iter):
+        # candidate label for each node = min(own, neighbors' labels)
+        prop = (adj.join(labels.withColumnRenamed("id", "dst")
+                         .withColumnRenamed("label", "nbr_label"), "dst")
+                .groupBy("src").agg(F.min("nbr_label").alias("min_nbr")))
+        new_labels = (labels.join(prop.withColumnRenamed("src", "id"),
+                                  "id", "left")
+                      .select("id", F.least(F.col("label"),
+                                            F.coalesce(F.col("min_nbr"),
+                                                       F.col("label")))
+                              .alias("label"))).persist()
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "id")
+                   .where(F.col("label") != F.col("old")).limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    canon_val = (labels.join(nodes.select(F.col("id").alias("label"),
+                                          F.col("val").alias("__canon_val")),
+                             "label"))
+    out = (df.join(canon_val.withColumnRenamed("id", key), key)
+           .withColumn("_key_in", F.col(key))
+           .withColumn("_key_out", F.col("label"))
+           .withColumn("_score", F.when(F.col("_key_in") == F.col("_key_out"),
+                                        F.lit(1.0))
+                       .otherwise(similarity(F.col(col),
+                                             F.col("__canon_val"))))
+           .drop("label", "__canon_val"))
+    adj.unpersist()
+    return out
+
+
+STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on that the "
+    "to was were will with this those these they them then than or not no "
+    "but if so such own same too very can just do does did done"
+).split()
+
+
+def tokenize(col: Column | str, *, lower: bool = True,
+             pattern: str = r"[^\p{L}\p{N}]+") -> Column:
+    """Split text into word tokens (empty tokens removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lower:
+        c = F.lower(c)
+    return F.filter(F.split(c, pattern), lambda t: t != "")
+
+
+def term_extraction(df: DataFrame, text_col: str, *,
+                    min_len: int = 3, top_n: int | None = None,
+                    stopwords: Sequence[str] = STOPWORDS) -> DataFrame:
+    """Term Extraction: token frequency over a corpus with stopword and
+    length filters.  Explode happens after the per-document tokenization
+    (JVM-side split); the only shuffle is the final count."""
+    toks = df.select(F.explode(tokenize(text_col)).alias("term"))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    filtered = toks.where((F.length("term") >= min_len) &
+                          ~F.array_contains(sw, F.col("term")))
+    counts = filtered.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    if top_n:
+        counts = counts.orderBy(F.col("n").desc(), "term").limit(top_n)
+    return counts
+
+
+def term_lookup(df: DataFrame, text_col: str, terms: DataFrame,
+                term_col: str = "term") -> DataFrame:
+    """Term Lookup: count occurrences of reference terms per document."""
+    ex = df.select("*", F.explode(tokenize(text_col)).alias("__tok"))
+    return (ex.join(F.broadcast(terms.select(F.col(term_col).alias("__tok"))),
+                    "__tok")
+            .groupBy(*df.columns)
+            .agg(F.count(F.lit(1)).alias("n_term_hits")))

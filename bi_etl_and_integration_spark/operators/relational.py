@@ -1,0 +1,243 @@
+"""Relational operators: projections, splits, joins, lookups, set ops,
+sort/top-k, sampling, pivot/unpivot (SURVEY.md §2.3, §2.4, §2.7).
+
+Everything here returns lazy DataFrames; Catalyst handles pushdown,
+pruning, join-strategy selection and AQE re-planning.  The only manual
+physical hints are the broadcast on dictionary-style lookups (Lookup
+Full Cache, PRO/Глава 07:33-37) — exactly the one decision the
+reference also makes by hand.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ColumnLike = Column | str
+
+
+def project(df: DataFrame, *cols: ColumnLike, **derived: Column) -> DataFrame:
+    """Column pruning + Derived Column in one select ("SELECT * is bad",
+    PRO/Глава 12:22-24; Derived Column, PRO/Глава 11:14-23)."""
+    out = [F.col(c) if isinstance(c, str) else c for c in cols]
+    out += [c.alias(name) for name, c in derived.items()]
+    return df.select(*out)
+
+
+def derive(df: DataFrame, **cols: Column) -> DataFrame:
+    """Derived Column transform: add/replace computed columns
+    (PRO/Глава 05:76).  Stays inside whole-stage codegen."""
+    return df.withColumns(dict(cols))
+
+
+def conditional_split(df: DataFrame, branches: Mapping[str, Column],
+                      default: str | None = "default",
+                      ) -> dict[str, DataFrame]:
+    """Conditional Split (PRO/Глава 05:75): route rows to the FIRST
+    matching predicate; optional default output catches the rest.
+
+    Returns {name: DataFrame}.  Each branch is a filter over the same
+    parent, so Catalyst pushes each predicate to the scan independently
+    — no materialization, no row duplication.
+    """
+    out: dict[str, DataFrame] = {}
+    not_prior: Column | None = None
+    for name, pred in branches.items():
+        cond = pred if not_prior is None else (not_prior & pred)
+        out[name] = df.where(cond)
+        matched_now = pred.isNotNull() & pred  # null predicate = no match
+        not_prior = (~matched_now if not_prior is None
+                     else not_prior & ~matched_now)
+    if default is not None:
+        out[default] = df.where(not_prior) if not_prior is not None else df
+    return out
+
+
+def multicast(df: DataFrame, n_consumers: int = 2,
+              persist: bool = True) -> DataFrame:
+    """Multicast (PRO/Глава 05:96): in Spark, consuming one DataFrame
+    twice recomputes lineage; persist when fan-out > 1 is genuinely
+    consumed more than once (SURVEY.md §4 'pre-materialization')."""
+    return df.persist() if persist and n_consumers > 1 else df
+
+
+# ---------------------------------------------------------------- joins
+
+def lookup(df: DataFrame, ref: DataFrame, on: Sequence[str] | Column, *,
+           broadcast: bool = True, how: str = "left") -> DataFrame:
+    """Lookup transform (PRO/Глава 07:33-39).
+
+    ``broadcast=True`` = Full Cache (reference table shipped to every
+    task, no shuffle of the big flow).  ``broadcast=False`` = partial/no
+    cache; Spark's shuffled hash / sort-merge join with AQE covers the
+    big-reference regime.
+    """
+    r = F.broadcast(ref) if broadcast else ref
+    return df.join(r, on, how)
+
+
+def lookup_split(df: DataFrame, ref: DataFrame, on: Sequence[str],
+                 ref_indicator: str, *, broadcast: bool = True,
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Lookup with match / no-match outputs (PRO/Глава 07:36):
+    ``ref_indicator`` is any non-null column of ``ref`` used to detect a
+    miss after the left join.  Returns (match, no_match)."""
+    joined = lookup(df, ref, on, broadcast=broadcast, how="left")
+    hit = F.col(ref_indicator).isNotNull()
+    return joined.where(hit), joined.where(~hit)
+
+
+def cascade_lookup(fact: DataFrame,
+                   dims: Sequence[tuple[DataFrame, Sequence[str], str, str]],
+                   unknown_key: int = -1) -> DataFrame:
+    """Surrogate-key fan-in (PRO/Глава 07:47, Глава 10:69-76): chain of
+    broadcast lookups replacing business keys with surrogate keys;
+    misses get the Unknown member ``unknown_key`` instead of dropping.
+
+    dims: (dim_df, join_keys, dim_sk_col, out_col) per dimension.
+    """
+    out = fact
+    for dim, keys, sk, alias in dims:
+        out = (out.join(F.broadcast(dim.select(*keys, sk)), list(keys), "left")
+               .withColumn(alias, F.coalesce(F.col(sk), F.lit(unknown_key))))
+        if sk != alias:
+            out = out.drop(sk)
+    return out
+
+
+def join(left: DataFrame, right: DataFrame, on, how: str = "inner",
+         ) -> DataFrame:
+    """Merge Join / relational join (PRO/Глава 07:51-58).  The SSIS
+    pre-sort requirement disappears: Spark sorts inside SortMergeJoin
+    only when the strategy needs it."""
+    return left.join(right, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+def range_join(left: DataFrame, right: DataFrame, equi_on: Column,
+               range_cond: Column) -> DataFrame:
+    """Theta/range join (beyond-reference, SURVEY §2.4 Q17): equi keys
+    first so Spark plans a hash/SMJ join with the range predicate as a
+    post-filter instead of a cartesian product."""
+    return left.join(right, equi_on & range_cond, "inner")
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              direction: str = "backward") -> DataFrame:
+    """As-of join (beyond-reference): for each left row, the latest right
+    row with right_ts <= left_ts (backward) per key.
+
+    Union-window implementation — one shuffle on ``key``, no range
+    explosion: tag both sides, sort by ts within key, carry the last
+    right row forward with ``last(..., ignorenulls)`` over an unbounded
+    preceding frame.  Scales as a single window over the union.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c != key]
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*rcols).alias("__rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lcols if c != key],
+    )
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__rpay"].dataType).alias("__rpay"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols if c != key],
+    )
+    u = r_tagged.unionByName(l_tagged)
+    if direction == "backward":
+        w = (Window.partitionBy(key).orderBy(F.col("__ts").asc(),
+                                             F.col("__side").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy(key).orderBy(F.col("__ts").desc(),
+                                             F.col("__side").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    u = u.withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+    out = u.where(F.col("__side") == 0).select(
+        F.col(key),
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c != key],
+        *[F.col("__match").getField(c).alias(c) for c in rcols],
+    )
+    return out
+
+
+# ------------------------------------------------------------- set ops
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """Union All (PRO/Глава 05:79) — by name, no dedup."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def merge_sorted(left: DataFrame, right: DataFrame, *order_cols) -> DataFrame:
+    """SSIS Merge (sorted union, PRO/Глава 05:95).  In Spark order is a
+    property of the final sort, not a flow invariant — union then sort."""
+    return left.unionByName(right).orderBy(*order_cols)
+
+
+def intersect(left: DataFrame, right: DataFrame) -> DataFrame:
+    return left.intersect(right)
+
+
+def except_(left: DataFrame, right: DataFrame, all: bool = False) -> DataFrame:
+    return left.exceptAll(right) if all else left.subtract(right)
+
+
+# --------------------------------------------------- sort/top-k/sample
+
+def sort(df: DataFrame, *cols) -> DataFrame:
+    """Full sort (PRO/Глава 05:78) — range-partitioned total order."""
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, k: int, *cols) -> DataFrame:
+    """ORDER BY ... LIMIT k — Spark plans TakeOrderedAndProject: each
+    partition keeps k rows, driver merges; no total sort at scale."""
+    return df.orderBy(*cols).limit(k)
+
+
+def sample(df: DataFrame, fraction: float | None = None,
+           n: int | None = None, seed: int = 42) -> DataFrame:
+    """Percentage / Row Sampling (PRO/Глава 15:52)."""
+    if fraction is not None:
+        return df.sample(fraction=fraction, seed=seed)
+    if n is not None:
+        return df.orderBy(F.rand(seed)).limit(n)
+    raise ValueError("fraction or n required")
+
+
+# ------------------------------------------------------ pivot/unpivot
+
+def pivot(df: DataFrame, group_cols: Sequence[str], pivot_col: str,
+          values: Sequence, agg: Column) -> DataFrame:
+    """Pivot (PRO/Глава 05:94).  Passing ``values`` explicitly skips the
+    extra distinct-values job — required practice at scale."""
+    return df.groupBy(*group_cols).pivot(pivot_col, list(values)).agg(agg)
+
+
+def unpivot(df: DataFrame, ids: Sequence[str], cols: Sequence[str],
+            var_name: str = "name", value_name: str = "value") -> DataFrame:
+    """Unpivot via native melt (narrow op, no shuffle)."""
+    return df.melt(ids=list(ids), values=list(cols),
+                   variableColumnName=var_name, valueColumnName=value_name)

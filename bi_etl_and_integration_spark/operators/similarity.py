@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (beyond-reference surface;
+BASELINE.json north star).
+
+  cosine_similarity   zip_with dot product + norms — pure JVM expression
+  brute_force_topk    exact top-k neighbors: broadcast the query set,
+                      score every corpus row, TakeOrdered per query.
+                      The corpus is never shuffled — scales linearly.
+  ivf_topk            IVF-style approximate search: k-means-ish coarse
+                      centroids (sampled seeds), corpus rows assigned to
+                      nearest centroid once (pre-partitionable), queries
+                      probe the ``n_probe`` nearest centroid partitions
+                      only — the 100 TB path (scan 1/nlist of corpus).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast elements to double BEFORE multiplying: float*float would lose
+    # precision the oracle (computing in double) keeps
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return (dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+            ).cast("double")
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k per query.
+
+    ``queries`` (small) is broadcast against the full corpus; ranking
+    uses a per-query window.  Output: (query_id, vec_id, cosine_sim),
+    deterministic tie-break on neighbor id.
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col),
+                                   F.col(vec_col).alias("__qv")))
+    scored = (corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+              .crossJoin(q)
+              .withColumn("cosine_sim",
+                          cosine_similarity(F.col("__cv"), F.col("__qv"))))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "cosine_sim",
+                    F.col("__rn").alias("rank")))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id = bit pattern of sign(vec . plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, parr) >= 0,
+                     F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", nlist: int = 16,
+             n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus to ``nlist``
+    sampled centroids, probe the ``n_probe`` closest lists per query.
+
+    At scale the assignment output is written partitioned by
+    ``centroid_id`` so a probe reads only matching partitions
+    (partition pruning does the fan-out reduction)."""
+    cents = (corpus.select(F.col(vec_col).alias("cvec"))
+             .sample(False, 1.0, seed).limit(nlist)
+             .withColumn("centroid_id",
+                         F.monotonically_increasing_id()).collect())
+    cent_arr = F.array(*[
+        F.struct(F.lit(i).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in row["cvec"]]).alias("cv"))
+        for i, row in enumerate(cents)])
+
+    def nearest(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr, lambda c: F.struct(
+                (-cosine_similarity(vec, c.getField("cv"))).alias("negsim"),
+                c.getField("cid").alias("cid")))
+        return F.slice(F.array_sort(scored), 1, n)
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv"),
+        nearest(F.col(vec_col), 1)[0].getField("cid").alias("__list"))
+    probes = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv"),
+        F.explode(F.transform(nearest(F.col(vec_col), n_probe),
+                              lambda s: s.getField("cid"))).alias("__list"))
+    scored = (assigned.join(F.broadcast(probes), "__list")
+              .withColumn("cosine_sim",
+                          cosine_similarity(F.col("__cv"), F.col("__qv"))))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "cosine_sim",
+                    F.col("__rn").alias("rank")))

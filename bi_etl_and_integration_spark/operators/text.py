@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(beyond-reference surface; BASELINE.json north star).
+
+All pure-JVM column expressions (no Python UDFs): language ID via
+stopword-marker scoring, quality scoring via length/punct/stopword
+ratios, token counting (whitespace + BPE-ish regex), and rolling-hash
+document fingerprinting.  Each runs as a single narrow projection over
+``documents`` — no shuffle, fully codegen'd, safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators.fuzzy import STOPWORDS, tokenize
+
+#: tiny per-language marker lexicons (n-gram-heuristic stand-in; a real
+#: deployment swaps in fastText — kept dependency-free here)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour"],
+    "es": ["el", "los", "las", "es", "una", "por", "para", "con"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+
+def token_count(text: Column | str, mode: str = "whitespace") -> Column:
+    """Token counting: 'whitespace' (split on runs of spaces) or 'bpe'
+    (BPE-ish word/number/punct segmentation regex)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(
+            c, F.lit(r"(\p{L}+|\p{N}+|[^\s\p{L}\p{N}])"), 0))
+    raise ValueError(mode)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score in [0,1]:
+    length band, punctuation ratio, stopword ratio, mean word length,
+    uppercase ratio — the standard web-scale quality heuristics."""
+    c = F.col(text_col)
+    toks = tokenize(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[\p{Punct}]"), 0))
+    out = (df
+           .withColumn("q_n_chars", n_chars)
+           .withColumn("q_n_tokens", n_tokens)
+           .withColumn("q_mean_word_len",
+                       F.when(n_tokens > 0, n_chars / n_tokens)
+                       .otherwise(F.lit(0.0)))
+           .withColumn("q_punct_ratio",
+                       F.when(n_chars > 0, n_punct / n_chars)
+                       .otherwise(F.lit(0.0)))
+           .withColumn("q_stopword_ratio",
+                       F.when(n_tokens > 0, n_stop / n_tokens)
+                       .otherwise(F.lit(0.0))))
+    length_ok = (F.col("q_n_tokens") >= 5) & (F.col("q_n_chars") <= 100_000)
+    punct_ok = F.col("q_punct_ratio") <= 0.2
+    stop_ok = F.col("q_stopword_ratio").between(0.01, 0.8)
+    score = (length_ok.cast("double") + punct_ok.cast("double") +
+             stop_ok.cast("double")) / F.lit(3.0)
+    return out.withColumn("q_score", score)
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: score = fraction of tokens that are
+    markers of each language; argmax wins, 'und' if no marker hits.
+    Deterministic tie-break by language code."""
+    toks = tokenize(text_col)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        # zh markers are chars, not space-separated tokens
+        if lang == "zh":
+            hits = hits + F.size(F.regexp_extract_all(
+                F.col(text_col), F.lit("[" + "".join(markers) + "]"), 0))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "doc_fp") -> DataFrame:
+    """Document fingerprint: 64-bit hash of the token-normalized text
+    (lowercased, punctuation stripped, whitespace collapsed) — the
+    canonical near-exact-dup key.  xxhash64 is Spark's JVM-side 64-bit
+    hash; content-identical docs collide by construction."""
+    normalized = F.array_join(tokenize(text_col), " ")
+    return df.withColumn(out_col, F.xxhash64(normalized))

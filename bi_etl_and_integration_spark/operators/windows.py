@@ -1,0 +1,67 @@
+"""Window / per-group-top-k operators (SURVEY.md §2.6).
+
+Reference parity:
+  - ClickHouse ``LIMIT n BY key`` (DM/Правильное построение витрины с
+    множественными агрегациями.md:102-117) -> ``limit_by``.
+  - SCD2 current-version selection / end-dating (PRO/Глава 10:49-59)
+    -> ``latest_per_key`` / ``scd2_windows``.
+  - CDC Net mode last-change-per-key (PRACT/006:162) -> ``latest_per_key``.
+  - Analytic frames (running sums, lag/lead) — beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def limit_by(df: DataFrame, keys: Sequence[str], order: Sequence[Column],
+             n: int, rank_col: str | None = None) -> DataFrame:
+    """Per-key top-N (LIMIT n BY key).  One shuffle on ``keys``; with
+    AQE the per-partition sort is bounded by group size.  Tie-break by
+    including a unique column in ``order`` for determinism."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n)
+    return (out.withColumnRenamed("__rn", rank_col) if rank_col
+            else out.drop("__rn"))
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str],
+                   order: Sequence[Column]) -> DataFrame:
+    """Last row per key in ``order`` (descending conventions belong in
+    ``order`` itself).  Drives SCD2 current-version and CDC Net mode."""
+    return limit_by(df, keys, order, 1)
+
+
+def scd2_windows(df: DataFrame, keys: Sequence[str], eff_ts: str, *,
+                 end_ts_col: str = "end_ts",
+                 current_col: str = "is_current",
+                 open_end=None) -> DataFrame:
+    """Derive SCD2 validity windows from a change history: each version's
+    end = next version's start (lead); the open version is flagged
+    current (PRO/Глава 10:49-59 'close old version + insert new')."""
+    w = Window.partitionBy(*keys).orderBy(F.col(eff_ts).asc())
+    nxt = F.lead(F.col(eff_ts)).over(w)
+    return (df.withColumn(end_ts_col,
+                          F.coalesce(nxt, F.lit(open_end).cast(
+                              df.schema[eff_ts].dataType)))
+              .withColumn(current_col, nxt.isNull()))
+
+
+def running(df: DataFrame, keys: Sequence[str], order: Sequence[Column],
+            **aggs: Column) -> DataFrame:
+    """Running aggregates over ROWS UNBOUNDED PRECEDING..CURRENT ROW."""
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumns({name: c.over(w) for name, c in aggs.items()})
+
+
+def with_lag_lead(df: DataFrame, keys: Sequence[str],
+                  order: Sequence[Column], col: str,
+                  lag_n: int = 1, lead_n: int = 1) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn(f"{col}_lag", F.lag(col, lag_n).over(w))
+              .withColumn(f"{col}_lead", F.lead(col, lead_n).over(w)))

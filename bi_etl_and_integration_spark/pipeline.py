@@ -1,0 +1,138 @@
+"""Pipeline runner — the Control Flow analog (SURVEY.md §2.11, §3.1).
+
+Reference parity:
+  - SSIS Control Flow precedence constraints (Success/Failure/Completion
+    + expressions, PRO/Глава 17:25-40) -> stage dependency DAG with
+    ``run_on`` conditions.
+  - retries / idempotent tasks (AF/001 Intro.md:70, AF/002 Plan.md:94-98)
+    -> per-stage ``retries``.
+  - per-component timing (PRACT/007 Vizualizer.md) -> stage metrics dict.
+  - checkpoint/restart: only PHASE boundaries are resumable, never
+    intra-flow progress (PRACT/004 CDC.md:552-555) -> ``resume_from`` +
+    ``checkpointed_write`` (atomic temp-dir swap).
+  - multicast persistence (PRO/Глава 07:76-80) -> ``persist_on_fanout``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[["Context"], object]
+    depends_on: Sequence[str] = ()
+    retries: int = 0
+    run_on: str = "success"           # success | failure | completion
+
+
+@dataclass
+class Context:
+    """Pipeline variables (the SSIS ``Dts.Variables`` analog)."""
+    spark: SparkSession
+    params: dict = field(default_factory=dict)
+    results: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
+
+    def __getitem__(self, k):
+        return self.results[k] if k in self.results else self.params[k]
+
+    def __setitem__(self, k, v):
+        self.results[k] = v
+
+
+class Pipeline:
+    def __init__(self, name: str):
+        self.name = name
+        self.stages: list[Stage] = []
+
+    def stage(self, name: str, depends_on: Sequence[str] = (),
+              retries: int = 0, run_on: str = "success"):
+        """Decorator registering a stage function ``fn(ctx) -> result``."""
+        def deco(fn):
+            self.stages.append(Stage(name, fn, depends_on, retries, run_on))
+            return fn
+        return deco
+
+    def run(self, spark: SparkSession, params: dict | None = None,
+            resume_from: str | None = None) -> Context:
+        """Execute stages in declared order honoring dependencies.
+
+        ``resume_from`` skips stages before the named one (phase-level
+        restart — the only resumability the reference endorses; skipped
+        stages must be idempotent producers whose outputs the resumed
+        stages re-read from storage).
+        """
+        ctx = Context(spark, dict(params or {}))
+        status: dict[str, str] = {}
+        skipping = resume_from is not None
+        for st in self.stages:
+            if skipping:
+                if st.name == resume_from:
+                    skipping = False
+                else:
+                    status[st.name] = "skipped"
+                    continue
+            dep_states = [status.get(d, "missing") for d in st.depends_on]
+            ok_deps = all(s in ("ok", "skipped") for s in dep_states)
+            failed_deps = any(s == "failed" for s in dep_states)
+            should_run = (
+                (st.run_on == "success" and ok_deps) or
+                (st.run_on == "failure" and failed_deps) or
+                (st.run_on == "completion" and
+                 all(s != "missing" for s in dep_states)))
+            if st.depends_on and not should_run:
+                status[st.name] = "not_run"
+                continue
+            t0 = time.monotonic()
+            attempt, err = 0, None
+            while attempt <= st.retries:
+                try:
+                    ctx.results[st.name] = st.fn(ctx)
+                    status[st.name] = "ok"
+                    err = None
+                    break
+                except Exception as e:      # noqa: BLE001 — retry boundary
+                    err = e
+                    attempt += 1
+            ctx.metrics[st.name] = {"seconds": time.monotonic() - t0,
+                                    "attempts": attempt + (err is None),
+                                    "status": status.get(st.name, "failed")}
+            if err is not None:
+                status[st.name] = "failed"
+                ctx.metrics[st.name]["status"] = "failed"
+                if not any(s.run_on == "failure" and st.name in s.depends_on
+                           for s in self.stages):
+                    raise err
+        ctx.metrics["__status"] = status
+        return ctx
+
+
+def persist_on_fanout(df: DataFrame, consumers: int) -> DataFrame:
+    """Persist a DataFrame consumed by >1 downstream stage (Cache
+    Connection Manager reuse, PRO/Глава 07:76-80)."""
+    return df.persist() if consumers > 1 else df
+
+
+def checkpointed_write(df: DataFrame, path: str, *,
+                       fmt: str = "parquet") -> str:
+    """Crash-safe publish: write to a temp dir, then atomically swap into
+    place (single-writer assumption — documented; a lakehouse format
+    replaces this on shared storage).  Readers either see the old
+    version or the new one, never a partial write."""
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    getattr(df.write.mode("overwrite"), fmt)(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return path

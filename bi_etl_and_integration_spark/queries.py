@@ -1,0 +1,726 @@
+"""Declared correctness corpus (SURVEY.md §2.12, Q01–Q42 + LLM-pipeline
+extras).  Each entry exists twice:
+
+  QUERIES[name](spark, sf_dir) -> DataFrame   — built from this
+      package's operators (the artifact under test)
+  ORACLE[name] -> ANSI SQL                    — the DuckDB-equivalent
+      the driver runs side-by-side (column names aligned exactly)
+
+Names without an ORACLE entry are non-SQL-expressible (sampling, LSH
+pair generation, stubbed multimodal) and get the driver's rows-only
+check.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import (
+    aggregate as agg_ops,
+    arrays as arr_ops,
+    cleanse as cl_ops,
+    dedup as dd_ops,
+    fuzzy as fz_ops,
+    relational as rel_ops,
+    similarity as sim_ops,
+    text as tx_ops,
+    windows as win_ops,
+)
+from bi_etl_and_integration_spark.operators.cdc import net_changes
+from bi_etl_and_integration_spark.sources import Catalog, read_csv
+from bi_etl_and_integration_spark.sources.writers import (
+    staged_roundtrip, write_csv)
+from bi_etl_and_integration_spark.streaming.windows import (
+    tumbling_windowed_agg)
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def dec_round(c, p: int = 2):
+    """Cross-engine-stable rounding: a double like 2.675 is stored as
+    2.67499…; Spark's ROUND rounds its shortest decimal representation
+    (→2.68) while DuckDB rounds the exact binary value (→2.67).
+    Anchoring through DECIMAL(38,10) (binary error ≪ 1e-10 collapses to
+    the same decimal in both engines) then rounding makes the result
+    engine-independent.  ``R()`` is the SQL-text twin."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.round(c.cast("decimal(38,10)"), p).cast("double")
+
+
+def R(expr: str, p: int = 2) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(38,10)),{p}) AS DOUBLE)"
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = (lambda spark, sf_dir:
+                         fn(spark, Catalog(spark, sf_dir, register_views=False)))
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _stage_dir(sf_dir: str, tag: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), "bi_etl_stage", sf, tag)
+
+
+# =============================================================== scans
+
+@q("q01_scan_project",
+   "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")
+def q01(spark, cat):
+    return rel_ops.project(cat.customer, "c_custkey", "c_name") \
+        .orderBy("c_custkey")
+
+
+@q("q02_csv_roundtrip",
+   f"SELECT COUNT(*) AS n, {R('SUM(l_extendedprice)')} AS s FROM lineitem")
+def q02(spark, cat):
+    """Flat-file destination + source round trip: custom sep '^',
+    NULL sentinel — the PG COPY export convention (SCRIPTS/Перелив
+    данных...md:76-90)."""
+    path = _stage_dir(cat.sf_dir, "lineitem_csv")
+    li = cat.lineitem.withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("string"))
+    write_csv(li, path, sep="^", null_value="NULL")
+    back = read_csv(spark, path, schema=li.schema, sep="^",
+                    null_value="NULL")
+    return back.agg(F.count(F.lit(1)).alias("n"),
+                    dec_round(F.sum("l_extendedprice")).alias("s"))
+
+
+@q("q03_parquet_staging",
+   "SELECT COUNT(*) AS n FROM lineitem")
+def q03(spark, cat):
+    path = _stage_dir(cat.sf_dir, "lineitem_restaged")
+    restaged = staged_roundtrip(spark, cat.lineitem, path,
+                                sort_by=["l_orderkey"])
+    return restaged.agg(F.count(F.lit(1)).alias("n"))
+
+
+@q("q04_json_extract",
+   "SELECT event_id, json_extract_string(props,'$.k') AS k "
+   "FROM events ORDER BY event_id")
+def q04(spark, cat):
+    return (cat.events
+            .select("event_id",
+                    F.get_json_object("props", "$.k").alias("k"))
+            .orderBy("event_id"))
+
+
+# ==================================================== row transforms
+
+@q("q05_derived_columns",
+   f"SELECT o_orderkey, {R('o_totalprice*1.1')} AS with_tax, "
+   "UPPER(o_orderstatus) AS st, TRIM(SUBSTR(o_orderpriority,1,1)) AS pri1 "
+   "FROM orders ORDER BY o_orderkey")
+def q05(spark, cat):
+    return rel_ops.project(
+        cat.orders, "o_orderkey",
+        with_tax=dec_round(F.col("o_totalprice") * 1.1),
+        st=F.upper("o_orderstatus"),
+        pri1=F.trim(F.substring("o_orderpriority", 1, 1)),
+    ).orderBy("o_orderkey")
+
+
+@q("q06_conditional_split",
+   "SELECT event_id, 'high' AS branch FROM events WHERE value > 50 "
+   "UNION ALL "
+   "SELECT event_id, 'low' AS branch FROM events "
+   "WHERE value <= 50 OR value IS NULL")
+def q06(spark, cat):
+    streams = rel_ops.conditional_split(
+        cat.events, {"high": F.col("value") > 50}, default="low")
+    return rel_ops.union_all(
+        streams["high"].select("event_id", F.lit("high").alias("branch")),
+        streams["low"].select("event_id", F.lit("low").alias("branch")))
+
+
+@q("q07_cast_quarantine",
+   "SELECT COUNT(CASE WHEN TRY_CAST(json_extract_string(props,'$.k') AS INT)"
+   " IS NOT NULL THEN 1 END) AS n_ok, "
+   "COUNT(CASE WHEN TRY_CAST(event_type AS INT) IS NULL THEN 1 END) "
+   "AS n_quarantined FROM events")
+def q07(spark, cat):
+    ev = cat.events.withColumn(
+        "k_str", F.get_json_object("props", "$.k"))
+    good_k, _bad_k = cl_ops.cast_with_quarantine(ev, "k_str", "int", "k_int")
+    _good_t, bad_t = cl_ops.cast_with_quarantine(ev, "event_type", "int",
+                                                 "et_int")
+    return (good_k.agg(F.count(F.lit(1)).alias("n_ok"))
+            .crossJoin(bad_t.agg(F.count(F.lit(1)).alias("n_quarantined"))))
+
+
+@q("q08_character_map",
+   "SELECT c_custkey, UPPER(c_mktsegment) AS seg, LOWER(c_name) AS nm "
+   "FROM customer ORDER BY c_custkey")
+def q08(spark, cat):
+    mapped = cl_ops.character_map(
+        cat.customer.withColumn("seg", F.col("c_mktsegment"))
+        .withColumn("nm", F.col("c_name")),
+        {"seg": "upper", "nm": "lower"})
+    return mapped.select("c_custkey", "seg", "nm").orderBy("c_custkey")
+
+
+@q("q09_filter_pruning",
+   "SELECT l_orderkey, l_linenumber FROM lineitem "
+   "WHERE l_shipdate >= DATE '1995-01-01' "
+   "AND l_discount BETWEEN 0.02 AND 0.06 ORDER BY l_orderkey, l_linenumber")
+def q09(spark, cat):
+    return (cat.lineitem
+            .where((F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+                   & F.col("l_discount").between(0.02, 0.06))
+            .select("l_orderkey", "l_linenumber")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+@q("q10_rowcount_profile",
+   "SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS nk, "
+   "SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls "
+   "FROM lineitem")
+def q10(spark, cat):
+    return cat.lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("l_orderkey")).alias("nk"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("nulls"))
+
+
+# ============================================================== joins
+
+@q("q11_broadcast_lookup",
+   "SELECT o.o_orderkey, c.c_name FROM orders o "
+   "LEFT JOIN customer c ON o.o_custkey=c.c_custkey ORDER BY o.o_orderkey")
+def q11(spark, cat):
+    looked = rel_ops.lookup(
+        cat.orders,
+        cat.customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        ["o_custkey"], broadcast=True)
+    return looked.select("o_orderkey", "c_name").orderBy("o_orderkey")
+
+
+@q("q12_cascaded_lookup",
+   "SELECT l.l_orderkey, l.l_linenumber, COALESCE(p.p_partkey,-1) AS p_sk, "
+   "COALESCE(s.s_suppkey,-1) AS s_sk FROM lineitem l "
+   "LEFT JOIN part p ON l.l_partkey=p.p_partkey "
+   "LEFT JOIN supplier s ON l.l_suppkey=s.s_suppkey "
+   "ORDER BY l.l_orderkey, l.l_linenumber")
+def q12(spark, cat):
+    part_dim = cat.part.select(F.col("p_partkey").alias("l_partkey"),
+                               "p_partkey")
+    supp_dim = cat.supplier.select(F.col("s_suppkey").alias("l_suppkey"),
+                                   "s_suppkey")
+    out = rel_ops.cascade_lookup(cat.lineitem, [
+        (part_dim, ["l_partkey"], "p_partkey", "p_sk"),
+        (supp_dim, ["l_suppkey"], "s_suppkey", "s_sk"),
+    ])
+    return (out.select("l_orderkey", "l_linenumber", "p_sk", "s_sk")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+@q("q13_full_join",
+   "SELECT n.n_name, r.r_name FROM nation n "
+   "FULL JOIN region r ON n.n_regionkey=r.r_regionkey ORDER BY n.n_name")
+def q13(spark, cat):
+    n, r = cat.nation.alias("n"), cat.region.alias("r")
+    return (rel_ops.join(n, r,
+                         F.col("n.n_regionkey") == F.col("r.r_regionkey"),
+                         "full")
+            .select("n_name", "r_name"))
+
+
+@q("q14_mart_cte_cascade",
+   "WITH a AS (SELECT o_custkey, COUNT(*) n_ord, "
+   f"{R('SUM(o_totalprice)')} sum_p FROM orders GROUP BY o_custkey), "
+   "b AS (SELECT user_id, COUNT(*) n_ev FROM events GROUP BY user_id) "
+   "SELECT c.c_custkey, a.n_ord, a.sum_p, b.n_ev FROM customer c "
+   "LEFT JOIN a ON c.c_custkey=a.o_custkey "
+   "LEFT JOIN b ON c.c_custkey=b.user_id ORDER BY c.c_custkey")
+def q14(spark, cat):
+    mart = agg_ops.pre_aggregate_then_join(
+        cat.customer.select("c_custkey"), "c_custkey",
+        [(cat.orders, "o_custkey",
+          {"n_ord": F.count(F.lit(1)),
+           "sum_p": dec_round(F.sum("o_totalprice"))}),
+         (cat.events, "user_id",
+          {"n_ev": F.count(F.lit(1))})])
+    return mart.orderBy("c_custkey")
+
+
+@q("q15_fuzzy_lookup",
+   "SELECT c.c_custkey, MIN(s.s_name) AS best FROM customer c "
+   "JOIN supplier s "
+   "ON levenshtein(SUBSTR(c.c_name,1,8), SUBSTR(s.s_name,1,8)) <= 6 "
+   "GROUP BY c.c_custkey ORDER BY c.c_custkey")
+def q15(spark, cat):
+    c = cat.customer.select("c_custkey",
+                            F.substring("c_name", 1, 8).alias("c8"))
+    s = F.broadcast(cat.supplier.select(
+        "s_name", F.substring("s_name", 1, 8).alias("s8")))
+    pairs = c.join(s, F.levenshtein(F.col("c8"), F.col("s8")) <= 6)
+    return (pairs.groupBy("c_custkey").agg(F.min("s_name").alias("best"))
+            .orderBy("c_custkey"))
+
+
+@q("q16_semi_anti",
+   "SELECT c_custkey, 'has_orders' AS cls FROM customer "
+   "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+   "UNION ALL SELECT c_custkey, 'no_orders' AS cls FROM customer "
+   "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)")
+def q16(spark, cat):
+    keys = cat.orders.select(F.col("o_custkey").alias("c_custkey"))
+    semi = rel_ops.semi_join(cat.customer, keys, ["c_custkey"]) \
+        .select("c_custkey", F.lit("has_orders").alias("cls"))
+    anti = rel_ops.anti_join(cat.customer, keys, ["c_custkey"]) \
+        .select("c_custkey", F.lit("no_orders").alias("cls"))
+    return rel_ops.union_all(semi, anti)
+
+
+@q("q17_range_join",
+   "SELECT COUNT(*) AS n FROM events e JOIN orders o "
+   "ON e.user_id=o.o_custkey AND CAST(e.ts AS DATE) "
+   "BETWEEN CAST(o.o_orderdate AS DATE) "
+   "AND CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY")
+def q17(spark, cat):
+    e = cat.events.alias("e")
+    o = cat.orders.alias("o")
+    joined = rel_ops.range_join(
+        e, o,
+        F.col("e.user_id") == F.col("o.o_custkey"),
+        F.col("e.ts").cast("date").between(
+            F.col("o.o_orderdate").cast("date"),
+            F.date_add(F.col("o.o_orderdate").cast("date"), 30)))
+    return joined.agg(F.count(F.lit(1)).alias("n"))
+
+
+# ======================================================= aggregations
+
+@q("q18_hash_aggregate",
+   f"SELECT l_returnflag, l_linestatus, {R('SUM(l_quantity)')} AS sq, "
+   f"{R('SUM(l_extendedprice)')} AS sp, "
+   f"{R('SUM(l_extendedprice*(1-l_discount))')} AS sd, "
+   f"{R('AVG(l_quantity)')} AS aq, COUNT(*) AS n "
+   "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+   "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+def q18(spark, cat):
+    """TPC-H Q1 shape — the flagship pricing-summary aggregate."""
+    li = cat.lineitem.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    return agg_ops.aggregate(
+        li, ["l_returnflag", "l_linestatus"],
+        {"sq": dec_round(F.sum("l_quantity")),
+         "sp": dec_round(F.sum("l_extendedprice")),
+         "sd": dec_round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")))),
+         "aq": dec_round(F.avg("l_quantity")),
+         "n": F.count(F.lit(1))},
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@q("q19_group_array",
+   "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') "
+   "AS ks FROM orders GROUP BY o_custkey ORDER BY o_custkey")
+def q19(spark, cat):
+    """groupArray with the sorted-determinism convention; stringified
+    for engine-portable comparison."""
+    arr = agg_ops.group_array("o_orderkey")
+    return (cat.orders.groupBy("o_custkey")
+            .agg(F.array_join(F.transform(arr, lambda x: x.cast("string")),
+                              ",").alias("ks"))
+            .orderBy("o_custkey"))
+
+
+@q("q20_string_agg",
+   "SELECT o_custkey, STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' "
+   "ORDER BY o_orderkey) AS s FROM orders GROUP BY o_custkey "
+   "ORDER BY o_custkey")
+def q20(spark, cat):
+    return (cat.orders.groupBy("o_custkey")
+            .agg(agg_ops.string_agg(F.col("o_orderkey").cast("string"),
+                                    ",", order=F.col("o_orderkey"))
+                 .alias("s"))
+            .orderBy("o_custkey"))
+
+
+@q("q21_partial_states",
+   "WITH part AS (SELECT o_custkey, o_orderstatus, SUM(o_totalprice) s, "
+   "COUNT(*) c FROM orders GROUP BY o_custkey, o_orderstatus) "
+   f"SELECT o_orderstatus, {R('SUM(s)/SUM(c)')} AS avg_p FROM part "
+   "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+def q21(spark, cat):
+    states = agg_ops.partial_states(
+        cat.orders, ["o_custkey", "o_orderstatus"],
+        {"p": F.col("o_totalprice")})
+    merged = agg_ops.merge_states(states, ["o_orderstatus"], ["p"],
+                                  {"p": "avg"})
+    return (merged.select("o_orderstatus",
+                          dec_round(F.col("p")).alias("avg_p"))
+            .orderBy("o_orderstatus"))
+
+
+@q("q22_distinct",
+   "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+   "ORDER BY l_returnflag, l_linestatus")
+def q22(spark, cat):
+    return agg_ops.distinct(
+        cat.lineitem.select("l_returnflag", "l_linestatus"))
+
+
+@q("q23_array_hof",
+   "WITH t AS (SELECT o_custkey, list_sort(list(o_totalprice)) prices "
+   "FROM orders GROUP BY o_custkey) "
+   f"SELECT o_custkey, {R('COALESCE(list_sum(list_filter(prices, x -> x > 1000)),0)')}"
+   " AS big_sum FROM t ORDER BY o_custkey")
+def q23(spark, cat):
+    t = cat.orders.groupBy("o_custkey").agg(
+        agg_ops.group_array("o_totalprice").alias("prices"))
+    big = arr_ops.array_sum(
+        arr_ops.array_filter("prices", lambda x: x > 1000))
+    return (t.select("o_custkey", dec_round(big).alias("big_sum"))
+            .orderBy("o_custkey"))
+
+
+@q("q24_block_grouping",
+   "SELECT SUBSTR(p_name,1,4) AS blk, COUNT(*) AS n, "
+   "MIN(p_partkey) AS canonical FROM part GROUP BY SUBSTR(p_name,1,4) "
+   "ORDER BY blk")
+def q24(spark, cat):
+    return (cat.part
+            .groupBy(F.substring("p_name", 1, 4).alias("blk"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("p_partkey").alias("canonical"))
+            .orderBy("blk"))
+
+
+@q("q25_rollup",
+   f"SELECT l_returnflag, l_linestatus, {R('SUM(l_extendedprice)')} AS s "
+   "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+   "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+def q25(spark, cat):
+    return agg_ops.rollup(
+        cat.lineitem, ["l_returnflag", "l_linestatus"],
+        {"s": dec_round(F.sum("l_extendedprice"))})
+
+
+@q("q26_count_distinct",
+   "SELECT COUNT(DISTINCT l_partkey) AS nk FROM lineitem")
+def q26(spark, cat):
+    return cat.lineitem.agg(F.count_distinct(F.col("l_partkey")).alias("nk"))
+
+
+@q("q26b_approx_distinct")  # rows-only: approximate by design (±5%)
+def q26b(spark, cat):
+    return cat.lineitem.agg(
+        F.approx_count_distinct("l_partkey").alias("nk_approx"))
+
+
+# ============================================================ windows
+
+@q("q27_limit_by",
+   "WITH r AS (SELECT user_id, event_id, ROW_NUMBER() OVER "
+   "(PARTITION BY user_id ORDER BY ts DESC, event_id) rn FROM events) "
+   "SELECT user_id, event_id FROM r WHERE rn <= 5 "
+   "ORDER BY user_id, event_id")
+def q27(spark, cat):
+    top = win_ops.limit_by(cat.events, ["user_id"],
+                           [F.col("ts").desc(), F.col("event_id")], 5)
+    return top.select("user_id", "event_id").orderBy("user_id", "event_id")
+
+
+@q("q28_running_sum",
+   "SELECT o_custkey, o_orderkey, "
+   + R("SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+       "ORDER BY o_orderdate, o_orderkey "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+   + " AS run FROM orders ORDER BY o_custkey, o_orderkey")
+def q28(spark, cat):
+    r = win_ops.running(cat.orders, ["o_custkey"],
+                        [F.col("o_orderdate"), F.col("o_orderkey")],
+                        run=F.sum("o_totalprice"))
+    return (r.select("o_custkey", "o_orderkey",
+                     dec_round("run").alias("run"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+@q("q29_topk",
+   "SELECT o_orderkey, o_totalprice FROM orders "
+   "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
+def q29(spark, cat):
+    return rel_ops.top_k(cat.orders.select("o_orderkey", "o_totalprice"),
+                         10, F.col("o_totalprice").desc(), "o_orderkey")
+
+
+# ============================================= set ops / reshaping
+
+@q("q30_union_all",
+   "SELECT k FROM (SELECT o_custkey k FROM orders "
+   "UNION ALL SELECT user_id FROM events) ORDER BY k")
+def q30(spark, cat):
+    return rel_ops.union_all(
+        cat.orders.select(F.col("o_custkey").alias("k")),
+        cat.events.select(F.col("user_id").alias("k"))).orderBy("k")
+
+
+@q("q31_intersect_except",
+   "SELECT k, 'in_both' AS cls FROM "
+   "(SELECT o_custkey k FROM orders INTERSECT SELECT user_id FROM events) "
+   "UNION ALL SELECT k, 'cust_no_orders' AS cls FROM "
+   "(SELECT c_custkey k FROM customer EXCEPT SELECT o_custkey FROM orders)")
+def q31(spark, cat):
+    both = rel_ops.intersect(
+        cat.orders.select(F.col("o_custkey").alias("k")),
+        cat.events.select(F.col("user_id").alias("k"))) \
+        .select("k", F.lit("in_both").alias("cls"))
+    only = rel_ops.except_(
+        cat.customer.select(F.col("c_custkey").alias("k")),
+        cat.orders.select(F.col("o_custkey").alias("k"))) \
+        .select("k", F.lit("cust_no_orders").alias("cls"))
+    return rel_ops.union_all(both, only)
+
+
+@q("q32_pivot",
+   "SELECT o_custkey, "
+   + R("SUM(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END)")
+   + " AS o_amt, "
+   + R("SUM(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END)")
+   + " AS f_amt, "
+   + R("SUM(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END)")
+   + " AS p_amt FROM orders GROUP BY o_custkey ORDER BY o_custkey")
+def q32(spark, cat):
+    p = rel_ops.pivot(cat.orders, ["o_custkey"], "o_orderstatus",
+                      ["O", "F", "P"], F.sum("o_totalprice"))
+    return (p.select(
+        "o_custkey",
+        dec_round(F.coalesce(F.col("O"), F.lit(0.0))).alias("o_amt"),
+        dec_round(F.coalesce(F.col("F"), F.lit(0.0))).alias("f_amt"),
+        dec_round(F.coalesce(F.col("P"), F.lit(0.0))).alias("p_amt"))
+        .orderBy("o_custkey"))
+
+
+@q("q33_sampling")  # rows-only: randomness is seeded but engine-specific
+def q33(spark, cat):
+    s = rel_ops.sample(cat.lineitem, fraction=0.1, seed=42)
+    return s.agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@q("q34_scd2_latest",
+   "WITH v AS (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+   "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn "
+   "FROM orders) SELECT o_custkey, o_orderkey FROM v WHERE rn=1 "
+   "ORDER BY o_custkey")
+def q34(spark, cat):
+    latest = win_ops.latest_per_key(
+        cat.orders, ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+    return latest.select("o_custkey", "o_orderkey").orderBy("o_custkey")
+
+
+@q("q35_merge_upsert",
+   f"WITH src AS (SELECT user_id, {R('SUM(value)')} v FROM events "
+   "GROUP BY user_id) SELECT c.c_custkey, "
+   + R("COALESCE(s.v, c.c_acctbal)")
+   + " AS new_bal FROM customer c "
+   "LEFT JOIN src s ON c.c_custkey=s.user_id ORDER BY c.c_custkey")
+def q35(spark, cat):
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        merge_apply)
+    src = (cat.events.groupBy(F.col("user_id").alias("c_custkey"))
+           .agg(dec_round(F.sum("value")).alias("c_acctbal")))
+    target = cat.customer.select("c_custkey", "c_acctbal")
+    merged = merge_apply(target, src, ["c_custkey"],
+                         update_cols=["c_acctbal"], insert_new=False)
+    return (merged.select("c_custkey",
+                          dec_round("c_acctbal").alias("new_bal"))
+            .orderBy("c_custkey"))
+
+
+@q("q36_error_tolerant_load",
+   "SELECT COUNT(CASE WHEN TRY_CAST(json_extract_string(props,'$.k') AS INT)"
+   " IS NOT NULL THEN 1 END) AS n_ok, "
+   "COUNT(CASE WHEN TRY_CAST(event_type AS INT) IS NULL THEN 1 END) AS n_bad,"
+   " CAST(COUNT(CASE WHEN TRY_CAST(event_type AS INT) IS NULL THEN 1 END) "
+   "<= GREATEST(1000, 0.1*COUNT(*)) AS INT) AS within_tolerance FROM events")
+def q36(spark, cat):
+    ev = cat.events
+    n_ok = F.count(F.when(
+        F.get_json_object("props", "$.k").try_cast("int").isNotNull(), 1))
+    n_bad = F.count(F.when(
+        F.col("event_type").try_cast("int").isNull(), 1))
+    tol = F.greatest(F.lit(1000.0), 0.1 * F.count(F.lit(1)))
+    return ev.agg(n_ok.alias("n_ok"), n_bad.alias("n_bad"),
+                  (n_bad <= tol).cast("int").alias("within_tolerance"))
+
+
+@q("q37_arrays_zip_unnest",
+   "WITH g AS (SELECT o_custkey, list_sort(list(o_orderkey)) ks, "
+   "list_sort(list(ROUND(o_totalprice,2))) ps FROM orders "
+   "GROUP BY o_custkey) "
+   "SELECT o_custkey, UNNEST(ks) AS k FROM g ORDER BY o_custkey, k")
+def q37(spark, cat):
+    g = cat.orders.groupBy("o_custkey").agg(
+        agg_ops.group_array("o_orderkey").alias("ks"),
+        agg_ops.group_array(F.round("o_totalprice", 2)).alias("ps"))
+    zipped = g.withColumn("z", arr_ops.array_zip("ks", "ps"))
+    un = arr_ops.unnest(zipped, "z", out="zz", keep=["o_custkey"])
+    return (un.select("o_custkey", F.col("zz.ks").alias("k"))
+            .orderBy("o_custkey", "k"))
+
+
+@q("q38_cdc_net_changes",
+   "WITH ch AS (SELECT user_id, event_type, ts, event_id, ROW_NUMBER() "
+   "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
+   "FROM events) SELECT user_id, event_type FROM ch WHERE rn=1 "
+   "ORDER BY user_id")
+def q38(spark, cat):
+    net = net_changes(cat.events, ["user_id"], "ts",
+                      tiebreak=[F.col("event_id").desc()])
+    return net.select("user_id", "event_type").orderBy("user_id")
+
+
+@q("q39_term_extraction",
+   "WITH tok AS (SELECT LOWER(UNNEST(list_filter(STRING_SPLIT(text,' '), "
+   "x -> x != ''))) t FROM documents) "
+   "SELECT t AS term, COUNT(*) AS n FROM tok WHERE LENGTH(t) >= 6 "
+   "GROUP BY t ORDER BY n DESC, t LIMIT 20")
+def q39(spark, cat):
+    terms = fz_ops.term_extraction(cat.documents, "text",
+                                   min_len=6, stopwords=[])
+    return terms.orderBy(F.col("n").desc(), "term").limit(20)
+
+
+@q("q40_domain_validation",
+   "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+   "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+def q40(spark, cat):
+    domain = cat.customer.select("c_mktsegment").distinct()
+    streams = cl_ops.domain_cleanse(cat.customer, "c_mktsegment",
+                                    domain, "c_mktsegment")
+    return (streams["valid"].groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("c_mktsegment"))
+
+
+@q("q41_event_time_window",
+   "SELECT date_trunc('day', ts)::DATE AS d, event_type, COUNT(*) AS n, "
+   f"{R('SUM(value)')} AS s FROM events GROUP BY 1,2 "
+   "ORDER BY d, event_type")
+def q41(spark, cat):
+    win = tumbling_windowed_agg(
+        cat.events, "ts", "1 day", ["event_type"],
+        {"n": F.count(F.lit(1)), "s": dec_round(F.sum("value"))})
+    return (win.select(F.col("window.start").cast("date").alias("d"),
+                       "event_type", "n", "s")
+            .orderBy("d", "event_type"))
+
+
+@q("q42_similarity_topk",
+   "SELECT 0 AS query_id, e.vec_id, "
+   + R("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+       "WHERE vec_id=0))", 4)
+   + " AS cosine_sim FROM embeddings e WHERE e.vec_id <> 0 "
+   "ORDER BY cosine_sim DESC, e.vec_id LIMIT 3")
+def q42(spark, cat):
+    queries = (cat.embeddings.where(F.col("vec_id") == 0)
+               .select(F.lit(0).alias("query_id"), "embedding"))
+    corpus = cat.embeddings.where(F.col("vec_id") != 0)
+    topk = sim_ops.brute_force_topk(corpus, queries, k=3)
+    return topk.select("query_id", "vec_id",
+                       dec_round("cosine_sim", 4).alias("cosine_sim"))
+
+
+# ======================================= LLM-pipeline extras (north star)
+
+@q("x01_dedup_exact",
+   "SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups FROM documents "
+   "GROUP BY text ORDER BY canonical_id")
+def x01(spark, cat):
+    d = dd_ops.exact_dedup(cat.documents, "text", "doc_id")
+    return d.select("canonical_id", "n_dups").orderBy("canonical_id")
+
+
+@q("x02_dedup_minhash")  # rows-only: LSH banding is engine-specific
+def x02(spark, cat):
+    return dd_ops.minhash_lsh_dedup(cat.documents, "text", "doc_id",
+                                    jaccard_threshold=0.5)
+
+
+@q("x03_dedup_simhash")  # rows-only
+def x03(spark, cat):
+    return dd_ops.simhash_dedup(cat.documents, "text", "doc_id",
+                                max_hamming=8)
+
+
+@q("x04_dedup_ngram")  # rows-only (blocked pair generation)
+def x04(spark, cat):
+    return dd_ops.ngram_jaccard_dedup(cat.documents, "text", "doc_id",
+                                      n=3, threshold=0.5)
+
+
+@q("x05_dedup_embedding")  # rows-only (random-projection buckets)
+def x05(spark, cat):
+    # fixture embeddings are near-random: a low threshold + few planes
+    # keeps the candidate/verify path exercised end-to-end
+    return dd_ops.embedding_dedup(cat.embeddings, "embedding", "vec_id",
+                                  threshold=0.15, n_planes=4)
+
+
+@q("x06_ann_ivf")  # rows-only (approximate by construction)
+def x06(spark, cat):
+    queries = (cat.embeddings.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim_ops.ivf_topk(cat.embeddings, queries, k=5, nlist=8,
+                            n_probe=3)
+
+
+@q("x07_text_tokens",
+   "SELECT doc_id, len(list_filter(STRING_SPLIT(text,' '), x -> x != '')) "
+   "AS n_tokens FROM documents ORDER BY doc_id")
+def x07(spark, cat):
+    return (cat.documents
+            .select("doc_id",
+                    tx_ops.token_count("text", "whitespace")
+                    .alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+@q("x08_text_quality",
+   "SELECT doc_id, length(text) AS q_n_chars, "
+   "len(list_filter(STRING_SPLIT(text,' '), x -> x != '')) AS q_n_tokens "
+   "FROM documents ORDER BY doc_id")
+def x08(spark, cat):
+    feats = tx_ops.quality_features(cat.documents, "text")
+    return (feats.select("doc_id", "q_n_chars", "q_n_tokens")
+            .orderBy("doc_id"))
+
+
+@q("x09_text_langid")  # rows-only: heuristic marker-lexicon classifier
+def x09(spark, cat):
+    pred = tx_ops.language_id(cat.documents, "text")
+    return (pred.groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("lang", "lang_pred"))
+
+
+@q("x10_text_fingerprint",
+   "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")
+def x10(spark, cat):
+    return (cat.documents
+            .select("doc_id", F.md5(F.col("text")).alias("fp"))
+            .orderBy("doc_id"))
+
+
+@q("x11_multimodal_features")  # rows-only: stubbed decoder (no codecs here)
+def x11(spark, cat):
+    from bi_etl_and_integration_spark.operators.multimodal import (
+        image_features)
+    media = cat.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    feats = image_features(media, decode_stub=True)
+    return feats.select("media_id", "width", "height", "n_bytes")

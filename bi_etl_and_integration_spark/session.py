@@ -1,0 +1,84 @@
+"""SparkSession factory.
+
+Reference parity: the SSIS pipeline engine exposes buffer-size /
+parallelism knobs (PRO/Глава 15:41-42, Глава 22:30-48).  On Spark those
+map to AQE + shuffle-partition + maxPartitionBytes settings, which we
+centralize here so every entrypoint (tests, bench, driver) gets the
+same tuned session.
+
+Scale notes (100 TB design intent):
+  - AQE on: runtime coalescing of shuffle partitions, skew-join
+    splitting, dynamic broadcast decisions replace SSIS cache-mode
+    tuning (PRO/Глава 07:35-39).
+  - Timestamps pinned: session TZ = UTC and parquet NTZ inference on,
+    matching the reference's naive-timestamp convention
+    (SCRIPTS/Перелив данных из PostgreSQL в ClickHouse.md:181-183) and
+    the DuckDB oracle.
+  - Arrow enabled for the few Pandas-UDF operators (fuzzy/multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _builder(app_name: str, master: str | None, shuffle_partitions: int,
+             extra_conf: dict | None) -> SparkSession.Builder:
+    b = (
+        SparkSession.builder.appName(app_name)
+        # -- adaptive execution: runtime re-plan replaces manual cache-mode
+        #    / batch-size tuning documented by the reference
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle sizing: ~cores locally; a real cluster overrides via
+        #    spark-defaults (AQE coalescing makes the initial number soft)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- scan sizing: 128 MB splits is the right granularity for the
+        #    100 TB target (≈ 800k tasks over 1000 executors)
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # -- timestamps: naive (NTZ) end-to-end, matching reference + oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        # -- parquet TIMESTAMP(NANOS) (events.ts fixture) has no native
+        #    Spark type: read as long, Catalog converts to timestamp_ntz
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- Arrow for pandas_udf / applyInPandas operators
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- broadcast threshold: 64 MB — dimension tables (region, nation,
+        #    customer at small SF, dictionaries) should broadcast
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- quiet the UI in test/bench runs
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b
+
+
+def get_session(app_name: str = "bi-etl-spark",
+                master: str | None = None,
+                shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+                extra_conf: dict | None = None) -> SparkSession:
+    """Create (or reuse) the tuned SparkSession.
+
+    ``master`` defaults to whatever the environment provides (driver /
+    spark-submit); falls back to ``local[N]`` with N = SPARK_GRAFT_CPUS
+    when nothing is set.
+    """
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    return _builder(app_name, master, shuffle_partitions, extra_conf).getOrCreate()
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,27 @@
+from bi_etl_and_integration_spark.sources.readers import (
+    Catalog,
+    read_csv,
+    read_csv_tolerant,
+    read_json,
+    read_jdbc,
+    read_orc,
+    read_parquet,
+)
+from bi_etl_and_integration_spark.sources.writers import (
+    write_csv,
+    write_parquet,
+    staged_roundtrip,
+)
+
+__all__ = [
+    "Catalog",
+    "read_parquet",
+    "read_csv",
+    "read_csv_tolerant",
+    "read_json",
+    "read_orc",
+    "read_jdbc",
+    "write_csv",
+    "write_parquet",
+    "staged_roundtrip",
+]
