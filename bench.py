@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Bench harness: runs the declared query corpus at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Per BASELINE.md the gate is wall time ≤ 2x DuckDB on the same SF with a
+warm JVM (session startup excluded) — so the session is created and a
+warm-up query runs before any timing starts.  Set BENCH_DUCKDB=1 to
+also measure the DuckDB oracle side-by-side (adds a "duckdb" map and
+per-query ratios to stderr for local tuning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    with_duck = os.environ.get("BENCH_DUCKDB") == "1"
+    only = set(sys.argv[1:])
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from bi_etl_and_integration_spark import get_session
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    # warm-up: JIT/codegen + parquet footer caches, excluded from timing
+    queries["q18_hash_aggregate"](spark, sf_dir).collect()
+
+    from pyspark.sql import functions as F
+
+    def consume(df) -> None:
+        """Force full evaluation of every output column without paying
+        py4j row serialization: reduce to (count, xxhash64 digest) —
+        the engine computes everything, one row crosses to Python."""
+        cols = [F.col(c) for c in df.columns]
+        # bit_xor (not sum): xxhash64 values span the full int64 range, so
+        # summing them overflows under ANSI mode; xor is overflow-free.
+        df.select(F.count(F.lit(1)).alias("n"),
+                  F.bit_xor(F.xxhash64(*cols)).alias("digest")).collect()
+
+    times: dict[str, float] = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            consume(fn(spark, sf_dir))
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            times[name] = -1.0
+            print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+
+    out = {
+        "metric": "declared-corpus wall time, warm session, "
+                  "spark local[*] (SURVEY §2.12 + extras)",
+        "value": round(sum(t for t in times.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if with_duck:
+        import duckdb
+        oracles = entrymod.oracle_sql()
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        duck: dict[str, float] = {}
+        for name, sql in oracles.items():
+            if only and name not in only:
+                continue
+            t0 = time.monotonic()
+            try:
+                con.execute(sql).fetchall()
+                duck[name] = round(time.monotonic() - t0, 3)
+            except Exception:  # noqa: BLE001
+                duck[name] = -1.0
+        out["duckdb"] = duck
+        for name in sorted(duck):
+            s, d = times.get(name, -1), duck[name]
+            if s > 0 and d > 0:
+                flag = " <<<" if s > 2 * d and s > 0.5 else ""
+                print(f"{name}: spark={s:.2f}s duck={d:.2f}s "
+                      f"ratio={s / d:.1f}{flag}", file=sys.stderr)
+
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

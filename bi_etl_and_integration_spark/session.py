@@ -39,8 +39,11 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         #    spark-defaults (AQE coalescing makes the initial number soft)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # -- scan sizing: 128 MB splits is the right granularity for the
-        #    100 TB target (≈ 800k tasks over 1000 executors)
+        #    100 TB target (≈ 800k tasks over 1000 executors); the
+        #    minPartitionNum floor keeps small single-file inputs (test
+        #    SFs) from collapsing to one task and serializing the host
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         # -- timestamps: naive (NTZ) end-to-end, matching reference + oracle
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

@@ -1,0 +1,88 @@
+"""Unit tests: aggregation operators (SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import aggregate as agg
+
+
+def test_aggregate_global_and_keyed(rows):
+    df = rows([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    out = agg.aggregate(df, ["k"], {"s": F.sum("v"), "n": F.count(F.lit(1))})
+    got = {r["k"]: (r["s"], r["n"]) for r in out.collect()}
+    assert got == {"a": (3, 2), "b": (3, 1)}
+    g = agg.aggregate(df, [], {"s": F.sum("v")}).collect()[0]
+    assert g["s"] == 6
+
+
+def test_group_array_is_deterministically_sorted(rows):
+    # 2 partitions -> collect_list order would be racy without sort_array
+    df = rows([("a", 3), ("a", 1), ("a", 2)], "k string, v int") \
+        .repartition(2)
+    out = df.groupBy("k").agg(agg.group_array("v").alias("arr"))
+    assert out.collect()[0]["arr"] == [1, 2, 3]
+    out_desc = df.groupBy("k").agg(
+        agg.group_array("v", asc=False).alias("arr"))
+    assert out_desc.collect()[0]["arr"] == [3, 2, 1]
+
+
+def test_group_array_ordered_by_other_column(rows):
+    df = rows([("a", "x", 3), ("a", "y", 1), ("a", "z", 2)],
+              "k string, v string, o int")
+    out = df.groupBy("k").agg(
+        agg.group_array_ordered_by(F.col("v"), F.col("o")).alias("arr"))
+    assert out.collect()[0]["arr"] == ["y", "z", "x"]
+
+
+def test_string_agg_ordered(rows):
+    df = rows([("a", 30), ("a", 10), ("a", 20)], "k string, v int")
+    out = df.groupBy("k").agg(
+        agg.string_agg(F.col("v").cast("string"), ",",
+                       order=F.col("v")).alias("s"))
+    assert out.collect()[0]["s"] == "10,20,30"
+
+
+def test_distinct_keyed(rows):
+    df = rows([(1, "a"), (1, "b"), (2, "a")], "k int, v string")
+    assert agg.distinct(df, ["k"]).count() == 2
+    assert agg.distinct(df).count() == 3
+
+
+def test_rollup_and_cube(rows):
+    df = rows([("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+              "k1 string, k2 string, v int")
+    r = agg.rollup(df, ["k1", "k2"], {"s": F.sum("v")})
+    # detail(3) + per-k1(2) + grand total(1)
+    assert r.count() == 6
+    total = r.where(F.col("k1").isNull() & F.col("k2").isNull()).collect()
+    assert total[0]["s"] == 7
+    c = agg.cube(df, ["k1", "k2"], {"s": F.sum("v")})
+    assert c.count() == 8  # rollup rows + per-k2(2)
+
+
+def test_partial_states_merge_equals_direct(rows):
+    """The MV contract: merge(partial states) == direct aggregation,
+    including states computed over separate batches."""
+    b1 = rows([("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double")
+    b2 = rows([("a", 3.0), ("b", 20.0)], "k string, v double")
+    s1 = agg.partial_states(b1, ["k"], {"m": F.col("v")})
+    s2 = agg.partial_states(b2, ["k"], {"m": F.col("v")})
+    merged = agg.merge_states(s1.unionByName(s2), ["k"], ["m"],
+                              {"m": "avg"})
+    got = {r["k"]: r["m"] for r in merged.collect()}
+    assert got == {"a": 2.0, "b": 15.0}
+    as_sum = agg.merge_states(s1.unionByName(s2), ["k"], ["m"],
+                              {"m": "sum"})
+    assert {r["k"]: r["m"] for r in as_sum.collect()} == {"a": 6.0, "b": 30.0}
+
+
+def test_pre_aggregate_then_join_never_fans_out(rows):
+    base = rows([(1,), (2,), (3,)], "k int")
+    detail = rows([(1, 5.0), (1, 7.0), (2, 1.0)], "fk int, v double")
+    out = agg.pre_aggregate_then_join(
+        base, "k", [(detail, "fk", {"s": F.sum("v"),
+                                    "n": F.count(F.lit(1))})])
+    assert out.count() == base.count()  # structurally impossible to fan out
+    got = {r["k"]: (r["s"], r["n"]) for r in out.collect()}
+    assert got == {1: (12.0, 2), 2: (1.0, 1), 3: (None, None)}

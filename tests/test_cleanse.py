@@ -1,0 +1,78 @@
+"""Unit tests: cleansing / data-quality operators (SURVEY.md §2.3, §2.8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import cleanse as cl
+
+
+def test_cast_with_quarantine(rows):
+    df = rows([(1, "42"), (2, "oops"), (3, None)], "id int, raw string")
+    good, bad = cl.cast_with_quarantine(df, "raw", "int", "n")
+    # nulls pass through (not a cast failure); bad strings divert
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    assert [r["id"] for r in bad.collect()] == [2]
+    assert good.where(F.col("id") == 1).collect()[0]["n"] == 42
+
+
+def test_character_map(rows):
+    df = rows([("MiXeD", "abc")], "a string, b string")
+    out = cl.character_map(df, {"a": "upper", "b": "translate:abc:xyz"})
+    r = out.collect()[0]
+    assert r["a"] == "MIXED" and r["b"] == "xyz"
+    with pytest.raises(ValueError):
+        cl.character_map(df, {"a": "nope"})
+
+
+def test_audit_columns(rows):
+    df = rows([(1,)], "id int")
+    out = cl.audit(df, "my_pipe", user="alice")
+    r = out.collect()[0]
+    assert r["audit_pipeline"] == "my_pipe"
+    assert r["audit_user"] == "alice"
+    assert r["audit_load_ts"] is not None
+
+
+def test_row_count_observation_single_pass(rows):
+    df = rows([(i,) for i in range(7)], "id int")
+    observed, obs = cl.row_count(df, "n")
+    observed.collect()  # the consuming action
+    assert obs.get["n"] == 7
+
+
+def test_profile(rows):
+    df = rows([(1, "a"), (2, None), (3, "a")], "id int, s string")
+    prof = {r["column"]: r for r in cl.profile(df).collect()}
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_rows"] == 3
+    assert prof["id"]["min"] == "1" and prof["id"]["max"] == "3"
+
+
+def test_regex_validate(rows):
+    df = rows([(1, "a@b.com"), (2, "nope"), (3, None)], "id int, email string")
+    streams = cl.regex_validate(df, "email", r"^[^@]+@[^@]+\.[^@]+$")
+    assert [r["id"] for r in streams["valid"].collect()] == [1]
+    assert sorted(r["id"] for r in streams["invalid"].collect()) == [2, 3]
+
+
+def test_domain_cleanse_three_way_split(rows):
+    df = rows([(1, "RED"), (2, "REDD"), (3, "PURPLE")], "id int, c string")
+    domain = rows([("RED",), ("BLUE",)], "v string")
+    streams = cl.domain_cleanse(df, "c", domain, "v",
+                                corrections={"REDD": "RED"})
+    assert [r["id"] for r in streams["valid"].collect()] == [1]
+    corr = streams["corrected"].collect()
+    assert [r["id"] for r in corr] == [2]
+    assert corr[0]["c"] == "RED"  # corrected value applied
+    assert [r["id"] for r in streams["invalid"].collect()] == [3]
+
+
+def test_domain_cleanse_without_corrections(rows):
+    df = rows([(1, "RED"), (2, "X")], "id int, c string")
+    domain = rows([("RED",)], "v string")
+    streams = cl.domain_cleanse(df, "c", domain, "v")
+    assert streams["corrected"].count() == 0
+    assert [r["id"] for r in streams["invalid"].collect()] == [2]

@@ -1,0 +1,73 @@
+"""Unit tests: dedup operators for training-data pipelines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import dedup as dd
+
+DOCS = "doc_id long, text string"
+
+
+def test_exact_dedup_normalizes_content(rows):
+    df = rows([(1, "Hello,  World!"), (2, "hello world"),
+               (3, "different")], DOCS)
+    out = dd.exact_dedup(df).collect()
+    by_canon = {r["canonical_id"]: r for r in out}
+    # 1 and 2 collapse (same normalized tokens), canonical = min id
+    assert by_canon[1]["n_dups"] == 2
+    assert by_canon[1]["member_ids"] == [1, 2]
+    assert by_canon[3]["n_dups"] == 1
+
+
+def test_shingles(rows):
+    df = rows([(1, "a b c d")], DOCS)
+    sh = df.select(dd.shingles(F.col("text"), 2).alias("sh")).collect()[0]["sh"]
+    assert sorted(sh) == ["a b", "b c", "c d"]
+    # short doc: falls back to whole-text shingle instead of empty set
+    short = rows([(1, "onlyone")], DOCS)
+    sh2 = short.select(dd.shingles(F.col("text"), 3).alias("sh")) \
+        .collect()[0]["sh"]
+    assert sh2 == ["onlyone"]
+
+
+def test_minhash_lsh_finds_near_dups(rows):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base + "extra token"
+    df = rows([(1, base), (2, near), (3, "completely unrelated words here "
+                                         "about databases and spark")], DOCS)
+    out = dd.minhash_lsh_dedup(df, jaccard_threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    sim = [r["jaccard_sim"] for r in out if (r["id_a"], r["id_b"]) == (1, 2)][0]
+    assert sim >= 0.5
+
+
+def test_simhash_identical_docs_distance_zero(rows):
+    df = rows([(1, "spark makes big data simple"),
+               (2, "spark makes big data simple"),
+               (3, "utterly different content entirely")], DOCS)
+    out = dd.simhash_dedup(df, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_dedup(rows):
+    df = rows([(1, "alpha beta gamma delta epsilon"),
+               (2, "alpha beta gamma delta zeta"),
+               (3, "nothing in common at all")], DOCS)
+    out = dd.ngram_jaccard_dedup(df, n=2, threshold=0.3).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+
+
+def test_embedding_dedup_identical_vectors(rows):
+    df = rows([(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),
+               (3, [-1.0, 0.0, 0.0])],
+              "vec_id long, embedding array<float>")
+    out = dd.embedding_dedup(df, threshold=0.99, n_planes=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
+    assert pairs.get((1, 2)) == 1.0
+    assert all(3 not in p for p in pairs)

@@ -1,0 +1,82 @@
+"""Unit tests: dimensional loading (SURVEY.md §2.4, §2.6; PRO/Глава 10)."""
+
+from __future__ import annotations
+
+from bi_etl_and_integration_spark.operators import dimensional as dim
+
+
+def as_map(df, k="k", v="v"):
+    return {r[k]: r[v] for r in df.collect()}
+
+
+def test_merge_apply_update_and_insert(rows):
+    target = rows([(1, "old", "keepme"), (2, "two", "t2")],
+                  "k int, v string, other string")
+    source = rows([(1, "new"), (3, "ins")], "k int, v string")
+    out = dim.merge_apply(target, source, ["k"])
+    assert as_map(out) == {1: "new", 2: "two", 3: "ins"}
+    # non-update columns survive for matched rows, null for inserts
+    got = {r["k"]: r["other"] for r in out.collect()}
+    assert got == {1: "keepme", 2: "t2", 3: None}
+
+
+def test_merge_apply_no_insert(rows):
+    target = rows([(1, "old")], "k int, v string")
+    source = rows([(1, "new"), (3, "ins")], "k int, v string")
+    out = dim.merge_apply(target, source, ["k"], insert_new=False)
+    assert as_map(out) == {1: "new"}
+
+
+def test_merge_apply_delete_missing(rows):
+    target = rows([(1, "a"), (2, "b")], "k int, v string")
+    source = rows([(1, "a2")], "k int, v string")
+    out = dim.merge_apply(target, source, ["k"], delete_missing=True)
+    assert as_map(out) == {1: "a2"}
+
+
+def test_merge_apply_is_idempotent(rows):
+    target = rows([(1, "old")], "k int, v string")
+    source = rows([(1, "new"), (2, "ins")], "k int, v string")
+    once = dim.merge_apply(target, source, ["k"])
+    twice = dim.merge_apply(once, source, ["k"])
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
+
+
+def test_scd1_overwrites_in_place(rows):
+    target = rows([(1, "a")], "k int, v string")
+    source = rows([(1, "b"), (2, "c")], "k int, v string")
+    assert as_map(dim.scd1(target, source, ["k"])) == {1: "b", 2: "c"}
+
+
+SCD2_T = "k int, v string, start_ts int, end_ts int, is_current boolean"
+
+
+def test_scd2_apply_closes_and_opens_versions(rows):
+    target = rows([(1, "v1", 100, None, True),
+                   (2, "same", 100, None, True),
+                   (1, "v0", 50, 100, False)], SCD2_T)  # history row
+    source = rows([(1, "v2", 200), (2, "same", 200), (3, "brand", 200)],
+                  "k int, v string, eff int")
+    out = dim.scd2_apply(target, source, ["k"], ["v"], "eff").collect()
+    by = {(r["k"], r["v"]): r for r in out}
+    # changed key 1: old current closed at 200, new version open
+    assert by[(1, "v1")]["end_ts"] == 200 and not by[(1, "v1")]["is_current"]
+    assert by[(1, "v2")]["start_ts"] == 200 and by[(1, "v2")]["is_current"]
+    # unchanged key 2: single untouched current version
+    assert by[(2, "same")]["is_current"] and by[(2, "same")]["end_ts"] is None
+    # brand-new key 3: open version
+    assert by[(3, "brand")]["start_ts"] == 200 and by[(3, "brand")]["is_current"]
+    # history row passes through untouched
+    assert by[(1, "v0")]["end_ts"] == 100
+    # exactly one current version per key
+    currents = [r for r in out if r["is_current"]]
+    assert sorted(r["k"] for r in currents) == [1, 2, 3]
+
+
+def test_scd2_apply_key_absent_from_source_untouched(rows):
+    target = rows([(1, "keep", 10, None, True)], SCD2_T)
+    source = rows([], "k int, v string, eff int")
+    out = dim.scd2_apply(target, source, ["k"], ["v"], "eff").collect()
+    assert len(out) == 1
+    assert out[0]["is_current"] and out[0]["end_ts"] is None

@@ -1,0 +1,72 @@
+"""Unit tests: fuzzy matching / term operators (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import fuzzy as fz
+
+
+def test_similarity_bounds(rows):
+    df = rows([("abc", "abc"), ("abc", "xyz"), ("abc", "abd")],
+              "a string, b string")
+    out = df.select(fz.similarity(F.col("a"), F.col("b")).alias("s")).collect()
+    sims = [r["s"] for r in out]
+    assert sims[0] == 1.0
+    assert sims[1] == 0.0
+    assert 0.0 < sims[2] < 1.0
+
+
+def test_fuzzy_lookup_keeps_best_match(rows):
+    dirty = rows([(1, "jonathan")], "id int, name string")
+    ref = rows([("jonatan",), ("jon",), ("zachary",)], "clean string")
+    out = fz.fuzzy_lookup(dirty, ref, "name", "clean",
+                          min_similarity=0.4).collect()
+    assert len(out) == 1  # keep_best: exactly one row per input row
+    assert out[0]["clean"] == "jonatan"
+    assert out[0]["_similarity"] > 0.8
+
+
+def test_fuzzy_lookup_below_threshold_drops(rows):
+    dirty = rows([(1, "aaaa")], "id int, name string")
+    ref = rows([("azzz",)], "clean string")
+    out = fz.fuzzy_lookup(dirty, ref, "name", "clean", min_similarity=0.9)
+    assert out.count() == 0
+
+
+def test_fuzzy_grouping_transitive_clusters(rows):
+    """a~b and b~c must land in ONE cluster even if a!~c directly
+    (connected components, the SSIS Fuzzy Grouping contract)."""
+    df = rows([(1, "abcdef"), (2, "abcdeX"), (3, "abcdXX"), (9, "zzzzzz")],
+              "k int, name string")
+    out = fz.fuzzy_grouping(df, "k", "name", min_similarity=0.6).collect()
+    by_key = {r["_key_in"]: r for r in out}
+    assert by_key[1]["_key_out"] == 1
+    assert by_key[2]["_key_out"] == 1
+    assert by_key[3]["_key_out"] == 1  # transitive via 2
+    assert by_key[9]["_key_out"] == 9  # singleton
+    assert by_key[1]["_score"] == 1.0  # canonical scores 1.0
+
+
+def test_term_extraction_stopwords_and_length(rows):
+    df = rows([(1, "the spark engine and the spark optimizer"),
+               (2, "engine tuning")], "id int, text string")
+    out = {r["term"]: r["n"] for r in
+           fz.term_extraction(df, "text", min_len=5).collect()}
+    assert out == {"spark": 2, "engine": 2, "optimizer": 1, "tuning": 1}
+    # "the"/"and" are stopworded, "spark" counted across docs
+
+
+def test_term_lookup(rows):
+    df = rows([(1, "spark spark flink"), (2, "nothing relevant")],
+              "id int, text string")
+    terms = rows([("spark",), ("flink",)], "term string")
+    out = {r["id"]: r["n_term_hits"]
+           for r in fz.term_lookup(df, "text", terms).collect()}
+    assert out == {1: 3}  # doc 2 has zero hits -> absent
+
+
+def test_tokenize(rows):
+    df = rows([("Hello, World!  Foo-bar",)], "t string")
+    toks = df.select(fz.tokenize("t").alias("x")).collect()[0]["x"]
+    assert toks == ["hello", "world", "foo", "bar"]

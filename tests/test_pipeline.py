@@ -1,0 +1,105 @@
+"""Unit tests: pipeline runner (SURVEY.md §2.11, §3.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bi_etl_and_integration_spark.pipeline import (
+    Pipeline, checkpointed_write)
+
+
+def test_stage_order_and_results(spark):
+    p = Pipeline("t")
+    calls = []
+
+    @p.stage("a")
+    def a(ctx):
+        calls.append("a")
+        return 1
+
+    @p.stage("b", depends_on=["a"])
+    def b(ctx):
+        calls.append("b")
+        return ctx["a"] + 1
+
+    ctx = p.run(spark)
+    assert calls == ["a", "b"]
+    assert ctx["b"] == 2
+    assert ctx.metrics["a"]["status"] == "ok"
+
+
+def test_retries(spark):
+    p = Pipeline("t")
+    attempts = []
+
+    @p.stage("flaky", retries=2)
+    def flaky(ctx):
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    ctx = p.run(spark)
+    assert len(attempts) == 3
+    assert ctx["flaky"] == "ok"
+
+
+def test_failure_propagates_without_handler(spark):
+    p = Pipeline("t")
+
+    @p.stage("boom")
+    def boom(ctx):
+        raise RuntimeError("fatal")
+
+    with pytest.raises(RuntimeError, match="fatal"):
+        p.run(spark)
+
+
+def test_run_on_failure_handler(spark):
+    """Precedence-constraint Failure path (PRO/Глава 17:25-40)."""
+    p = Pipeline("t")
+    ran = []
+
+    @p.stage("boom")
+    def boom(ctx):
+        raise RuntimeError("fatal")
+
+    @p.stage("cleanup", depends_on=["boom"], run_on="failure")
+    def cleanup(ctx):
+        ran.append("cleanup")
+
+    @p.stage("normal", depends_on=["boom"], run_on="success")
+    def normal(ctx):
+        ran.append("normal")
+
+    ctx = p.run(spark)
+    assert ran == ["cleanup"]
+    assert ctx.metrics["__status"]["boom"] == "failed"
+    assert ctx.metrics["__status"]["normal"] == "not_run"
+
+
+def test_resume_from_skips_earlier_phases(spark):
+    p = Pipeline("t")
+    calls = []
+
+    @p.stage("one")
+    def one(ctx):
+        calls.append("one")
+
+    @p.stage("two", depends_on=["one"])
+    def two(ctx):
+        calls.append("two")
+
+    ctx = p.run(spark, resume_from="two")
+    assert calls == ["two"]
+    assert ctx.metrics["__status"]["one"] == "skipped"
+
+
+def test_checkpointed_write_swaps_atomically(spark, rows, tmp_path):
+    path = str(tmp_path / "target")
+    v1 = rows([(1,)], "id int")
+    checkpointed_write(v1, path)
+    assert spark.read.parquet(path).count() == 1
+    v2 = rows([(1,), (2,)], "id int")
+    checkpointed_write(v2, path)
+    assert spark.read.parquet(path).count() == 2

@@ -1,0 +1,121 @@
+"""Unit tests: relational operators (SURVEY.md §2.3, §2.4, §2.7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import relational as rel
+
+
+def ids(df, col="id"):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_project_prunes_and_derives(rows):
+    df = rows([(1, "a", 10.0), (2, "b", 20.0)], "id int, s string, v double")
+    out = rel.project(df, "id", doubled=F.col("v") * 2)
+    assert out.columns == ["id", "doubled"]
+    assert ids(out) == [1, 2]
+
+
+def test_conditional_split_first_match_wins(rows):
+    df = rows([(1, 5), (2, 15), (3, 25), (4, None)], "id int, v int")
+    streams = rel.conditional_split(
+        df, {"small": F.col("v") < 10, "mid": F.col("v") < 20},
+        default="rest")
+    assert ids(streams["small"]) == [1]
+    assert ids(streams["mid"]) == [2]          # 1 already matched "small"
+    assert ids(streams["rest"]) == [3, 4]      # null predicate -> default
+    # partition property: every row lands in exactly one stream
+    total = sum(s.count() for s in streams.values())
+    assert total == df.count()
+
+
+def test_conditional_split_no_default(rows):
+    df = rows([(1, 5), (2, 50)], "id int, v int")
+    streams = rel.conditional_split(df, {"lo": F.col("v") < 10},
+                                    default=None)
+    assert set(streams) == {"lo"}
+
+
+def test_lookup_split_match_nomatch(rows):
+    facts = rows([(1, 10), (2, 20), (3, 30)], "k int, v int")
+    ref = rows([(1, "x"), (2, "y")], "k int, name string")
+    hit, miss = rel.lookup_split(facts, ref, ["k"], "name")
+    assert ids(hit, "k") == [1, 2]
+    assert ids(miss, "k") == [3]
+
+
+def test_cascade_lookup_unknown_member(rows):
+    fact = rows([(1, 100), (2, 999)], "id int, bk int")
+    dim = rows([(100, 7)], "bk int, sk int")
+    out = rel.cascade_lookup(fact, [(dim, ["bk"], "sk", "dim_sk")])
+    got = {r["id"]: r["dim_sk"] for r in out.collect()}
+    assert got == {1: 7, 2: -1}
+
+
+def test_semi_anti_join(rows):
+    left = rows([(1,), (2,), (3,)], "k int")
+    right = rows([(2,), (3,), (4,)], "k int")
+    assert ids(rel.semi_join(left, right, ["k"]), "k") == [2, 3]
+    assert ids(rel.anti_join(left, right, ["k"]), "k") == [1]
+
+
+@pytest.mark.parametrize("direction,expect", [
+    ("backward", {10: "a", 20: "b", 5: None}),
+    ("forward", {10: "b", 20: None, 5: "a"}),
+])
+def test_asof_join(rows, direction, expect):
+    left = rows([(1, 10), (1, 20), (1, 5)], "k int, ts int")
+    right = rows([(1, 8, "a"), (1, 15, "b")], "k int, ts int, val string")
+    out = rel.asof_join(left, right, "k", "ts", "ts", direction=direction)
+    got = {r["ts"]: r["val"] for r in out.collect()}
+    assert got == expect
+
+
+def test_asof_join_exact_timestamp_matches(rows):
+    left = rows([(1, 15)], "k int, ts int")
+    right = rows([(1, 15, "exact")], "k int, ts int, val string")
+    out = rel.asof_join(left, right, "k", "ts", "ts")
+    assert out.collect()[0]["val"] == "exact"
+
+
+def test_set_ops(rows):
+    a = rows([(1,), (2,), (2,), (3,)], "k int")
+    b = rows([(2,), (3,), (4,)], "k int")
+    assert ids(rel.union_all(a, b), "k") == [1, 2, 2, 2, 3, 3, 4]
+    assert ids(rel.intersect(a, b), "k") == [2, 3]
+    assert ids(rel.except_(a, b), "k") == [1]
+    assert ids(rel.except_(a, b, all=True), "k") == [1, 2]
+
+
+def test_top_k(rows):
+    df = rows([(i, i * 1.0) for i in range(100)], "id int, v double")
+    out = rel.top_k(df, 3, F.col("v").desc(), "id")
+    assert [r["id"] for r in out.collect()] == [99, 98, 97]
+
+
+def test_sample_bounds(rows):
+    df = rows([(i,) for i in range(1000)], "id int")
+    n = rel.sample(df, fraction=0.1, seed=42).count()
+    assert 0 < n < 1000
+    assert rel.sample(df, n=17).count() == 17
+    with pytest.raises(ValueError):
+        rel.sample(df)
+
+
+def test_pivot_unpivot_roundtrip(rows):
+    df = rows([(1, "a", 10.0), (1, "b", 20.0), (2, "a", 5.0)],
+              "k int, cat string, v double")
+    p = rel.pivot(df, ["k"], "cat", ["a", "b"], F.sum("v"))
+    got = {r["k"]: (r["a"], r["b"]) for r in p.collect()}
+    assert got == {1: (10.0, 20.0), 2: (5.0, None)}
+    u = rel.unpivot(p, ["k"], ["a", "b"], "cat", "v")
+    assert u.where(F.col("v").isNotNull()).count() == 3
+
+
+def test_merge_sorted(rows):
+    a = rows([(1,), (3,)], "k int")
+    b = rows([(2,), (4,)], "k int")
+    assert ids(rel.merge_sorted(a, b, "k"), "k") == [1, 2, 3, 4]

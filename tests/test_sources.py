@@ -1,0 +1,76 @@
+"""Unit tests: sources / sinks (SURVEY.md §2.1, §2.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.sources import readers, writers
+
+
+def test_csv_roundtrip_custom_sep_and_null(spark, rows, tmp_path):
+    """The PG COPY export convention: sep '^', NULL sentinel
+    (SCRIPTS/Перелив данных...md:76-90)."""
+    df = rows([(1, "a^b", None), (2, None, 3.5)],
+              "id int, s string, v double")
+    path = str(tmp_path / "csv")
+    writers.write_csv(df, path, sep="^", null_value="NULL")
+    back = readers.read_csv(spark, path, schema=df.schema, sep="^",
+                            null_value="NULL")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+
+def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,v\n1,10\n2,notanint\n3,30\n")
+    good, bad = readers.read_csv_tolerant(
+        spark, str(p), "id int, v int", max_errors=10, max_error_ratio=0.9)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "notanint" in bad.collect()[0]["raw_record"]
+
+
+def test_read_csv_tolerant_aborts_over_threshold(spark, tmp_path):
+    p = tmp_path / "verydirty.csv"
+    rows_txt = "\n".join(f"{i},bad" for i in range(10))
+    p.write_text("id,v\n" + rows_txt + "\n")
+    with pytest.raises(ValueError, match="aborted"):
+        readers.read_csv_tolerant(spark, str(p), "id int, v int",
+                                  max_errors=2, max_error_ratio=0.1)
+
+
+def test_staged_roundtrip_preserves_data(spark, rows, tmp_path):
+    df = rows([(2, "b"), (1, "a")], "id int, s string")
+    back = writers.staged_roundtrip(spark, df, str(tmp_path / "stage"),
+                                    sort_by=["id"])
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_write_parquet_partitioned(spark, rows, tmp_path):
+    df = rows([(1, "x"), (2, "y"), (3, "x")], "id int, part string")
+    path = str(tmp_path / "pq")
+    writers.write_parquet(df, path, partition_by=["part"])
+    back = spark.read.parquet(path)
+    # partition pruning works: filter reads only one directory
+    assert back.where(F.col("part") == "x").count() == 2
+    assert (tmp_path / "pq" / "part=x").exists()
+
+
+def test_catalog_loads_fixture_tables(spark):
+    cat = readers.Catalog(spark, "/root/testdata/sf0.001",
+                          register_views=False)
+    assert cat.customer.count() > 0
+    assert "l_orderkey" in cat.lineitem.columns
+    # events.ts normalized from parquet nanos to timestamp_ntz
+    ts_type = dict(cat.events.dtypes)["ts"]
+    assert "timestamp" in ts_type
+    with pytest.raises(AttributeError):
+        cat.not_a_table  # noqa: B018
+
+
+def test_read_jdbc_param_binding_validation(spark):
+    with pytest.raises(ValueError):
+        readers.read_jdbc(spark, "jdbc:x", query="q", dbtable="t")
+    with pytest.raises(ValueError):
+        readers.read_jdbc(spark, "jdbc:x")

@@ -1,0 +1,68 @@
+"""Unit tests: streaming surface (SURVEY.md §2.10).
+
+The windowed-agg helpers run identically on batch and streaming
+DataFrames; the real stream test drives a file source through a
+tumbling window into a memory sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.streaming.windows import (
+    session_windowed_agg, sliding_windowed_agg, tumbling_windowed_agg)
+
+EV = "k string, ts timestamp, v double"
+
+
+def _events(rows):
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    return rows([("a", t0, 1.0),
+                 ("a", t0 + dt.timedelta(minutes=5), 2.0),
+                 ("a", t0 + dt.timedelta(minutes=15), 4.0),
+                 ("b", t0, 8.0)], EV)
+
+
+def test_tumbling_window_batch(rows):
+    out = tumbling_windowed_agg(_events(rows), "ts", "10 minutes", ["k"],
+                                {"s": F.sum("v")})
+    got = {(r["k"], r["window"]["start"].minute): r["s"]
+           for r in out.collect()}
+    assert got == {("a", 0): 3.0, ("a", 10): 4.0, ("b", 0): 8.0}
+
+
+def test_sliding_window_batch(rows):
+    out = sliding_windowed_agg(_events(rows), "ts", "10 minutes",
+                               "5 minutes", ["k"], {"n": F.count(F.lit(1))})
+    # row at minute 5 belongs to windows starting at 0 and 5
+    a_windows = [r for r in out.collect() if r["k"] == "a"]
+    assert sum(r["n"] for r in a_windows) > 3  # rows counted in >1 window
+
+
+def test_session_window_batch(rows):
+    out = session_windowed_agg(_events(rows), "ts", "7 minutes", ["k"],
+                               {"n": F.count(F.lit(1))})
+    a_sessions = sorted(r["n"] for r in out.collect() if r["k"] == "a")
+    # minutes 0,5 merge (gap 5 < 7); minute 15 is its own session
+    assert a_sessions == [1, 2]
+
+
+def test_streaming_tumbling_end_to_end(spark, rows, tmp_path):
+    """readStream -> watermark+window -> memory sink, batch-vs-stream
+    result parity (the Q41 semantics check)."""
+    src = str(tmp_path / "stream_src")
+    batch = _events(rows)
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    windowed = tumbling_windowed_agg(stream, "ts", "10 minutes", ["k"],
+                                     {"s": F.sum("v")}, watermark="1 hour")
+    q = (windowed.writeStream.outputMode("complete")
+         .format("memory").queryName("t_stream").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["window"]["start"].minute): r["s"]
+               for r in spark.table("t_stream").collect()}
+    finally:
+        q.stop()
+    assert got == {("a", 0): 3.0, ("a", 10): 4.0, ("b", 0): 8.0}

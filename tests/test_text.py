@@ -1,0 +1,54 @@
+"""Unit tests: text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import text as tx
+
+DOCS = "doc_id long, text string"
+
+
+def test_token_count_whitespace_and_bpe(rows):
+    df = rows([(1, "hello   world"), (2, "a,b.c"), (3, "")], DOCS)
+    ws = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", tx.token_count("text").alias("n")).collect()}
+    assert ws == {1: 2, 2: 1, 3: 0}
+    bpe = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", tx.token_count("text", "bpe").alias("n")).collect()}
+    assert bpe[2] == 5  # a , b . c
+    with pytest.raises(ValueError):
+        tx.token_count("text", "nope")
+
+
+def test_quality_features(rows):
+    good = "the quick brown fox jumps over the lazy dog again today"
+    df = rows([(1, good), (2, "!!! ??? ..."), (3, "")], DOCS)
+    out = {r["doc_id"]: r for r in tx.quality_features(df).collect()}
+    assert out[1]["q_n_tokens"] == 11
+    assert out[1]["q_score"] == 1.0
+    assert out[2]["q_punct_ratio"] > 0.5
+    assert out[2]["q_score"] < 1.0
+    # empty doc: ratios defined (no div-by-zero), score low
+    assert out[3]["q_n_tokens"] == 0
+    assert out[3]["q_mean_word_len"] == 0.0
+
+
+def test_language_id(rows):
+    df = rows([(1, "the cat is on the mat and it is happy"),
+               (2, "der hund ist nicht mit der katze"),
+               (3, "xyzzy qwerty plugh")], DOCS)
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in tx.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_fingerprint_is_normalization_invariant(rows):
+    df = rows([(1, "Hello,  World!"), (2, "hello world"), (3, "other")],
+              DOCS)
+    out = {r["doc_id"]: r["doc_fp"] for r in tx.fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -1,0 +1,57 @@
+"""Unit tests: window operators (SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import windows as win
+
+
+def test_limit_by(rows):
+    df = rows([("a", i) for i in range(10)] + [("b", 1)], "k string, v int")
+    out = win.limit_by(df, ["k"], [F.col("v").desc()], 3)
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [("a", 7), ("a", 8), ("a", 9), ("b", 1)]
+
+
+def test_limit_by_keeps_rank_col(rows):
+    df = rows([("a", 2), ("a", 1)], "k string, v int")
+    out = win.limit_by(df, ["k"], [F.col("v")], 2, rank_col="rn")
+    assert {(r["v"], r["rn"]) for r in out.collect()} == {(1, 1), (2, 2)}
+
+
+def test_latest_per_key(rows):
+    df = rows([(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+              "k int, ts int, v string")
+    out = win.latest_per_key(df, ["k"], [F.col("ts").desc()])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_scd2_windows_partition_the_timeline(rows):
+    df = rows([(1, 100, "v1"), (1, 200, "v2"), (1, 300, "v3"), (2, 50, "x")],
+              "k int, eff int, val string")
+    out = win.scd2_windows(df, ["k"], "eff").collect()
+    by_ver = {(r["k"], r["eff"]): r for r in out}
+    # each version's end == next version's start; open version flagged
+    assert by_ver[(1, 100)]["end_ts"] == 200
+    assert by_ver[(1, 200)]["end_ts"] == 300
+    assert by_ver[(1, 300)]["end_ts"] is None
+    assert by_ver[(1, 300)]["is_current"]
+    assert not by_ver[(1, 100)]["is_current"]
+    assert by_ver[(2, 50)]["is_current"]
+
+
+def test_running_sum(rows):
+    df = rows([("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0)],
+              "k string, o int, v double")
+    out = win.running(df, ["k"], [F.col("o")], run=F.sum("v"))
+    got = {r["o"]: r["run"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 30.0, 3: 35.0}
+
+
+def test_lag_lead(rows):
+    df = rows([("a", 1), ("a", 2), ("a", 3)], "k string, v int")
+    out = win.with_lag_lead(df, ["k"], [F.col("v")], "v")
+    mid = [r for r in out.collect() if r["v"] == 2][0]
+    assert mid["v_lag"] == 1 and mid["v_lead"] == 3
