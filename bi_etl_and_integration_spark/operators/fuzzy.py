@@ -137,11 +137,17 @@ STOPWORDS = (
 
 def tokenize(col: Column | str, *, lower: bool = True,
              pattern: str = r"[^\p{L}\p{N}]+") -> Column:
-    """Split text into word tokens (empty tokens removed)."""
+    """Split text into word tokens (empty tokens removed).
+
+    Implementation note: one regexp_replace pass + plain-space split +
+    array_remove stays inside whole-stage codegen; the equivalent
+    ``F.filter(split, lambda)`` pays an interpreted lambda call per
+    token, which dominates corpus-scale tokenization."""
     c = F.col(col) if isinstance(col, str) else col
     if lower:
         c = F.lower(c)
-    return F.filter(F.split(c, pattern), lambda t: t != "")
+    return F.array_remove(
+        F.split(F.trim(F.regexp_replace(c, pattern, " ")), " "), "")
 
 
 def term_extraction(df: DataFrame, text_col: str, *,

@@ -35,6 +35,7 @@ from bi_etl_and_integration_spark.sources import Catalog, read_csv
 from bi_etl_and_integration_spark.sources.writers import (
     staged_roundtrip, write_csv)
 from bi_etl_and_integration_spark.streaming.windows import (
+    session_windowed_agg as sw_agg,
     tumbling_windowed_agg)
 
 QUERIES: dict = {}
@@ -260,13 +261,24 @@ def q14(spark, cat):
    "ON levenshtein(SUBSTR(c.c_name,1,8), SUBSTR(s.s_name,1,8)) <= 6 "
    "GROUP BY c.c_custkey ORDER BY c.c_custkey")
 def q15(spark, cat):
+    """Fuzzy lookup, block-deduplicated: levenshtein is computed once per
+    DISTINCT (customer-prefix, supplier-prefix) pair instead of per row
+    pair — the reference's pre-aggregate-then-join idiom applied to the
+    similarity join.  At scale the distinct-block table is orders of
+    magnitude smaller than the row-pair cross product."""
     c = cat.customer.select("c_custkey",
                             F.substring("c_name", 1, 8).alias("c8"))
-    s = F.broadcast(cat.supplier.select(
-        "s_name", F.substring("s_name", 1, 8).alias("s8")))
-    pairs = c.join(s, F.levenshtein(F.col("c8"), F.col("s8")) <= 6)
-    return (pairs.groupBy("c_custkey").agg(F.min("s_name").alias("best"))
-            .orderBy("c_custkey"))
+    # per distinct supplier prefix, the best (min) name — min of mins is
+    # the global min, so grouping per block preserves the semantics
+    s8 = (cat.supplier
+          .groupBy(F.substring("s_name", 1, 8).alias("s8"))
+          .agg(F.min("s_name").alias("s_min")))
+    best8 = (c.select("c8").distinct()
+             .join(F.broadcast(s8),
+                   F.levenshtein(F.col("c8"), F.col("s8")) <= 6)
+             .groupBy("c8").agg(F.min("s_min").alias("best")))
+    return (c.join(F.broadcast(best8), "c8")
+            .select("c_custkey", "best").orderBy("c_custkey"))
 
 
 @q("q16_semi_anti",
@@ -298,6 +310,33 @@ def q17(spark, cat):
             F.col("o.o_orderdate").cast("date"),
             F.date_add(F.col("o.o_orderdate").cast("date"), 30)))
     return joined.agg(F.count(F.lit(1)).alias("n"))
+
+
+@q("q17b_asof_join",
+   "WITH ord AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) "
+   "AS od, MAX(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), "
+   "m AS (SELECT e.event_id, e.user_id, MAX(o.od) AS best_od "
+   "FROM events e LEFT JOIN ord o ON e.user_id = o.user_id "
+   "AND o.od <= CAST(e.ts AS DATE) GROUP BY 1, 2) "
+   "SELECT m.event_id, o2.o_orderkey AS matched_order FROM m "
+   "LEFT JOIN ord o2 ON m.user_id = o2.user_id AND m.best_od = o2.od "
+   "ORDER BY event_id")
+def q17b(spark, cat):
+    """As-of join (backward): each event matched to the user's latest
+    order on/before the event date.  Right side pre-reduced to one row
+    per (user, date) for deterministic ties; the operator itself is the
+    union+window single-shuffle plan (no range explosion)."""
+    ord_ = (cat.orders
+            .groupBy(F.col("o_custkey").alias("user_id"),
+                     F.col("o_orderdate").cast("date").alias("od"))
+            .agg(F.max("o_orderkey").alias("o_orderkey")))
+    ev = cat.events.select("event_id", "user_id",
+                           F.col("ts").cast("date").alias("ed"))
+    j = rel_ops.asof_join(ev, ord_, "user_id", "ed", "od",
+                          direction="backward")
+    return (j.select("event_id",
+                     F.col("o_orderkey").alias("matched_order"))
+            .orderBy("event_id"))
 
 
 # ======================================================= aggregations
@@ -409,6 +448,17 @@ def q25(spark, cat):
         {"s": dec_round(F.sum("l_extendedprice"))})
 
 
+@q("q25b_cube",
+   f"SELECT l_returnflag, l_linestatus, {R('SUM(l_extendedprice)')} AS s, "
+   "COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
+   "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+def q25b(spark, cat):
+    return agg_ops.cube(
+        cat.lineitem, ["l_returnflag", "l_linestatus"],
+        {"s": dec_round(F.sum("l_extendedprice")),
+         "n": F.count(F.lit(1))})
+
+
 @q("q26_count_distinct",
    "SELECT COUNT(DISTINCT l_partkey) AS nk FROM lineitem")
 def q26(spark, cat):
@@ -504,6 +554,38 @@ def q32(spark, cat):
         .orderBy("o_custkey"))
 
 
+_Q32B_WIDE = (
+    "SELECT o_custkey, "
+    + R("SUM(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END)")
+    + " AS o_amt, "
+    + R("SUM(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END)")
+    + " AS f_amt, "
+    + R("SUM(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END)")
+    + " AS p_amt FROM orders GROUP BY o_custkey")
+
+
+@q("q32b_unpivot",
+   f"WITH w AS ({_Q32B_WIDE}) "
+   "SELECT o_custkey, 'o_amt' AS st, o_amt AS amt FROM w "
+   "UNION ALL SELECT o_custkey, 'f_amt', f_amt FROM w "
+   "UNION ALL SELECT o_custkey, 'p_amt', p_amt FROM w "
+   "ORDER BY o_custkey, st")
+def q32b(spark, cat):
+    """Pivot then unpivot (melt) — the SSIS Unpivot transform; melt is a
+    narrow op (no shuffle beyond the pivot's own aggregation)."""
+    wide = rel_ops.pivot(cat.orders, ["o_custkey"], "o_orderstatus",
+                         ["O", "F", "P"], F.sum("o_totalprice"))
+    wide = wide.select(
+        "o_custkey",
+        dec_round(F.coalesce(F.col("O"), F.lit(0.0))).alias("o_amt"),
+        dec_round(F.coalesce(F.col("F"), F.lit(0.0))).alias("f_amt"),
+        dec_round(F.coalesce(F.col("P"), F.lit(0.0))).alias("p_amt"))
+    return rel_ops.unpivot(wide, ["o_custkey"],
+                           ["o_amt", "f_amt", "p_amt"],
+                           var_name="st", value_name="amt") \
+        .orderBy("o_custkey", "st")
+
+
 @q("q33_sampling")  # rows-only: randomness is seeded but engine-specific
 def q33(spark, cat):
     s = rel_ops.sample(cat.lineitem, fraction=0.1, seed=42)
@@ -520,6 +602,25 @@ def q34(spark, cat):
         cat.orders, ["o_custkey"],
         [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
     return latest.select("o_custkey", "o_orderkey").orderBy("o_custkey")
+
+
+@q("q34b_scd2_windows",
+   "SELECT o_custkey, o_orderkey, LEAD(o_orderkey) OVER "
+   "(PARTITION BY o_custkey ORDER BY o_orderkey) AS end_v, "
+   "CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+   "ORDER BY o_orderkey) IS NULL AS INT) AS is_cur "
+   "FROM orders ORDER BY o_custkey, o_orderkey")
+def q34b(spark, cat):
+    """SCD2 end-dating: each version's end = next version's start, open
+    version flagged current (PRO/Глава 10:49-59).  Uses o_orderkey as
+    the (unique, monotone) effective-version axis for determinism."""
+    v = win_ops.scd2_windows(
+        cat.orders.select("o_custkey", "o_orderkey"),
+        ["o_custkey"], "o_orderkey",
+        end_ts_col="end_v", current_col="is_cur")
+    return (v.select("o_custkey", "o_orderkey", "end_v",
+                     F.col("is_cur").cast("int").alias("is_cur"))
+            .orderBy("o_custkey", "o_orderkey"))
 
 
 @q("q35_merge_upsert",
@@ -595,6 +696,58 @@ def q39(spark, cat):
     return terms.orderBy(F.col("n").desc(), "term").limit(20)
 
 
+@q("q39b_term_lookup",
+   "WITH tok AS (SELECT doc_id, UNNEST(list_filter("
+   "STRING_SPLIT(LOWER(text),' '), x -> x != '')) AS t FROM documents) "
+   "SELECT doc_id, COUNT(*) AS n_term_hits FROM tok "
+   "WHERE t IN ('spark','data','query') GROUP BY doc_id ORDER BY doc_id")
+def q39b(spark, cat):
+    """Term Lookup (PRO/Глава 05:92): count reference-term occurrences
+    per document; the term list broadcasts (dictionary join)."""
+    terms = spark.createDataFrame([("spark",), ("data",), ("query",)],
+                                  "term string")
+    out = fz_ops.term_lookup(cat.documents.select("doc_id", "text"),
+                             "text", terms)
+    return out.select("doc_id", "n_term_hits").orderBy("doc_id")
+
+
+@q("q24b_fuzzy_grouping")  # rows-only: cluster labels engine-specific
+def q24b(spark, cat):
+    """SSIS Fuzzy Grouping over DISTINCT part names (cluster the value
+    domain, then fan results back to rows — the scalable idiom: the
+    iterative component search runs on |distinct values|, not |rows|)."""
+    names = cat.part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("name_id"))
+    g = fz_ops.fuzzy_grouping(names, "name_id", "p_name",
+                              min_similarity=0.75,
+                              block=F.soundex(F.col("p_name")))
+    rows = cat.part.join(g.select("p_name", "_key_out"), "p_name")
+    return (rows.groupBy("_key_out")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.min("p_partkey").alias("canonical"))
+            .orderBy("_key_out"))
+
+
+@q("q41b_session_window",
+   "WITH x AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+   "(PARTITION BY user_id ORDER BY ts) < INTERVAL 1 HOUR THEN 0 ELSE 1 "
+   "END AS brk FROM events), "
+   "y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+   "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp "
+   "FROM x) SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n "
+   "FROM y GROUP BY user_id, grp ORDER BY user_id, session_start")
+def q41b(spark, cat):
+    """Session windows (gap=1h) checked in batch mode against the
+    gaps-and-islands SQL formulation — same islands, same session
+    starts.  In streaming the identical plan runs with a watermark."""
+    win = sw_agg(cat.events, "ts", "1 hour", ["user_id"],
+                 {"n": F.count(F.lit(1))})
+    return (win.select("user_id",
+                       F.col("session_window.start").alias("session_start"),
+                       "n")
+            .orderBy("user_id", "session_start"))
+
+
 @q("q40_domain_validation",
    "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
    "GROUP BY c_mktsegment ORDER BY c_mktsegment")
@@ -647,7 +800,10 @@ def x01(spark, cat):
 
 @q("x02_dedup_minhash")  # rows-only: LSH banding is engine-specific
 def x02(spark, cat):
+    # S-curve tuned for t=0.5: rows/band=2, 16 bands -> collision prob
+    # at s=0.5 is 1-(1-0.25)^16 = 0.99 (64 hashes/4 rows would be 0.64)
     return dd_ops.minhash_lsh_dedup(cat.documents, "text", "doc_id",
+                                    num_hashes=32, bands=16,
                                     jaccard_threshold=0.5)
 
 
@@ -665,10 +821,11 @@ def x04(spark, cat):
 
 @q("x05_dedup_embedding")  # rows-only (random-projection buckets)
 def x05(spark, cat):
-    # fixture embeddings are near-random: a low threshold + few planes
-    # keeps the candidate/verify path exercised end-to-end
+    # fixture embeddings are near-random: a low threshold keeps the
+    # candidate/verify path exercised end-to-end; 6 planes = 64 buckets
+    # bounds the per-bucket pair blow-up (candidates ~ N^2/64)
     return dd_ops.embedding_dedup(cat.embeddings, "embedding", "vec_id",
-                                  threshold=0.15, n_planes=4)
+                                  threshold=0.15, n_planes=6)
 
 
 @q("x06_ann_ivf")  # rows-only (approximate by construction)

@@ -18,6 +18,10 @@ def _windowed(df: DataFrame, ts_col: str, window_expr: Column,
               keys: Sequence[str], aggs: Mapping[str, Column],
               watermark: str | None) -> DataFrame:
     if watermark is not None:
+        # Spark watermarks require TIMESTAMP (LTZ) event time; cast NTZ
+        # through the session zone so batch fixtures and streams agree
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
     return (df.groupBy(window_expr, *keys)
             .agg(*[c.alias(n) for n, c in aggs.items()]))

@@ -1,0 +1,119 @@
+"""Plan-shape tests: prove the optimizations the 100-TB design relies on
+actually happen (SURVEY.md §4).
+
+These assert on the physical plan, not on results — a correct answer
+computed with a full scan, a missed broadcast, or an extra shuffle is a
+bug at scale even though small-SF results match."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark import plans
+from bi_etl_and_integration_spark.operators import (
+    aggregate as agg_ops,
+    relational as rel_ops,
+)
+from bi_etl_and_integration_spark.sources import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    return Catalog(spark, SF, register_views=False)
+
+
+def test_filter_pushdown_reaches_parquet_scan(cat):
+    """'WHERE is your friend' (PRO/Глава 12:26-31): the predicate must
+    land in the scan's PushedFilters, not in a post-scan Filter only."""
+    df = (cat.lineitem
+          .where(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+          .select("l_orderkey"))
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed, plans.formatted_plan(df)
+
+
+def test_column_pruning_reaches_parquet_scan(cat):
+    """'SELECT * is bad' (PRO/Глава 12:22-24): a 2-column projection
+    must read exactly those columns, never the full 16-column table."""
+    df = rel_ops.project(cat.lineitem, "l_orderkey", "l_extendedprice")
+    cols = plans.scan_columns(df)
+    assert cols == {"l_orderkey", "l_extendedprice"}, \
+        plans.formatted_plan(df)
+
+
+def test_lookup_full_cache_is_broadcast(cat):
+    """Lookup Full Cache (PRO/Глава 07:33-37): the reference table ships
+    to every task; the big flow must NOT shuffle."""
+    looked = rel_ops.lookup(
+        cat.orders,
+        cat.customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        ["o_custkey"], broadcast=True)
+    assert plans.broadcast_join_count(looked) >= 1
+    # broadcast join: no hash-exchange of the probe side
+    assert plans.shuffle_count(looked) == 0, plans.formatted_plan(looked)
+
+
+def test_cascade_lookup_broadcasts_every_dim(cat):
+    part_dim = cat.part.select(F.col("p_partkey").alias("l_partkey"),
+                               "p_partkey")
+    supp_dim = cat.supplier.select(F.col("s_suppkey").alias("l_suppkey"),
+                                   "s_suppkey")
+    out = rel_ops.cascade_lookup(cat.lineitem, [
+        (part_dim, ["l_partkey"], "p_partkey", "p_sk"),
+        (supp_dim, ["l_suppkey"], "s_suppkey", "s_sk")])
+    assert plans.broadcast_join_count(out) == 2
+    assert plans.shuffle_count(out) == 0, plans.formatted_plan(out)
+
+
+def test_hash_aggregate_is_partial_then_final(cat):
+    """One shuffle for a keyed aggregation — partial (map-side) agg
+    before the exchange, final after (SSIS 'fully blocking' improved)."""
+    df = agg_ops.aggregate(cat.lineitem, ["l_returnflag"],
+                           {"s": F.sum("l_quantity")})
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+    plan = plans.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pre_aggregate_then_join_shuffle_budget(cat):
+    """Datamart CTE cascade: each detail aggregates once (1 shuffle
+    each); the joins on pre-reduced keys must not add full-table
+    shuffles of the base beyond the join itself."""
+    mart = agg_ops.pre_aggregate_then_join(
+        cat.customer.select("c_custkey"), "c_custkey",
+        [(cat.orders, "o_custkey", {"n": F.count(F.lit(1))})])
+    # budget: 1 shuffle for the detail agg; the join should broadcast
+    # the shrunken aggregate (dimension-sized) rather than shuffle both
+    assert plans.shuffle_count(mart) <= 2, plans.formatted_plan(mart)
+
+
+def test_top_k_avoids_total_sort(cat):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-k + driver merge), not a range-partitioned full sort."""
+    df = rel_ops.top_k(cat.orders.select("o_orderkey", "o_totalprice"),
+                       10, F.col("o_totalprice").desc())
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.shuffle_count(df) == 0, plan
+
+
+def test_narrow_transforms_fuse_into_one_codegen_span(cat):
+    """Derived columns + filter + projection = one pipelined stage
+    (the SSIS synchronous-transform execution-tree analog)."""
+    df = (cat.orders
+          .where(F.col("o_totalprice") > 100)
+          .withColumn("with_tax", F.col("o_totalprice") * 1.1)
+          .select("o_orderkey", "with_tax"))
+    assert plans.shuffle_count(df) == 0
+    assert plans.wholestage_codegen_count(df) == 1, \
+        plans.formatted_plan(df)
+
+
+def test_conditional_split_pushes_each_branch_predicate(cat):
+    streams = rel_ops.conditional_split(
+        cat.orders, {"big": F.col("o_totalprice") > 1000})
+    pushed = " ".join(plans.pushed_filters(streams["big"]))
+    assert "o_totalprice" in pushed
