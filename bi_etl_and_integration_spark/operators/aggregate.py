@@ -80,6 +80,47 @@ def cube(df: DataFrame, keys: Sequence[str],
     return df.cube(*keys).agg(*exprs)
 
 
+#: re-aggregatable agg kinds for the two-phase (salted) path
+_SALTABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(df: DataFrame, keys: Sequence[str],
+                     aggs: Mapping[str, tuple[str, Column]],
+                     salt: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: phase 1 aggregates
+    on (keys + random salt) so one hot key spreads over ``salt``
+    reducers, phase 2 merges the partials per key.
+
+    ``aggs`` maps output name -> (kind, column) with kind in
+    sum|count|min|max|avg (avg decomposes to sum/count — exactly the
+    partial-state MV pattern).  Spark's own partial aggregation already
+    combines map-side; salting additionally splits the REDUCE side,
+    which matters when one key dominates a partition.
+    """
+    salted = df.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    phase1, phase2, finals = [], [], list(keys)
+    for name, (kind, col) in aggs.items():
+        if kind == "avg":
+            phase1 += [F.sum(col).alias(f"{name}__s"),
+                       F.count(col).alias(f"{name}__c")]
+            phase2 += [F.sum(f"{name}__s").alias(f"{name}__s"),
+                       F.sum(f"{name}__c").alias(f"{name}__c")]
+            finals.append((F.col(f"{name}__s") / F.col(f"{name}__c"))
+                          .alias(name))
+        else:
+            part, merge = _SALTABLE[kind]
+            phase1.append(part(col).alias(name))
+            phase2.append(merge(name).alias(name))
+            finals.append(F.col(name))
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2).select(*finals)
+
+
 # ------------------------------------------------ partial-state (MV) ops
 
 def partial_states(df: DataFrame, keys: Sequence[str],

@@ -180,6 +180,26 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     return out
 
 
+def salted_join(skewed: DataFrame, other: DataFrame, keys: Sequence[str],
+                *, salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys that overload single
+    reducers: the skewed side gets a random salt in [0, salt), the other
+    side is replicated across every salt value, and the join runs on
+    (keys + salt) — a hot key's rows spread over ``salt`` reducers.
+
+    AQE's skew-join splitting usually makes this unnecessary; it remains
+    the explicit tool for extreme single-key skew or non-AQE engines.
+    Cost model: ``other`` is scanned/replicated ``salt`` times — use for
+    dimension-sized right sides only.
+    """
+    keys = list(keys)
+    s = skewed.withColumn("__salt",
+                          (F.rand(42) * salt).cast("int"))
+    r = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return s.join(r, [*keys, "__salt"], how).drop("__salt")
+
+
 # ------------------------------------------------------------- set ops
 
 def union_all(*dfs: DataFrame) -> DataFrame:

@@ -102,8 +102,7 @@ def q02(spark, cat):
    "SELECT COUNT(*) AS n FROM lineitem")
 def q03(spark, cat):
     path = _stage_dir(cat.sf_dir, "lineitem_restaged")
-    restaged = staged_roundtrip(spark, cat.lineitem, path,
-                                sort_by=["l_orderkey"])
+    restaged = staged_roundtrip(spark, cat.lineitem, path)
     return restaged.agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -114,6 +113,26 @@ def q04(spark, cat):
     return (cat.events
             .select("event_id",
                     F.get_json_object("props", "$.k").alias("k"))
+            .orderBy("event_id"))
+
+
+@q("q04b_xml_roundtrip",
+   f"SELECT event_id, event_type AS et, {R('value')} AS v "
+   "FROM events ORDER BY event_id")
+def q04b(spark, cat):
+    """XML Source capability (PRO/Глава 13:63-68): serialize rows to XML
+    strings, parse back with the native from_xml — schema-driven, no
+    spark-xml plugin needed on Spark 4."""
+    xml = cat.events.select(
+        "event_id",
+        F.concat(F.lit("<e><t>"), F.col("event_type"),
+                 F.lit("</t><v>"),
+                 F.coalesce(F.col("value").cast("string"), F.lit("")),
+                 F.lit("</v></e>")).alias("x"))
+    parsed = xml.select(
+        "event_id", F.from_xml("x", "t string, v double").alias("p"))
+    return (parsed.select("event_id", F.col("p.t").alias("et"),
+                          dec_round(F.col("p.v")).alias("v"))
             .orderBy("event_id"))
 
 
@@ -192,6 +211,13 @@ def q10(spark, cat):
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col("l_orderkey")).alias("nk"),
         F.sum(F.col("l_returnflag").isNull().cast("long")).alias("nulls"))
+
+
+@q("q10b_profile")  # rows-only: approx_count_distinct is engine-specific
+def q10b(spark, cat):
+    return cl_ops.profile(
+        cat.orders, ["o_custkey", "o_totalprice", "o_orderstatus"]) \
+        .orderBy("column")
 
 
 # ============================================================== joins
@@ -683,6 +709,35 @@ def q38(spark, cat):
     net = net_changes(cat.events, ["user_id"], "ts",
                       tiebreak=[F.col("event_id").desc()])
     return net.select("user_id", "event_type").orderBy("user_id")
+
+
+@q("q38b_cdc_apply",
+   "WITH ch AS (SELECT user_id AS c_custkey, value, "
+   "CASE WHEN event_id % 10 = 0 THEN 1 WHEN event_id % 2 = 0 THEN 2 "
+   "ELSE 4 END AS op, ROW_NUMBER() OVER (PARTITION BY user_id "
+   "ORDER BY event_id DESC) AS rn FROM events), "
+   "net AS (SELECT c_custkey, value, op FROM ch WHERE rn = 1) "
+   f"SELECT c.c_custkey, {R('c.c_acctbal')} AS bal FROM customer c "
+   "WHERE NOT EXISTS (SELECT 1 FROM net n WHERE n.c_custkey = c.c_custkey) "
+   f"UNION ALL SELECT n.c_custkey, {R('n.value')} AS bal FROM net n "
+   "WHERE n.op <> 1 ORDER BY c_custkey")
+def q38b(spark, cat):
+    """Set-based CDC apply (PRO/Глава 12:62-73): events replayed as a
+    change log (op derived deterministically from event_id, offset =
+    event_id), net-collapsed and merged onto customer in one plan —
+    survivors + final insert/update images, deletes dropped."""
+    from bi_etl_and_integration_spark.operators.cdc import apply_changes
+    op = (F.when(F.col("event_id") % 10 == 0, F.lit(1))
+          .when(F.col("event_id") % 2 == 0, F.lit(2))
+          .otherwise(F.lit(4)))
+    changes = cat.events.select(
+        F.col("user_id").alias("c_custkey"),
+        dec_round("value").alias("bal"),
+        F.col("event_id").alias("lsn"), op.alias("op"))
+    target = cat.customer.select("c_custkey",
+                                 dec_round("c_acctbal").alias("bal"))
+    out = apply_changes(target, changes, ["c_custkey"], "lsn", "op")
+    return out.orderBy("c_custkey")
 
 
 @q("q39_term_extraction",

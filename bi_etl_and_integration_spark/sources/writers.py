@@ -47,6 +47,23 @@ def write_jdbc(df: DataFrame, url: str, table: str, *,
     w.mode(mode).save()
 
 
+def write_bucketed(df: DataFrame, table: str, *, buckets: int,
+                   by: list[str], sort_by: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed table (hash-partitioned files + catalog metadata).
+
+    The 100-TB co-location tool: two tables bucketed by the same keys
+    into the same bucket count join WITHOUT an Exchange — the shuffle is
+    paid once at write time instead of per query (the MergeTree
+    ORDER-BY/sharding analog; SURVEY.md §4 'bucketing for co-located
+    joins').  ``sort_by`` additionally pre-sorts within buckets so a
+    SortMergeJoin skips its sort."""
+    w = df.write.mode(mode).bucketBy(buckets, *by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def staged_roundtrip(spark: SparkSession, df: DataFrame, path: str,
                      **write_kwargs) -> DataFrame:
     """Stage to parquet, read back (Raw File inter-phase staging,

@@ -1,0 +1,79 @@
+"""Tests: the explicit scale tools — bucketed co-located joins, salted
+joins/aggregations (SURVEY.md §4; the 100-TB design levers)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark import plans
+from bi_etl_and_integration_spark.operators import (
+    aggregate as agg_ops,
+    relational as rel_ops,
+)
+from bi_etl_and_integration_spark.sources.writers import write_bucketed
+
+
+def test_bucketed_join_has_no_shuffle(spark, rows):
+    """Two tables bucketed by the join key into the same bucket count
+    must SortMergeJoin without any Exchange — the shuffle was paid at
+    write time (co-location)."""
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_a_{tag}", f"bk_b_{tag}"
+    a = rows([(i, f"a{i}") for i in range(100)], "k int, va string")
+    b = rows([(i, f"b{i}") for i in range(100)], "k int, vb string")
+    try:
+        write_bucketed(a, ta, buckets=4, by=["k"], sort_by=["k"])
+        write_bucketed(b, tb, buckets=4, by=["k"], sort_by=["k"])
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        assert plans.shuffle_count(joined) == 0, \
+            plans.formatted_plan(joined)
+        assert joined.count() == 100  # and it's still correct
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_salted_join_matches_plain_join(rows):
+    # hot key 1 (90% of rows) + uniform tail
+    big = rows([(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)],
+               "k int, payload int")
+    dim = rows([(k, f"d{k}") for k in range(1, 12)], "k int, attr string")
+    plain = big.join(dim, "k").select("k", "payload", "attr")
+    salted = rel_ops.salted_join(big, dim, ["k"]) \
+        .select("k", "payload", "attr")
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(rows):
+    big = rows([(1, 10), (99, 20)], "k int, payload int")
+    dim = rows([(1, "d1")], "k int, attr string")
+    out = rel_ops.salted_join(big, dim, ["k"], how="left").collect()
+    got = {r["k"]: r["attr"] for r in out}
+    assert got == {1: "d1", 99: None}
+
+
+def test_salted_aggregate_matches_direct(rows):
+    big = rows([("hot", float(i)) for i in range(1000)]
+               + [("cold", 1.0), ("cold", 3.0)],
+               "k string, v double")
+    direct = big.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("v").alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.avg("v").alias("m")).collect()
+    salted = agg_ops.salted_aggregate(
+        big, ["k"],
+        {"s": ("sum", F.col("v")), "n": ("count", F.col("v")),
+         "lo": ("min", F.col("v")), "hi": ("max", F.col("v")),
+         "m": ("avg", F.col("v"))}).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, salted))
+
+
+def test_salted_aggregate_rejects_unknown_kind(rows):
+    big = rows([("a", 1.0)], "k string, v double")
+    with pytest.raises(KeyError):
+        agg_ops.salted_aggregate(big, ["k"],
+                                 {"x": ("median", F.col("v"))}).collect()
