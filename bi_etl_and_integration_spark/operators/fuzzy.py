@@ -167,10 +167,18 @@ def term_extraction(df: DataFrame, text_col: str, *,
 
 
 def term_lookup(df: DataFrame, text_col: str, terms: DataFrame,
-                term_col: str = "term") -> DataFrame:
-    """Term Lookup: count occurrences of reference terms per document."""
-    ex = df.select("*", F.explode(tokenize(text_col)).alias("__tok"))
+                term_col: str = "term",
+                keys: Sequence[str] | None = None) -> DataFrame:
+    """Term Lookup: count occurrences of reference terms per document.
+
+    ``keys`` identifies a row (defaults to every non-text column); the
+    aggregation groups on the keys only, so the wide text column never
+    rides through the shuffle — at corpus scale that is the difference
+    between shuffling ids and shuffling the corpus."""
+    keys = list(keys if keys is not None
+                else [c for c in df.columns if c != text_col])
+    ex = df.select(*keys, F.explode(tokenize(text_col)).alias("__tok"))
     return (ex.join(F.broadcast(terms.select(F.col(term_col).alias("__tok"))),
                     "__tok")
-            .groupBy(*df.columns)
+            .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n_term_hits")))

@@ -58,10 +58,22 @@ def R(expr: str, p: int = 2) -> str:
     return f"CAST(ROUND(CAST({expr} AS DECIMAL(38,10)),{p}) AS DOUBLE)"
 
 
+def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """One Catalog per (session, sf_dir): parquet footers and file
+    listings are read once per session, not once per query."""
+    cache = getattr(spark, "_bi_etl_catalogs", None)
+    if cache is None:
+        cache = {}
+        spark._bi_etl_catalogs = cache  # noqa: SLF001
+    if sf_dir not in cache:
+        cache[sf_dir] = Catalog(spark, sf_dir, register_views=False)
+    return cache[sf_dir]
+
+
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = (lambda spark, sf_dir:
-                         fn(spark, Catalog(spark, sf_dir, register_views=False)))
+                         fn(spark, _catalog(spark, sf_dir)))
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

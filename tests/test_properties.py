@@ -1,0 +1,145 @@
+"""Property-based tests (SURVEY.md §5.4): algebraic invariants on
+randomized small tables.  Example counts are kept low — every example
+costs Spark jobs — but the generators cover nulls, duplicates, empty
+tables, and adversarial key overlaps that point examples miss."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import cdc
+from bi_etl_and_integration_spark.operators.aggregate import (
+    merge_states, partial_states)
+from bi_etl_and_integration_spark.operators.dedup import exact_dedup
+from bi_etl_and_integration_spark.operators.relational import (
+    conditional_split, union_all)
+from bi_etl_and_integration_spark.operators.windows import scd2_windows
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5),
+              st.one_of(st.none(), st.integers(-100, 100))),
+    min_size=0, max_size=30)
+
+
+@SETTINGS
+@given(data=kv_rows)
+def test_conditional_split_partitions_input(spark, data):
+    df = spark.createDataFrame(data, "k int, v int") \
+        if data else spark.createDataFrame([], "k int, v int")
+    streams = conditional_split(
+        df, {"neg": F.col("v") < 0, "small": F.col("v") < 50},
+        default="rest")
+    assert sum(s.count() for s in streams.values()) == len(data)
+
+
+@SETTINGS
+@given(a=kv_rows, b=kv_rows)
+def test_union_count_additivity(spark, a, b):
+    schema = "k int, v int"
+    da = spark.createDataFrame(a, schema) if a \
+        else spark.createDataFrame([], schema)
+    db = spark.createDataFrame(b, schema) if b \
+        else spark.createDataFrame([], schema)
+    assert union_all(da, db).count() == len(a) + len(b)
+
+
+@SETTINGS
+@given(left=kv_rows, right_keys=st.lists(st.integers(0, 5), max_size=6,
+                                         unique=True))
+def test_left_join_unique_right_preserves_count(spark, left, right_keys):
+    schema = "k int, v int"
+    dl = spark.createDataFrame(left, schema) if left \
+        else spark.createDataFrame([], schema)
+    dr = spark.createDataFrame([(k, str(k)) for k in right_keys],
+                               "k int, s string") if right_keys \
+        else spark.createDataFrame([], "k int, s string")
+    assert dl.join(dr, "k", "left").count() == len(left)
+    semi = dl.join(dr, "k", "left_semi").count()
+    anti = dl.join(dr, "k", "left_anti").count()
+    assert semi + anti == len(left)
+
+
+@SETTINGS
+@given(data=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                     min_size=1, max_size=25))
+def test_scd2_windows_partition_the_timeline(spark, data):
+    # unique (k, eff) pairs — version axis must be unique per key
+    data = list({(k, e) for k, e in data})
+    df = spark.createDataFrame(data, "k int, eff int")
+    out = scd2_windows(df, ["k"], "eff").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rows_ in by_key.items():
+        rows_.sort(key=lambda r: r["eff"])
+        # exactly one open/current version per key, and it is the last
+        currents = [r for r in rows_ if r["is_current"]]
+        assert len(currents) == 1 and currents[0] is rows_[-1]
+        # each version ends where the next begins
+        for cur, nxt in zip(rows_, rows_[1:]):
+            assert cur["end_ts"] == nxt["eff"]
+        assert rows_[-1]["end_ts"] is None
+
+
+@SETTINGS
+@given(a=st.lists(st.tuples(st.integers(0, 3), st.floats(-100, 100)),
+                  max_size=20),
+       b=st.lists(st.tuples(st.integers(0, 3), st.floats(-100, 100)),
+                  max_size=20))
+def test_partial_state_merge_equals_direct_agg(spark, a, b):
+    schema = "k int, v double"
+    da = spark.createDataFrame(a, schema) if a \
+        else spark.createDataFrame([], schema)
+    db = spark.createDataFrame(b, schema) if b \
+        else spark.createDataFrame([], schema)
+    both = union_all(da, db)
+    direct = {r["k"]: r["s"] for r in both.groupBy("k")
+              .agg(F.sum("v").alias("s")).collect()}
+    s1 = partial_states(da, ["k"], {"m": F.col("v")})
+    s2 = partial_states(db, ["k"], {"m": F.col("v")})
+    merged = {r["k"]: r["m"] for r in
+              merge_states(union_all(s1, s2), ["k"], ["m"],
+                           {"m": "sum"}).collect()}
+    assert set(direct) == set(merged)
+    for k in direct:
+        assert abs(direct[k] - merged[k]) < 1e-9
+
+
+@SETTINGS
+@given(changes=st.lists(
+    st.tuples(st.integers(0, 4), st.text("ab", max_size=2),
+              st.sampled_from([cdc.OP_INSERT, cdc.OP_UPDATE,
+                               cdc.OP_DELETE])),
+    min_size=1, max_size=20))
+def test_apply_changes_idempotent_and_keyed_unique(spark, changes):
+    """Random change logs: applying twice == applying once, and the
+    result never holds two rows for one key."""
+    log = spark.createDataFrame(
+        [(k, v, i, op) for i, (k, v, op) in enumerate(changes)],
+        "k int, v string, lsn int, op int")
+    target = spark.createDataFrame([(0, "t0"), (1, "t1")], "k int, v string")
+    once = cdc.apply_changes(target, log, ["k"], "lsn", "op")
+    twice = cdc.apply_changes(once.select("k", "v"), log, ["k"], "lsn", "op")
+    r_once = sorted(map(tuple, once.collect()))
+    assert r_once == sorted(map(tuple, twice.collect()))
+    keys = [t[0] for t in r_once]
+    assert len(keys) == len(set(keys))
+
+
+@SETTINGS
+@given(texts=st.lists(st.sampled_from(
+    ["alpha beta", "alpha  beta", "gamma", "delta epsilon zeta", ""]),
+    min_size=1, max_size=15))
+def test_exact_dedup_conserves_rows(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id int, text string")
+    out = exact_dedup(df, "text", "doc_id")
+    assert out.agg(F.sum("n_dups")).collect()[0][0] == len(texts)
+    # canonical ids are members, and member lists cover all ids
+    members = [i for r in out.collect() for i in r["member_ids"]]
+    assert sorted(members) == list(range(len(texts)))
