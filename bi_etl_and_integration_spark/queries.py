@@ -36,6 +36,7 @@ from bi_etl_and_integration_spark.sources.writers import (
     staged_roundtrip, write_csv)
 from bi_etl_and_integration_spark.streaming.windows import (
     session_windowed_agg as sw_agg,
+    sliding_windowed_agg as sl_agg,
     tumbling_windowed_agg)
 
 QUERIES: dict = {}
@@ -813,6 +814,24 @@ def q41b(spark, cat):
                        F.col("session_window.start").alias("session_start"),
                        "n")
             .orderBy("user_id", "session_start"))
+
+
+@q("q41c_sliding_window",
+   "WITH w AS (SELECT event_type, "
+   "time_bucket(INTERVAL 30 MINUTES, ts) AS w1 FROM events), "
+   "e AS (SELECT event_type, w1 AS ws FROM w UNION ALL "
+   "SELECT event_type, w1 - INTERVAL 30 MINUTES FROM w) "
+   "SELECT ws AS w_start, event_type, COUNT(*) AS n FROM e "
+   "GROUP BY 1, 2 ORDER BY 1, 2")
+def q41c(spark, cat):
+    """Sliding window (1h size, 30m slide): every event lands in exactly
+    two windows; the oracle materializes that membership explicitly
+    (bucket + bucket-minus-slide) — same epoch-aligned boundaries."""
+    win = sl_agg(cat.events, "ts", "1 hour", "30 minutes",
+                 ["event_type"], {"n": F.count(F.lit(1))})
+    return (win.select(F.col("window.start").alias("w_start"),
+                       "event_type", "n")
+            .orderBy("w_start", "event_type"))
 
 
 @q("q40_domain_validation",
