@@ -90,6 +90,21 @@ def lookup_split(df: DataFrame, ref: DataFrame, on: Sequence[str],
     return joined.where(hit), joined.where(~hit)
 
 
+def dict_lookup(df: DataFrame, mapping: Mapping, key_col: str,
+                out_col: str, default=None) -> DataFrame:
+    """``dictGet`` for literal dictionaries (DM/Правильное построение
+    витрины с множественными агрегациями.md:52-76): the mapping ships
+    inside the plan as a map literal — zero joins, zero shuffles, pure
+    projection.  For dictionaries beyond a few thousand entries use
+    ``lookup`` (broadcast join) instead."""
+    entries = [x for kv in mapping.items() for x in kv]
+    m = F.create_map(*[F.lit(x) for x in entries])
+    looked = m[F.col(key_col)]
+    if default is not None:
+        looked = F.coalesce(looked, F.lit(default))
+    return df.withColumn(out_col, looked)
+
+
 def cascade_lookup(fact: DataFrame,
                    dims: Sequence[tuple[DataFrame, Sequence[str], str, str]],
                    unknown_key: int = -1) -> DataFrame:

@@ -443,6 +443,31 @@ def q21(spark, cat):
             .orderBy("o_orderstatus"))
 
 
+@q("q21b_incremental_mv",
+   f"SELECT o_custkey, {R('SUM(o_totalprice)')} AS total, "
+   f"{R('AVG(o_totalprice)')} AS avg_p FROM orders "
+   "GROUP BY o_custkey ORDER BY o_custkey")
+def q21b(spark, cat):
+    """Incrementally-maintained aggregate MV: two partial refreshes
+    (orders split by key parity) + merged read must equal the direct
+    aggregation — the ClickHouse AggregateFunction-state MV lifecycle."""
+    import shutil
+
+    from bi_etl_and_integration_spark.operators.mv import IncrementalAggMV
+    path = _stage_dir(cat.sf_dir, "orders_mv")
+    shutil.rmtree(path, ignore_errors=True)
+    mv = IncrementalAggMV(path, ["o_custkey"],
+                          {"total": F.col("o_totalprice"),
+                           "avg_p": F.col("o_totalprice")},
+                          {"total": "sum", "avg_p": "avg"})
+    mv.refresh(cat.orders.where(F.col("o_orderkey") % 2 == 0))
+    mv.refresh(cat.orders.where(F.col("o_orderkey") % 2 == 1))
+    return (mv.read(spark)
+            .select("o_custkey", dec_round("total").alias("total"),
+                    dec_round("avg_p").alias("avg_p"))
+            .orderBy("o_custkey"))
+
+
 @q("q22_distinct",
    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
    "ORDER BY l_returnflag, l_linestatus")
