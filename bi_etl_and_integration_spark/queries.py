@@ -149,6 +149,21 @@ def q04b(spark, cat):
             .orderBy("event_id"))
 
 
+@q("q04c_json_struct",
+   "SELECT event_id, json_extract_string(props,'$.k') AS k, "
+   "TRY_CAST(json_extract_string(props,'$.n') AS BIGINT) AS n "
+   "FROM events ORDER BY event_id")
+def q04c(spark, cat):
+    """Typed JSON parsing: from_json into a struct (schema-on-read for
+    semi-structured columns, one parse for all extracted fields)."""
+    parsed = cat.events.select(
+        "event_id",
+        F.from_json("props", "k string, n bigint").alias("p"))
+    return (parsed.select("event_id", F.col("p.k").alias("k"),
+                          F.col("p.n").alias("n"))
+            .orderBy("event_id"))
+
+
 # ==================================================== row transforms
 
 @q("q05_derived_columns",
@@ -685,6 +700,28 @@ def q34b(spark, cat):
     return (v.select("o_custkey", "o_orderkey", "end_v",
                      F.col("is_cur").cast("int").alias("is_cur"))
             .orderBy("o_custkey", "o_orderkey"))
+
+
+@q("q34c_scd2_apply")  # rows-only: full SCD2 apply (unit-tested exactly)
+def q34c(spark, cat):
+    """SCD2 maintenance end-to-end on fixtures: current customer
+    dimension vs a 'changed segment' source — changed keys close + a
+    new version opens; output = version counts per key bucket."""
+    from bi_etl_and_integration_spark.operators.dimensional import scd2_apply
+    target = cat.customer.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(0).alias("start_ts"),
+        F.lit(None).cast("int").alias("end_ts"),
+        F.lit(True).alias("is_current"))
+    source = (cat.customer.where(F.col("c_custkey") % 5 == 0)
+              .select("c_custkey",
+                      F.lit("CHANGED").alias("c_mktsegment"),
+                      F.lit(100).alias("eff")))
+    out = scd2_apply(target, source, ["c_custkey"], ["c_mktsegment"],
+                     "eff")
+    return (out.groupBy("is_current")
+            .agg(F.count(F.lit(1)).alias("n_versions"))
+            .orderBy("is_current"))
 
 
 @q("q35_merge_upsert",
