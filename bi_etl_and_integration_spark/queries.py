@@ -936,6 +936,73 @@ def q42(spark, cat):
                        dec_round("cosine_sim", 4).alias("cosine_sim"))
 
 
+@q("q43_shipping_topk",
+   "SELECT l.l_orderkey, "
+   + R("SUM(l.l_extendedprice*(1-l.l_discount))")
+   + " AS revenue, CAST(o.o_orderdate AS DATE) AS od "
+   "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+   "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+   "WHERE c.c_mktsegment = 'BUILDING' "
+   "AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15' "
+   "AND l.l_shipdate > DATE '1995-03-15' "
+   "GROUP BY l.l_orderkey, o.o_orderdate "
+   "ORDER BY revenue DESC, l_orderkey LIMIT 10")
+def q43(spark, cat):
+    """TPC-H Q3 shape: selective dim filter -> join fan-in -> agg ->
+    top-k.  Catalyst broadcasts the filtered customer side and plans
+    TakeOrderedAndProject for the LIMIT."""
+    c = cat.customer.where(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
+    o = (cat.orders
+         .where(F.col("o_orderdate").cast("date")
+                < F.lit("1995-03-15").cast("date"))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (cat.lineitem
+          .where(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (o.join(F.broadcast(c),
+                o["o_custkey"] == c["c_custkey"])
+         .join(li, li["l_orderkey"] == o["o_orderkey"]))
+    agg = (j.groupBy("l_orderkey", "o_orderdate")
+           .agg(dec_round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))))
+                .alias("revenue")))
+    return (agg.select("l_orderkey", "revenue",
+                       F.col("o_orderdate").cast("date").alias("od"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@q("q44_regional_revenue",
+   "SELECT n.n_name, "
+   + R("SUM(l.l_extendedprice*(1-l.l_discount))")
+   + " AS revenue FROM region r "
+   "JOIN nation n ON n.n_regionkey = r.r_regionkey "
+   "JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+   "JOIN lineitem l ON l.l_suppkey = s.s_suppkey "
+   "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+   "JOIN customer c ON c.c_custkey = o.o_custkey "
+   "AND c.c_nationkey = s.s_nationkey "
+   "WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n.n_name")
+def q44(spark, cat):
+    """TPC-H Q5 shape: 6-way join with a local-supplier constraint.
+    Declared as plain joins — Catalyst/AQE order the dims and broadcast
+    every sub-fact-size side; the only big shuffle is lineitem->orders."""
+    r = cat.region.where(F.col("r_name") == "ASIA")
+    j = (cat.nation.join(F.broadcast(r),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+         .join(cat.supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(cat.lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(cat.customer,
+               (F.col("c_custkey") == F.col("o_custkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey"))))
+    return (j.groupBy("n_name")
+            .agg(dec_round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))))
+                 .alias("revenue"))
+            .orderBy("n_name"))
+
+
 # ======================================= LLM-pipeline extras (north star)
 
 @q("x01_dedup_exact",
@@ -1018,6 +1085,27 @@ def x10(spark, cat):
     return (cat.documents
             .select("doc_id", F.md5(F.col("text")).alias("fp"))
             .orderBy("doc_id"))
+
+
+@q("x12_training_pipeline",
+   "WITH tok AS (SELECT doc_id, md5(text) AS fp, "
+   "len(list_filter(string_split(text,' '), x -> x != '')) AS nt "
+   "FROM documents), keep AS (SELECT * FROM tok WHERE nt >= 20), "
+   "dedup AS (SELECT fp, MIN(doc_id) AS canonical_id, MAX(nt) AS nt "
+   "FROM keep GROUP BY fp) "
+   "SELECT COUNT(*) AS n_docs, SUM(nt) AS total_tokens FROM dedup")
+def x12(spark, cat):
+    """Composed training-data pipeline: token-count quality filter ->
+    exact dedup by content fingerprint -> corpus stats.  The shape every
+    pretraining data job runs; one narrow pass + one hash aggregation."""
+    toks = cat.documents.select(
+        "doc_id", F.md5("text").alias("fp"),
+        tx_ops.token_count("text", "whitespace").alias("nt"))
+    keep = toks.where(F.col("nt") >= 20)
+    dedup = keep.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"),
+                                   F.max("nt").alias("nt"))
+    return dedup.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("nt").alias("total_tokens"))
 
 
 @q("x11_multimodal_features")  # rows-only: stubbed decoder (no codecs here)
