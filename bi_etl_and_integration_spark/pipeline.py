@@ -19,7 +19,7 @@ import os
 import shutil
 import time
 import uuid
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Mapping, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,6 +114,66 @@ class Pipeline:
                     raise err
         ctx.metrics["__status"] = status
         return ctx
+
+
+def from_spec(spec: Mapping) -> Pipeline:
+    """Build a pipeline from a declarative spec (the DTExec / external
+    drive surface, PRO/Глава 20:24-33; Глава 21:8-16): packages are data
+    loaded and parametrized programmatically.  Spec shape:
+
+        {"name": "p", "stages": [
+            {"name": "load",  "read": {"format": "parquet", "path": "..."}},
+            {"name": "tax",   "component": "add_tax", "params": {"rate": 0.2},
+             "input": "load", "depends_on": ["load"]},
+            {"name": "sql",   "sql": "SELECT ... FROM {load}"},
+            {"name": "out",   "write": {"path": "...", "format": "parquet"},
+             "input": "tax", "depends_on": ["tax"]}]}
+
+    Stage kinds: ``read`` (DataFrameReader options), ``component``
+    (registered PipelineComponent by name), ``sql`` (text with
+    ``{stage}`` placeholders resolved to temp views), ``write``
+    (atomic checkpointed publish).  JSON/YAML-parsed dicts both work —
+    the spec is plain data, editable without touching engine code.
+    """
+    import re as _re
+
+    from bi_etl_and_integration_spark.operators.plugin import component
+
+    p = Pipeline(spec.get("name", "pipeline"))
+    for st in spec["stages"]:
+        name = st["name"]
+        depends = tuple(st.get("depends_on", ()))
+
+        if "read" in st:
+            def fn(ctx, _c=dict(st["read"])):
+                c = dict(_c)
+                fmt, path = c.pop("format", "parquet"), c.pop("path")
+                r = ctx.spark.read.format(fmt)
+                for k, v in c.items():
+                    r = r.option(k, v)
+                return r.load(path)
+        elif "component" in st:
+            def fn(ctx, _n=st["component"], _p=dict(st.get("params", {})),
+                   _in=st["input"]):
+                return component(_n, **_p)(ctx[_in])
+        elif "sql" in st:
+            def fn(ctx, _q=st["sql"]):
+                def view(m):
+                    stage = m.group(1)
+                    vname = f"__stage_{stage}"
+                    ctx[stage].createOrReplaceTempView(vname)
+                    return vname
+                return ctx.spark.sql(_re.sub(r"\{(\w+)\}", view, _q))
+        elif "write" in st:
+            def fn(ctx, _c=dict(st["write"]), _in=st["input"]):
+                return checkpointed_write(ctx[_in], _c["path"],
+                                          fmt=_c.get("format", "parquet"))
+        else:
+            raise ValueError(f"stage {name!r}: no read/component/sql/write")
+        p.stage(name, depends_on=depends,
+                retries=int(st.get("retries", 0)),
+                run_on=st.get("run_on", "success"))(fn)
+    return p
 
 
 def persist_on_fanout(df: DataFrame, consumers: int) -> DataFrame:

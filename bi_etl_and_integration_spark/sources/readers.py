@@ -76,6 +76,13 @@ class Catalog:
             return self.table(name)
         raise AttributeError(name)
 
+    def sql(self, text: str) -> DataFrame:
+        """SQL entry point over the registered views (the ClickHouse
+        datamart usage mode, DM/ passim): plain ``spark.sql`` — Catalyst
+        treats SQL text and DataFrame calls identically (§3.2).
+        Requires ``register_views=True`` (the default)."""
+        return self.spark.sql(text)
+
 
 def read_parquet(spark: SparkSession, path: str,
                  columns: list[str] | None = None) -> DataFrame:

@@ -95,6 +95,52 @@ def test_resume_from_skips_earlier_phases(spark):
     assert ctx.metrics["__status"]["one"] == "skipped"
 
 
+def test_pipeline_from_spec(spark, rows, tmp_path):
+    """Declarative spec -> read -> component -> sql -> write, resolved
+    stage references and params included (the external-drive surface)."""
+    import tests.test_stateful_streaming  # noqa: F401 — registers add_tax
+    from bi_etl_and_integration_spark.pipeline import from_spec
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows([(1, 100.0), (2, 50.0)], "id int, price double") \
+        .write.parquet(src)
+    spec = {
+        "name": "spec_pipe",
+        "stages": [
+            {"name": "load", "read": {"format": "parquet", "path": src}},
+            {"name": "tax", "component": "add_tax",
+             "params": {"rate": 0.5}, "input": "load",
+             "depends_on": ["load"]},
+            {"name": "big", "sql":
+             "SELECT id, with_tax FROM {tax} WHERE with_tax > 100",
+             "depends_on": ["tax"]},
+            {"name": "publish", "write": {"path": out}, "input": "big",
+             "depends_on": ["big"]},
+        ],
+    }
+    ctx = from_spec(spec).run(spark)
+    got = {r["id"]: r["with_tax"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: 150.0}
+    assert ctx.metrics["__status"]["publish"] == "ok"
+
+
+def test_pipeline_from_spec_rejects_unknown_stage_kind(spark):
+    from bi_etl_and_integration_spark.pipeline import from_spec
+    with pytest.raises(ValueError, match="no read/component"):
+        from_spec({"stages": [{"name": "x"}]})
+
+
+def test_catalog_sql_entry_point(spark):
+    from bi_etl_and_integration_spark.sources import Catalog
+    cat = Catalog(spark, "/root/testdata/sf0.001", register_views=True)
+    out = cat.sql("SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+                  "GROUP BY c_mktsegment")
+    assert out.count() > 0
+    assert out.columns == ["c_mktsegment", "n"]
+
+
 def test_checkpointed_write_swaps_atomically(spark, rows, tmp_path):
     path = str(tmp_path / "target")
     v1 = rows([(1,)], "id int")
