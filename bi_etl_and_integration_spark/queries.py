@@ -878,6 +878,47 @@ def q41b(spark, cat):
             .orderBy("user_id", "session_start"))
 
 
+@q("q06b_regex_validate",
+   "SELECT CAST(regexp_matches(c_name, '^[A-Za-z]+#[0-9]+$') AS INT) "
+   "AS is_valid, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1")
+def q06b(spark, cat):
+    """Regex validation split (Script Component example,
+    PRO/Глава 09:82-102): valid/invalid stream sizes."""
+    streams = cl_ops.regex_validate(cat.customer, "c_name",
+                                    r"^[A-Za-z]+#[0-9]+$")
+    return rel_ops.union_all(
+        streams["valid"].select(F.lit(1).alias("is_valid")),
+        streams["invalid"].select(F.lit(0).alias("is_valid"))) \
+        .groupBy("is_valid").agg(F.count(F.lit(1)).alias("n")) \
+        .orderBy("is_valid")
+
+
+@q("q40b_domain_corrections",
+   "WITH dirty AS (SELECT CASE WHEN c_custkey % 7 = 0 "
+   "THEN LOWER(c_mktsegment) ELSE c_mktsegment END AS seg FROM customer) "
+   "SELECT CASE WHEN seg = UPPER(seg) THEN 'valid' ELSE 'corrected' END "
+   "AS stream, COUNT(*) AS n FROM dirty GROUP BY 1 ORDER BY 1")
+def q40b(spark, cat):
+    """DQS cleansing WITH a correction map (PRO/Глава 11:66-84): inject
+    deterministic lowercase 'typos', correct them against the domain;
+    stream sizes must reconcile.  Correction rules live in data."""
+    segs = [r["c_mktsegment"] for r in
+            cat.customer.select("c_mktsegment").distinct().collect()]
+    dirty = cat.customer.withColumn(
+        "seg", F.when(F.col("c_custkey") % 7 == 0,
+                      F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")))
+    domain = spark.createDataFrame([(s,) for s in segs], "d string")
+    streams = cl_ops.domain_cleanse(
+        dirty, "seg", domain, "d",
+        corrections={s.lower(): s for s in segs})
+    return rel_ops.union_all(
+        streams["valid"].select(F.lit("valid").alias("stream")),
+        streams["corrected"].select(F.lit("corrected").alias("stream"))) \
+        .groupBy("stream").agg(F.count(F.lit(1)).alias("n")) \
+        .orderBy("stream")
+
+
 @q("q41c_sliding_window",
    "WITH w AS (SELECT event_type, "
    "time_bucket(INTERVAL 30 MINUTES, ts) AS w1 FROM events), "
