@@ -20,5 +20,6 @@ from bi_etl_and_integration_spark.plans.inspect import (  # noqa: F401
     read_schemas,
     scan_columns,
     shuffle_count,
+    simple_plan,
     wholestage_codegen_count,
 )
