@@ -13,6 +13,11 @@ that makes nightly 100 TB fact loads maintainable.
 Crash safety: a refresh is one atomic parquet append of a new delta
 directory; compaction publishes via temp-dir swap (single-writer,
 documented in ``pipeline.checkpointed_write``).
+
+Exactness: pass DECIMAL measure columns for money-like data.  Double
+partial sums re-associate across deltas (and across compactions), which
+can flip a downstream rounding boundary; decimal states make
+refresh-then-merge bit-identical to a direct aggregation.
 """
 
 from __future__ import annotations

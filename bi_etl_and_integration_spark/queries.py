@@ -458,28 +458,37 @@ def q21(spark, cat):
             .orderBy("o_orderstatus"))
 
 
+_DEC_PRICE = "CAST(o_totalprice AS DECIMAL(20,2))"
+
+
 @q("q21b_incremental_mv",
-   f"SELECT o_custkey, {R('SUM(o_totalprice)')} AS total, "
-   f"{R('AVG(o_totalprice)')} AS avg_p FROM orders "
-   "GROUP BY o_custkey ORDER BY o_custkey")
+   f"SELECT o_custkey, {R(f'CAST(SUM({_DEC_PRICE}) AS DOUBLE)')} AS total, "
+   + R(f"CAST(SUM({_DEC_PRICE}) AS DOUBLE)/COUNT(o_totalprice)")
+   + " AS avg_p FROM orders GROUP BY o_custkey ORDER BY o_custkey")
 def q21b(spark, cat):
     """Incrementally-maintained aggregate MV: two partial refreshes
     (orders split by key parity) + merged read must equal the direct
-    aggregation — the ClickHouse AggregateFunction-state MV lifecycle."""
+    aggregation — the ClickHouse AggregateFunction-state MV lifecycle.
+
+    Measures are DECIMAL so delta sums re-aggregate EXACTLY: double
+    partial sums re-associate across deltas and can flip a rounding
+    boundary (observed at sf0.1: an avg landing precisely on .005) —
+    exact states are the MV correctness contract, not a nicety."""
     import shutil
 
     from bi_etl_and_integration_spark.operators.mv import IncrementalAggMV
     path = _stage_dir(cat.sf_dir, "orders_mv")
     shutil.rmtree(path, ignore_errors=True)
+    price = F.col("o_totalprice").cast("decimal(20,2)")
     mv = IncrementalAggMV(path, ["o_custkey"],
-                          {"total": F.col("o_totalprice"),
-                           "avg_p": F.col("o_totalprice")},
-                          {"total": "sum", "avg_p": "avg"})
+                          {"t": price, "c": price},
+                          {"t": "sum", "c": "count"})
     mv.refresh(cat.orders.where(F.col("o_orderkey") % 2 == 0))
     mv.refresh(cat.orders.where(F.col("o_orderkey") % 2 == 1))
+    total = F.col("t").cast("double")
     return (mv.read(spark)
-            .select("o_custkey", dec_round("total").alias("total"),
-                    dec_round("avg_p").alias("avg_p"))
+            .select("o_custkey", dec_round(total).alias("total"),
+                    dec_round(total / F.col("c")).alias("avg_p"))
             .orderBy("o_custkey"))
 
 
