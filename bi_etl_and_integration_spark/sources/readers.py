@@ -85,8 +85,17 @@ class Catalog:
 
 
 def read_parquet(spark: SparkSession, path: str,
-                 columns: list[str] | None = None) -> DataFrame:
-    df = spark.read.parquet(path)
+                 columns: list[str] | None = None,
+                 merge_schema: bool = False) -> DataFrame:
+    """Raw-file/lake parquet source.  ``merge_schema=True`` unions the
+    schemas of all files (schema evolution across partitions: new
+    columns read as null for old files) — the schema-on-read posture of
+    DM/DataLake.md:34; costs a footer scan per file, so keep it off for
+    fixed-schema tables."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    df = r.parquet(path)
     return df.select(*columns) if columns else df
 
 

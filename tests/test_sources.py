@@ -57,6 +57,19 @@ def test_write_parquet_partitioned(spark, rows, tmp_path):
     assert (tmp_path / "pq" / "part=x").exists()
 
 
+def test_read_parquet_merge_schema_evolution(spark, rows, tmp_path):
+    """Schema evolution across files: a column added later reads as
+    null for older files under merge_schema."""
+    p = str(tmp_path / "evolving")
+    rows([(1, "a")], "id int, v string").write.parquet(p)
+    rows([(2, "b", 9.5)], "id int, v string, score double") \
+        .write.mode("append").parquet(p)
+    merged = readers.read_parquet(spark, p, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
+
+
 def test_catalog_loads_fixture_tables(spark):
     cat = readers.Catalog(spark, "/root/testdata/sf0.001",
                           register_views=False)
