@@ -87,6 +87,29 @@ def read_range(changes: DataFrame, offset_col: str,
     return changes.where(cond)
 
 
+def retention_risk(changes: DataFrame, ts_col: str, state_ts, *,
+                   retention_hours: float) -> DataFrame:
+    """The reference's ``HoursOfDataLossRisk`` monitor (PRACT/004
+    CDC.md:247-298): how many hours remain before the oldest UNPROCESSED
+    change falls off the retained log.  Emits one row:
+    (oldest_unprocessed_ts, hours_of_data_loss_risk, at_risk).
+
+    Negative hours == changes already lost; pair with ``read_range``'s
+    RetentionError for the hard stop, this for the dashboard/alert.
+    """
+    c = F.col(ts_col)
+    unprocessed = (changes.where(c > F.lit(state_ts))
+                   if state_ts is not None else changes)
+    oldest = F.min(c)
+    risk = (F.lit(retention_hours)
+            - (F.unix_timestamp(F.current_timestamp())
+               - F.unix_timestamp(oldest)) / 3600.0)
+    return unprocessed.agg(
+        oldest.alias("oldest_unprocessed_ts"),
+        risk.alias("hours_of_data_loss_risk"),
+        (risk < F.lit(0.0)).alias("at_risk"))
+
+
 def net_changes(changes: DataFrame, keys: Sequence[str], offset_col: str,
                 tiebreak: Sequence[Column] | None = None) -> DataFrame:
     """CDC "Net" mode: last change per key wins within the range."""

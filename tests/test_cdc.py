@@ -46,6 +46,24 @@ def test_read_range_retention_violation_raises(rows):
     cdc.read_range(ch, "lsn", 4, 10, min_available=4)
 
 
+def test_retention_risk_monitor(rows):
+    import datetime as dt
+    now = dt.datetime.now()
+    ch = rows([(1, now - dt.timedelta(hours=50)),
+               (2, now - dt.timedelta(hours=2))],
+              "k int, ts timestamp")
+    # state has processed nothing: oldest unprocessed is 50h old,
+    # retention 24h -> already lost (negative hours, at_risk)
+    r = cdc.retention_risk(ch, "ts", None, retention_hours=24).collect()[0]
+    assert r["at_risk"]
+    assert r["hours_of_data_loss_risk"] < 0
+    # state past the old change: only the 2h-old one counts -> safe
+    r2 = cdc.retention_risk(ch, "ts", now - dt.timedelta(hours=3),
+                            retention_hours=24).collect()[0]
+    assert not r2["at_risk"]
+    assert r2["hours_of_data_loss_risk"] > 20
+
+
 def test_net_changes_last_wins(rows):
     ch = rows([(1, "v1", 1, 2), (1, "v2", 2, 4), (1, "v3", 3, 4),
                (2, "x", 1, 2)], CH_SCHEMA)
