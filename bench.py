@@ -31,6 +31,9 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from bi_etl_and_integration_spark import get_session
 
+    # the UI REST API is the (public) source for per-query shuffle-byte
+    # deltas; it is off by default for tests, on for bench
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -50,14 +53,45 @@ def main() -> None:
         df.select(F.count(F.lit(1)).alias("n"),
                   F.bit_xor(F.xxhash64(*cols)).alias("digest")).collect()
 
+    import urllib.request
+
+    def shuffle_write_bytes() -> int | None:
+        """Total shuffle-write bytes over all completed stages, via the
+        local Spark UI REST API — per-query deltas are the scale
+        signal: a query whose shuffle grows linearly with input is the
+        one that breaks first on a 1000-executor 100 TB run."""
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            apps = json.load(urllib.request.urlopen(
+                f"{ui}/api/v1/applications", timeout=3))
+            app_id = apps[0]["id"]
+            stages = json.load(urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=10))
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        except Exception:  # noqa: BLE001 — UI disabled/slow: skip metric
+            return None
+
+    # Methodology (matches BASELINE.md "warm JVM, session startup
+    # excluded"): each query runs once untimed — paying its one-time
+    # whole-stage-codegen compile + JIT, which is session startup cost,
+    # not plan cost — and the SECOND run is measured.  Rankings then
+    # reflect plan shape instead of which query happened to touch a
+    # codegen pattern first.
     times: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        t0 = time.monotonic()
         try:
-            consume(fn(spark, sf_dir))
+            consume(fn(spark, sf_dir))          # warm: codegen + JIT
+            sw0 = shuffle_write_bytes()
+            t0 = time.monotonic()
+            consume(fn(spark, sf_dir))          # measured
             times[name] = round(time.monotonic() - t0, 3)
+            sw1 = shuffle_write_bytes()
+            if sw0 is not None and sw1 is not None:
+                shuffle_mb[name] = round((sw1 - sw0) / 1e6, 2)
         except Exception as e:  # noqa: BLE001 — record, keep benching
             times[name] = -1.0
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}",
@@ -65,10 +99,12 @@ def main() -> None:
 
     out = {
         "metric": "declared-corpus wall time, warm session, "
-                  "spark local[*] (SURVEY §2.12 + extras)",
+                  "spark local[*] (SURVEY §2.12 + extras; steady-state: "
+                  "2nd run timed)",
         "value": round(sum(t for t in times.values() if t >= 0), 3),
         "unit": "sec",
         "queries": times,
+        "shuffle_mb": shuffle_mb,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

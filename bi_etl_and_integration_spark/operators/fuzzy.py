@@ -62,10 +62,86 @@ def fuzzy_lookup(df: DataFrame, ref: DataFrame, col: str, ref_col: str, *,
     return matched
 
 
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", *,
+                         max_iter: int = 25) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm).  Converges in O(log² n) rounds versus
+    O(component diameter) for naive label propagation, which is the
+    difference between 4 and 40 shuffle rounds on a 100 TB web-scale
+    dedup graph with long similarity chains.
+
+    Input: an edge list (any orientation, self-loops ignored).
+    Output: ``(id, component)`` for every node that appears in an edge,
+    where ``component`` is the minimum node id of its component.
+
+    Each round is two shuffles (groupBy min + join) per star step, all
+    JVM-side; no driver-side data beyond the convergence flag.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")))
+    # canonical orientation u > v; the edge set is kept distinct so the
+    # convergence check compares sets, not multisets
+    e = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v")).distinct())
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        # Each star round references its input several times; without
+        # truncating lineage the logical plan grows multiplicatively and
+        # the analyzer OOMs by round ~5 (persist alone does NOT cut the
+        # plan).  Reliable checkpoint when a checkpoint dir is set (the
+        # cluster-failure-safe choice), localCheckpoint otherwise.
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _materialize(e)
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; m(u) = min(Γ(u) ∪ {u});
+        # emit (v, m) for strictly larger neighbors v > u
+        sym = ed.unionByName(ed.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.col("u")).alias("m")))
+        return (sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # edges arrive oriented u > v; m(u) = min over smaller nbrs ∪ u;
+        # emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m
+        mins = ed.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = ed.unionByName(ed.select(F.col("u"),
+                                        F.col("u").alias("v")).distinct())
+        return (nbrs.join(mins, "u")
+                .select(F.greatest("v", "m").alias("u"),
+                        F.least("v", "m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+
+    for _ in range(max_iter):
+        nxt = _materialize(_small_star(_large_star(e)))
+        changed = nxt.exceptAll(e).limit(1).count()
+        e = nxt
+        if changed == 0:
+            break
+    # at the fixpoint every edge points child -> component root (min id)
+    roots = e.select(F.col("v").alias("id")).distinct() \
+        .withColumn("component", F.col("id"))
+    comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    out = comp.unionByName(roots).groupBy("id") \
+        .agg(F.min("component").alias("component"))
+    return out
+
+
 def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
                    block: Column | None = None,
                    min_similarity: float = 0.8,
-                   max_iter: int = 10) -> DataFrame:
+                   max_iter: int = 10,
+                   algorithm: str = "label_prop") -> DataFrame:
     """SSIS Fuzzy Grouping: cluster near-duplicate rows.
 
     Output = input columns + ``_key_in`` (row key), ``_key_out``
@@ -74,10 +150,16 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
 
     Algorithm (scales to the LSH regime by swapping the blocker):
       1. blocked self-join -> similarity edges (undirected)
-      2. iterative min-label propagation until fixpoint (connected
-         components; O(diameter) joins, each a shuffle on ``key``)
+      2. connected components over the edge set —
+         ``algorithm="label_prop"`` (default): iterative min-label
+         propagation, O(diameter) rounds, fine for short chains;
+         ``algorithm="star"``: alternating large/small-star
+         (:func:`connected_components`), O(log² n) rounds — the 100 TB
+         path when similarity chains can be long.
       3. canonical = min key per component
     """
+    if algorithm not in ("label_prop", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     block = block if block is not None else F.substring(F.col(col), 1, 2)
     nodes = df.select(F.col(key).alias("id"),
                       F.col(col).alias("val"),
@@ -89,30 +171,39 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
              .withColumn("__sim", similarity(F.col("a.val"), F.col("b.val")))
              .where(F.col("__sim") >= min_similarity)
              .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst")))
-    # undirected adjacency (both directions) + self loops
-    adj = (edges.select("src", "dst")
-           .unionByName(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-           .persist())
-    labels = nodes.select("id", F.col("id").alias("label")).persist()
-    for _ in range(max_iter):
-        # candidate label for each node = min(own, neighbors' labels)
-        prop = (adj.join(labels.withColumnRenamed("id", "dst")
-                         .withColumnRenamed("label", "nbr_label"), "dst")
-                .groupBy("src").agg(F.min("nbr_label").alias("min_nbr")))
-        new_labels = (labels.join(prop.withColumnRenamed("src", "id"),
-                                  "id", "left")
-                      .select("id", F.least(F.col("label"),
-                                            F.coalesce(F.col("min_nbr"),
-                                                       F.col("label")))
-                              .alias("label"))).persist()
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "id")
-                   .where(F.col("label") != F.col("old")).limit(1).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    if algorithm == "star":
+        comp = connected_components(edges, max_iter=max_iter)
+        labels = (nodes.select("id")
+                  .join(comp, "id", "left")
+                  .select("id", F.coalesce("component", F.col("id"))
+                          .alias("label")))
+        adj = edges  # placeholder for the shared unpersist below
+    else:
+        # undirected adjacency (both directions) + self loops
+        adj = (edges.select("src", "dst")
+               .unionByName(edges.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+               .persist())
+        labels = nodes.select("id", F.col("id").alias("label")).persist()
+        for _ in range(max_iter):
+            # candidate label for each node = min(own, neighbors' labels)
+            prop = (adj.join(labels.withColumnRenamed("id", "dst")
+                             .withColumnRenamed("label", "nbr_label"), "dst")
+                    .groupBy("src").agg(F.min("nbr_label").alias("min_nbr")))
+            new_labels = (labels.join(prop.withColumnRenamed("src", "id"),
+                                      "id", "left")
+                          .select("id", F.least(F.col("label"),
+                                                F.coalesce(F.col("min_nbr"),
+                                                           F.col("label")))
+                                  .alias("label"))).persist()
+            changed = (new_labels
+                       .join(labels.withColumnRenamed("label", "old"), "id")
+                       .where(F.col("label") != F.col("old"))
+                       .limit(1).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
     canon_val = (labels.join(nodes.select(F.col("id").alias("label"),
                                           F.col("val").alias("__canon_val")),
                              "label"))

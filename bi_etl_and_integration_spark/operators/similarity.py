@@ -40,6 +40,23 @@ def cosine_similarity(a: Column, b: Column) -> Column:
             ).cast("double")
 
 
+def with_l2_normalized(df: DataFrame, vec_col: str,
+                       out_col: str) -> DataFrame:
+    """Add a unit-L2 copy of ``vec_col`` (double elements).
+
+    Normalizing ONCE per row turns every later cosine into a single
+    dot pass — the higher-order-function norm is the interpreted slow
+    path, so paying it per row instead of per candidate pair is the
+    difference between O(n) and O(n·candidates) interpreter calls.
+    Zero vectors map to zero vectors (cosine 0 downstream)."""
+    return (df.withColumn("__l2", F.greatest(norm(F.col(vec_col)),
+                                             F.lit(1e-12)))
+            .withColumn(out_col, F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / F.col("__l2")))
+            .drop("__l2"))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:
@@ -93,15 +110,30 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
              .sample(False, 1.0, seed).limit(nlist)
              .withColumn("centroid_id",
                          F.monotonically_increasing_id()).collect())
+
+    def _unit(vals: list[float]) -> list[float]:
+        n = max(sum(float(x) * float(x) for x in vals) ** 0.5, 1e-12)
+        return [float(x) / n for x in vals]
+
+    # centroids normalized driver-side: nearest-by-cosine == nearest-by-
+    # dot once BOTH sides are unit vectors, so assignment and probing
+    # cost one array pass per centroid instead of three
     cent_arr = F.array(*[
         F.struct(F.lit(i).alias("cid"),
-                 F.array(*[F.lit(float(x)) for x in row["cvec"]]).alias("cv"))
+                 F.array(*[F.lit(x) for x in _unit(row["cvec"])])
+                 .alias("cv"))
         for i, row in enumerate(cents)])
 
     def nearest(vec: Column, n: int) -> Column:
+        # ranking centroids for ONE vector: dividing by that vector's own
+        # norm is a constant positive scale, so argmax-by-cosine ==
+        # argmax-by-dot against UNIT centroids — no norm passes at all
+        # (and `vec` must be a plain column reference, not a derived
+        # expression: CollapseProject would inline a derived expression
+        # into every one of the nlist dot terms and recompute it)
         scored = F.transform(
             cent_arr, lambda c: F.struct(
-                (-cosine_similarity(vec, c.getField("cv"))).alias("negsim"),
+                (-dot(vec, c.getField("cv"))).alias("negsim"),
                 c.getField("cid").alias("cid")))
         return F.slice(F.array_sort(scored), 1, n)
 

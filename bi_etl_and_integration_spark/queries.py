@@ -171,12 +171,19 @@ def q04c(spark, cat):
    "UPPER(o_orderstatus) AS st, TRIM(SUBSTR(o_orderpriority,1,1)) AS pri1 "
    "FROM orders ORDER BY o_orderkey")
 def q05(spark, cat):
+    # Sort the narrow source columns FIRST, then derive: a projection
+    # above a total sort is evaluated once, while one below it is also
+    # recomputed by the range-partitioning sample pass — at 100 TB that
+    # is twice the expression work and a wider shuffle row.
+    narrow = cat.orders.select("o_orderkey", "o_totalprice",
+                               "o_orderstatus", "o_orderpriority") \
+        .orderBy("o_orderkey")
     return rel_ops.project(
-        cat.orders, "o_orderkey",
+        narrow, "o_orderkey",
         with_tax=dec_round(F.col("o_totalprice") * 1.1),
         st=F.upper("o_orderstatus"),
         pri1=F.trim(F.substring("o_orderpriority", 1, 1)),
-    ).orderBy("o_orderkey")
+    )
 
 
 @q("q06_conditional_split",
@@ -865,6 +872,42 @@ def q24b(spark, cat):
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.min("p_partkey").alias("canonical"))
             .orderBy("_key_out"))
+
+
+@q("q24c_fuzzy_grouping_cc",
+   "WITH RECURSIVE "
+   "names AS (SELECT p_name, MIN(p_partkey) AS id FROM part "
+   "GROUP BY p_name), "
+   "edges AS (SELECT a.id AS src, b.id AS dst FROM names a "
+   "JOIN names b ON SUBSTR(a.p_name,1,4) = SUBSTR(b.p_name,1,4) "
+   "AND a.id < b.id AND 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS "
+   "DOUBLE) / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name), 1) >= 0.75), "
+   "sym AS (SELECT src, dst FROM edges "
+   "UNION SELECT dst, src FROM edges), "
+   "reach(id, r) AS (SELECT id, id FROM names "
+   "UNION SELECT re.id, s.dst FROM reach re JOIN sym s ON s.src = re.r), "
+   "lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id), "
+   "rows_ AS (SELECT p.p_partkey, l.cluster FROM part p "
+   "JOIN names n ON p.p_name = n.p_name JOIN lab l ON n.id = l.id) "
+   "SELECT cluster, COUNT(*) AS n_rows FROM rows_ "
+   "GROUP BY cluster ORDER BY cluster")
+def q24c(spark, cat):
+    """Fuzzy Grouping, oracle-matched end to end: the large/small-star
+    connected-components path (fuzzy.connected_components) versus a
+    DuckDB recursive-CTE transitive closure over the identical blocked
+    similarity edge set.  Same blocks (4-char prefix), same Levenshtein
+    similarity, same min-id cluster labels — value-hash equality proves
+    the whole cluster assignment, not just row counts."""
+    names = cat.part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("name_id"))
+    g = fz_ops.fuzzy_grouping(names, "name_id", "p_name",
+                              min_similarity=0.75,
+                              block=F.substring(F.col("p_name"), 1, 4),
+                              algorithm="star")
+    rows = cat.part.join(g.select("p_name", "_key_out"), "p_name")
+    return (rows.groupBy(F.col("_key_out").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("cluster"))
 
 
 @q("q41b_session_window",

@@ -1,7 +1,7 @@
 """Custom stateful streaming operators via ``applyInPandasWithState``
 (SURVEY.md §2.11 Script Component async mode, in its streaming form).
 
-Two training-pipeline staples:
+Three training-pipeline staples:
 
   stateful_seen_filter   cross-batch exact dedup: the first arrival of
                          each key passes, later arrivals drop — state is
@@ -10,6 +10,12 @@ Two training-pipeline staples:
   stateful_running_agg   per-key running count/sum emitted every batch —
                          the SSIS 'row count into a variable' made
                          continuous
+  stateful_sessionize    gap-based sessionization with CUSTOM per-session
+                         aggregates held in state — the hand-rolled
+                         complement of ``session_window`` for semantics
+                         the built-in can't express (event counts +
+                         sums + first/last carried per open session,
+                         closed sessions emitted exactly once)
 
 State lives in Spark's checkpointed state store (RocksDB-backed on a
 real cluster): restart-safe, partitioned by key — the operator logic
@@ -22,6 +28,7 @@ from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -84,3 +91,80 @@ def stateful_running_agg(stream_df: DataFrame, keys: Sequence[str],
             .applyInPandasWithState(
                 fn, out_ddl, "cnt long, total double",
                 "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_sessionize(stream_df: DataFrame, keys: Sequence[str],
+                        ts_col: str, value_col: str,
+                        gap: str = "30 minutes",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessionization with state = the OPEN session's
+    aggregates; a session closes (and is emitted, exactly once) when a
+    later event of the same key arrives more than ``gap`` after it, or
+    when the event-time watermark passes its timeout.
+
+    Scale notes: state per key is one fixed-size tuple (start, last,
+    n, sum) regardless of session length — no event buffering; the
+    state store shards by key across executors; timeouts are how
+    abandoned keys leave state (bounded memory at 100 TB/day).
+
+    Requires event-time semantics: ``ts_col`` is cast to
+    TIMESTAMP_LTZ (applyInPandasWithState's event-time timeout needs
+    an instant, the session default here is NTZ) and a watermark is
+    applied.  Output: keys + session_start, session_end, n_events,
+    value_sum (timestamps as LTZ instants).
+    """
+    keys = list(keys)
+    gap_ms = _duration_ms(gap)
+    # explicit LTZ: the session default maps "timestamp" to NTZ, and
+    # event-time watermarks accept only instants (TIMESTAMP_LTZ)
+    df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp_ltz")).withWatermark(
+        ts_col, watermark)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields)
+    out_ddl = (f"{key_fields}, session_start timestamp_ltz, "
+               f"session_end timestamp_ltz, n_events long, value_sum double")
+    state_ddl = ("start timestamp_ltz, last timestamp_ltz, "
+                 "n long, total double")
+    cols = keys + ["session_start", "session_end", "n_events", "value_sum"]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([[*key, start, last, n, total]], columns=cols)
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col)
+        cur = list(state.get) if state.exists else None
+        closed: list[list] = []
+        for ts, val in zip(batch[ts_col], batch[value_col]):
+            v = 0.0 if pd.isna(val) else float(val)
+            if cur is None:
+                cur = [ts, ts, 1, v]
+            elif (ts - cur[1]).total_seconds() * 1000 > gap_ms:
+                closed.append([*key, cur[0], cur[1], cur[2], cur[3]])
+                cur = [ts, ts, 1, v]
+            else:
+                cur[1], cur[2], cur[3] = ts, cur[2] + 1, cur[3] + v
+        state.update(tuple(cur))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp(
+            int(cur[1].timestamp() * 1000) + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return (df.groupBy(*keys)
+            .applyInPandasWithState(fn, out_ddl, state_ddl, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def _duration_ms(text: str) -> int:
+    """Parse '30 minutes' / '2 hours' / '45 seconds' / '500 ms'."""
+    qty, unit = text.split()
+    per = {"ms": 1, "milliseconds": 1, "second": 1000, "seconds": 1000,
+           "minute": 60_000, "minutes": 60_000,
+           "hour": 3_600_000, "hours": 3_600_000,
+           "day": 86_400_000, "days": 86_400_000}[unit.lower()]
+    return int(float(qty) * per)

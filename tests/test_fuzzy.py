@@ -70,3 +70,37 @@ def test_tokenize(rows):
     df = rows([("Hello, World!  Foo-bar",)], "t string")
     toks = df.select(fz.tokenize("t").alias("x")).collect()[0]["x"]
     assert toks == ["hello", "world", "foo", "bar"]
+
+
+def test_connected_components_star(rows):
+    """Large/small-star CC: a long chain (worst case for label
+    propagation) plus a separate pair and a ring all resolve to the
+    min id of their component."""
+    chain = [(i, i + 1) for i in range(1, 8)]          # 1-2-...-8
+    ring = [(20, 21), (21, 22), (22, 20)]
+    pair = [(40, 41)]
+    edges = rows(chain + ring + pair, "src bigint, dst bigint")
+    comp = {r["id"]: r["component"]
+            for r in fz.connected_components(edges).collect()}
+    assert all(comp[i] == 1 for i in range(1, 9))
+    assert all(comp[i] == 20 for i in (20, 21, 22))
+    assert comp[40] == 40 and comp[41] == 40
+
+
+def test_connected_components_duplicate_and_reversed_edges(rows):
+    edges = rows([(2, 1), (1, 2), (2, 3), (3, 1)], "src int, dst int")
+    comp = {r["id"]: r["component"]
+            for r in fz.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_fuzzy_grouping_star_matches_label_prop(rows):
+    df = rows([(1, "abcdef"), (2, "abcdeX"), (3, "abcdXX"), (9, "zzzzzz")],
+              "k int, name string")
+    lp = {r["_key_in"]: r["_key_out"]
+          for r in fz.fuzzy_grouping(df, "k", "name",
+                                     min_similarity=0.6).collect()}
+    st = {r["_key_in"]: r["_key_out"]
+          for r in fz.fuzzy_grouping(df, "k", "name", min_similarity=0.6,
+                                     algorithm="star").collect()}
+    assert lp == st == {1: 1, 2: 1, 3: 1, 9: 9}

@@ -10,7 +10,7 @@ from pyspark.sql import types as T
 from bi_etl_and_integration_spark.operators.plugin import (
     ComponentValidationError, PipelineComponent, component, register)
 from bi_etl_and_integration_spark.streaming.stateful import (
-    stateful_running_agg, stateful_seen_filter)
+    stateful_running_agg, stateful_seen_filter, stateful_sessionize)
 
 EV = "k int, v double"
 
@@ -63,6 +63,53 @@ def test_stateful_running_agg_accumulates(spark, rows, tmp_path):
     # key 1 accumulated across batches; key 3 fresh
     assert s[1] == (3, 33.0)
     assert s[3] == (1, 30.0)
+
+
+def test_stateful_sessionize_gap_and_watermark_close(spark, rows, tmp_path):
+    """Key 1 has two bursts 2h apart (same batch): the first session
+    closes on the gap.  Key 2's single burst closes via EventTimeTimeout
+    in the no-data micro-batch that follows batch 1 (watermark 03:00 >
+    timeout 01:30).  Key 1's open second burst closes only when batch 2
+    pushes the watermark past ITS timeout."""
+    import datetime as dt
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "k int, ts timestamp_ntz, v double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = rows([(1, t(1, 0), 1.0), (1, t(1, 10), 2.0),
+               (1, t(3, 0), 5.0),          # >30min after 01:10 -> new sess
+               (2, t(1, 0), 7.0)], schema)
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", "8").parquet(src)
+    out = stateful_sessionize(stream, ["k"], "ts", "v",
+                              gap="30 minutes", watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        first = {(r["k"], r["n_events"]): r["value_sum"]
+                 for r in spark.table("sess").collect()}
+        # key 1's first burst closed by the gap; key 2 by the timeout
+        # fired in the trailing no-data batch; key 1's 03:00 burst open
+        assert first == {(1, 2): pytest.approx(3.0),
+                         (2, 1): pytest.approx(7.0)}
+        # batch 2: event far in the future pushes the watermark past
+        # every open session's timeout
+        rows([(9, t(23, 0), 0.0)], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.processAllAvailable()  # one more cycle: timeouts fire on the
+        # micro-batch AFTER the watermark advances
+        second = {(r["k"], r["n_events"]): r["value_sum"]
+                  for r in spark.table("sess").collect()}
+    finally:
+        q.stop()
+    assert second[(1, 1)] == pytest.approx(5.0)   # 03:00 burst closed
+    assert second[(2, 1)] == pytest.approx(7.0)
+    assert (9, 1) not in second                   # 23:00 burst still open
 
 
 # ------------------------------------------------------ plugin protocol
