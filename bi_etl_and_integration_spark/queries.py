@@ -718,11 +718,24 @@ def q34b(spark, cat):
             .orderBy("o_custkey", "o_orderkey"))
 
 
-@q("q34c_scd2_apply")  # rows-only: full SCD2 apply (unit-tested exactly)
+@q("q34c_scd2_apply",
+   "WITH src AS (SELECT c_custkey, 'CHANGED' AS seg FROM customer "
+   "WHERE c_custkey % 5 = 0), "
+   "changed AS (SELECT t.c_custkey FROM customer t "
+   "JOIN src s USING (c_custkey) "
+   "WHERE t.c_mktsegment IS DISTINCT FROM s.seg), "
+   "vers AS (SELECT CASE WHEN c.c_custkey IN "
+   "(SELECT c_custkey FROM changed) THEN 0 ELSE 1 END AS is_current "
+   "FROM customer c UNION ALL SELECT 1 FROM changed) "
+   "SELECT is_current, COUNT(*) AS n_versions FROM vers "
+   "GROUP BY is_current ORDER BY is_current")
 def q34c(spark, cat):
     """SCD2 maintenance end-to-end on fixtures: current customer
     dimension vs a 'changed segment' source — changed keys close + a
-    new version opens; output = version counts per key bucket."""
+    new version opens; output = version counts per key bucket.  The
+    oracle restates the apply as set algebra: old rows flip to
+    non-current iff their key changed, one new version per changed
+    key."""
     from bi_etl_and_integration_spark.operators.dimensional import scd2_apply
     target = cat.customer.select(
         "c_custkey", "c_mktsegment",
@@ -735,7 +748,7 @@ def q34c(spark, cat):
                       F.lit(100).alias("eff")))
     out = scd2_apply(target, source, ["c_custkey"], ["c_mktsegment"],
                      "eff")
-    return (out.groupBy("is_current")
+    return (out.groupBy(F.col("is_current").cast("int").alias("is_current"))
             .agg(F.count(F.lit(1)).alias("n_versions"))
             .orderBy("is_current"))
 
@@ -1121,10 +1134,31 @@ def x03(spark, cat):
                                 max_hamming=8)
 
 
-@q("x04_dedup_ngram")  # rows-only (blocked pair generation)
+@q("x04_dedup_ngram",
+   r"WITH base AS (SELECT doc_id AS id, list_filter(string_split("
+   r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' '), "
+   r"x -> x != '') AS toks FROM documents), "
+   "sh AS (SELECT id, CASE WHEN len(toks) < 3 "
+   "THEN [array_to_string(toks, ' ')] "
+   "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+   "i -> array_to_string(toks[i:i+2], ' '))) END AS sh, "
+   "array_to_string(toks[1:3], ' ') AS blk FROM base) "
+   "SELECT a.id AS id_a, b.id AS id_b, "
+   "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+   "GREATEST(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard_sim "
+   "FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id "
+   "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+   "GREATEST(len(list_distinct(a.sh || b.sh)), 1) >= 0.5 "
+   "ORDER BY id_a, id_b")
 def x04(spark, cat):
-    return dd_ops.ngram_jaccard_dedup(cat.documents, "text", "doc_id",
-                                      n=3, threshold=0.5)
+    """n-gram Jaccard near-dup, oracle-matched: Spark computes Jaccard
+    over HASHED 3-gram shingle sets (operators.dedup.hashed_shingles),
+    the oracle over the string shingles themselves — identical set
+    sizes as long as the 64-bit->mod-p hash stays collision-free, so a
+    value-hash match also certifies the hashed-shingle optimization."""
+    return (dd_ops.ngram_jaccard_dedup(cat.documents, "text", "doc_id",
+                                       n=3, threshold=0.5)
+            .orderBy("id_a", "id_b"))
 
 
 @q("x05_dedup_embedding")  # rows-only (random-projection buckets)
@@ -1165,8 +1199,31 @@ def x08(spark, cat):
             .orderBy("doc_id"))
 
 
-@q("x09_text_langid")  # rows-only: heuristic marker-lexicon classifier
+@q("x09_text_langid",
+   r"WITH base AS (SELECT lang, text, list_filter(string_split("
+   r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' '), "
+   r"x -> x != '') AS toks FROM documents), "
+   "scored AS (SELECT lang, list_reverse_sort([ "
+   "{'hits': len(list_filter(toks, t -> t IN ('the','and','of','to',"
+   "'is','in','that','it','with'))), 'lang': 'en'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('der','die','das','und',"
+   "'ist','nicht','mit','ein'))), 'lang': 'de'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('le','la','les','et',"
+   "'est','une','pas','pour'))), 'lang': 'fr'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('el','los','las','es',"
+   "'una','por','para','con'))), 'lang': 'es'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('的','是','了','在',"
+   "'我','有'))) + (length(text) - length(regexp_replace(text, "
+   "'[的是了在我有]', '', 'g'))), 'lang': 'zh'}])[1] AS best FROM base) "
+   "SELECT lang, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END "
+   "AS lang_pred, COUNT(*) AS n FROM scored "
+   "GROUP BY lang, lang_pred ORDER BY lang, lang_pred")
 def x09(spark, cat):
+    """Language-ID confusion matrix, oracle-matched: the marker
+    lexicons (operators.text.LANG_MARKERS) are restated inline in SQL;
+    argmax tie-break (max struct = highest hits, then lexicographically
+    greatest code) matches Spark's array_max over (hits, lang)
+    structs."""
     pred = tx_ops.language_id(cat.documents, "text")
     return (pred.groupBy("lang", "lang_pred")
             .agg(F.count(F.lit(1)).alias("n")).orderBy("lang", "lang_pred"))

@@ -56,6 +56,11 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         # -- broadcast threshold: 64 MB — dimension tables (region, nation,
         #    customer at small SF, dictionaries) should broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- cost-based optimizer: consumes ANALYZE TABLE statistics
+        #    (sources.writers.analyze_table) for join reordering on
+        #    multi-join marts; inert for tables without stats
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # -- quiet the UI in test/bench runs
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )

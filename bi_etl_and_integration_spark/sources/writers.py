@@ -64,6 +64,22 @@ def write_bucketed(df: DataFrame, table: str, *, buckets: int,
     w.saveAsTable(table)
 
 
+def analyze_table(spark: SparkSession, table: str,
+                  columns: list[str] | None = None) -> None:
+    """``ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]`` — feeds
+    the cost-based optimizer.  Table-level stats (sizeInBytes/rowCount)
+    drive broadcast-vs-shuffle decisions without AQE having to observe
+    the exchange first; column stats (NDV, min/max, null count) drive
+    CBO join reordering on multi-join marts.  Pair with
+    :func:`write_bucketed`: bucketed managed tables are exactly the
+    tables that live long enough to be worth statistics (the
+    ClickHouse-MergeTree-analog publish path)."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS "
+                  f"FOR COLUMNS {', '.join(columns)}")
+
+
 def staged_roundtrip(spark: SparkSession, df: DataFrame, path: str,
                      **write_kwargs) -> DataFrame:
     """Stage to parquet, read back (Raw File inter-phase staging,

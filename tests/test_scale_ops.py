@@ -77,3 +77,28 @@ def test_salted_aggregate_rejects_unknown_kind(rows):
     with pytest.raises(KeyError):
         agg_ops.salted_aggregate(big, ["k"],
                                  {"x": ("median", F.col("v"))}).collect()
+
+
+def test_analyze_table_feeds_cbo_stats(spark, rows):
+    """ANALYZE TABLE must land rowCount/size stats in the catalog (the
+    CBO's input) and column NDV stats when columns are named."""
+    from bi_etl_and_integration_spark.sources.writers import analyze_table
+    t = "t_stats"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        rows([(i, i % 3) for i in range(90)], "k int, g int") \
+            .write.saveAsTable(t)
+        analyze_table(spark, t, columns=["k", "g"])
+        detail = {r["col_name"]: r["data_type"]
+                  for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()}
+        assert "Statistics" in detail and "90 rows" in detail["Statistics"]
+        kcol = {r["info_name"]: r["info_value"] for r in
+                spark.sql(f"DESCRIBE TABLE EXTENDED {t} k").collect()}
+        # NDV is HyperLogLog-estimated — exactness is not the contract
+        assert abs(int(kcol["distinct_count"]) - 90) <= 5
+        # the optimized plan must carry the exact row count (CBO input)
+        plan_stats = (spark.table(t)._jdf.queryExecution()
+                      .optimizedPlan().stats())
+        assert plan_stats.rowCount().get() == 90
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
