@@ -1170,6 +1170,16 @@ def x05(spark, cat):
                                   threshold=0.15, n_planes=6)
 
 
+@q("x05b_dedup_embedding_multiprobe")  # rows-only (random projections)
+def x05b(spark, cat):
+    # 3 independent hyperplane draws over the same persisted scan; at
+    # threshold 0.15 on near-random fixtures each probe misses many
+    # straddling pairs, so the union exercises the recall-lift path
+    return dd_ops.embedding_dedup_multiprobe(
+        cat.embeddings, "embedding", "vec_id",
+        threshold=0.15, n_planes=6, n_probes=3)
+
+
 @q("x06_ann_ivf")  # rows-only (approximate by construction)
 def x06(spark, cat):
     queries = (cat.embeddings.where(F.col("vec_id") < 3)

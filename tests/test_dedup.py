@@ -71,3 +71,20 @@ def test_embedding_dedup_identical_vectors(rows):
     pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
     assert pairs.get((1, 2)) == 1.0
     assert all(3 not in p for p in pairs)
+
+
+def test_embedding_dedup_multiprobe_superset(rows):
+    df = rows([(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),
+               (3, [0.95, 0.3, 0.05]), (4, [-1.0, 0.0, 0.0])],
+              "vec_id long, embedding array<float>")
+    single = {(r["id_a"], r["id_b"]) for r in dd.embedding_dedup(
+        df, threshold=0.9, n_planes=6).collect()}
+    multi_rows = dd.embedding_dedup_multiprobe(
+        df, threshold=0.9, n_planes=6, n_probes=3).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    # probe 0 uses the same seed as the single run: union can only add
+    assert single <= multi
+    assert (1, 2) in multi  # identical vectors agree under every draw
+    assert all(4 not in p for p in multi)
+    # each recovered pair appears exactly once despite multiple probes
+    assert len(multi_rows) == len(multi)
