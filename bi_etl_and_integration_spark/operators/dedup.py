@@ -281,7 +281,8 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
 
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", *, threshold: float = 0.95,
-                    n_planes: int = 8, seed: int = 42) -> DataFrame:
+                    n_planes: int = 8, seed: int = 42,
+                    planes: list[list[float]] | None = None) -> DataFrame:
     """Embedding cosine near-dup: bucket by sign-of-random-projection
     (n_planes hyperplanes -> 2^n buckets), then verify cosine INSIDE
     each bucket with one vectorized numpy gram matrix per bucket
@@ -293,18 +294,27 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
     Exactness note: random-projection LSH is approximate; near-dups
     straddling a hyperplane need multi-probe (repeat with different
     seeds and union) — documented recall/cost dial."""
-    import pandas as pd
-
     from bi_etl_and_integration_spark.operators.similarity import (
         random_hyperplanes, sign_bucket)
-    planes = random_hyperplanes(_dim(df, vec_col), n_planes, seed)
+    if planes is None:
+        # _dim runs a limit(1) job; callers looping over probes pass
+        # precomputed planes to avoid paying it per probe
+        planes = random_hyperplanes(_dim(df, vec_col), n_planes, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      sign_bucket(F.col(vec_col), planes).alias("bkt"))
+    verify, out_schema = _cosine_verify(df, id_col, threshold)
+    return base.groupBy("bkt").applyInPandas(verify, out_schema)
+
+
+def _cosine_verify(df: DataFrame, id_col: str, threshold: float):
+    """(pandas fn, schema) verifying all intra-group pairs with one
+    numpy gram matrix; expects columns (id, v) plus the group key(s)."""
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cosine_sim double"
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify(pdf):
         import numpy as np
+        import pandas as pd
         if len(pdf) < 2:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine_sim": []})
@@ -320,7 +330,7 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                              "id_b": ids[ib[keep]],
                              "cosine_sim": sims[ia[keep], ib[keep]]})
 
-    return base.groupBy("bkt").applyInPandas(verify, out_schema)
+    return verify, out_schema
 
 
 def embedding_dedup_multiprobe(df: DataFrame, vec_col: str = "embedding",
@@ -333,19 +343,25 @@ def embedding_dedup_multiprobe(df: DataFrame, vec_col: str = "embedding",
     The recall dial documented on ``embedding_dedup`` made real: a pair
     at cosine s lands in the same bucket of one probe with
     p(s) = (1 - acos(s)/pi)^n_planes, so k independent probes lift
-    recall to 1 - (1-p)^k at k× bucket-shuffle/verify cost.  The source
-    projection is persisted so the scan runs once; each probe is an
-    independent bucket shuffle + BLAS verify, and the final
+    recall to 1 - (1-p)^k at k× verify cost.  All probes run in ONE
+    plan: each row posexplodes its ``n_probes`` bucket ids, one shuffle
+    on (probe, bucket) feeds one BLAS verify stage — k× shuffle ROWS
+    but a single stage barrier, not k sequential job waves.  The final
     dropDuplicates collapses pairs several probes both found (cosine is
     deterministic per pair, so the copies are identical rows)."""
-    base = df.select(id_col, vec_col).persist()
-    out: DataFrame | None = None
-    for i in range(n_probes):
-        p = embedding_dedup(base, vec_col, id_col, threshold=threshold,
-                            n_planes=n_planes, seed=seed + 7919 * i)
-        out = p if out is None else out.unionByName(p)
-    assert out is not None
-    return out.dropDuplicates(["id_a", "id_b"])
+    from bi_etl_and_integration_spark.operators.similarity import (
+        random_hyperplanes, sign_bucket)
+    dim = _dim(df, vec_col)  # one limit(1) job, shared by all probes
+    buckets = F.array(*[
+        sign_bucket(F.col(vec_col),
+                    random_hyperplanes(dim, n_planes, seed + 7919 * i))
+        for i in range(n_probes)])
+    probed = df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v"),
+                       F.posexplode(buckets).alias("probe", "bkt"))
+    verify, out_schema = _cosine_verify(df, id_col, threshold)
+    return (probed.groupBy("probe", "bkt").applyInPandas(verify, out_schema)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def _dim(df: DataFrame, vec_col: str) -> int:
