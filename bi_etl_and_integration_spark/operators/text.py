@@ -71,18 +71,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(df: DataFrame, text_col: str = "text",
                 out_col: str = "lang_pred") -> DataFrame:
-    """Heuristic language ID: score = fraction of tokens that are
-    markers of each language; argmax wins, 'und' if no marker hits.
-    Deterministic tie-break by language code."""
-    toks = tokenize(text_col)
+    """Heuristic language ID: score = count of tokens that are markers
+    of each language; argmax wins, 'und' if no marker hits.
+    Deterministic tie-break by language code.
+
+    Plan shape: tokens are joined with DOUBLE spaces (each token gets
+    its own framing pair) and hits counted with one anchored-alternation
+    ``regexp_count`` per language — whole-stage-codegen string passes.
+    The obvious per-token ``F.filter`` HOF evaluates its lambda
+    interpreted per token per language, ~10x slower at corpus scale."""
+    tcol = F.col(text_col) if isinstance(text_col, str) else text_col
+    padded = F.concat(F.lit(" "), F.array_join(tokenize(text_col), "  "),
+                      F.lit(" "))
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
-        marr = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        hits = F.regexp_count(
+            padded, F.lit(" (" + "|".join(markers) + ") "))
         # zh markers are chars, not space-separated tokens
         if lang == "zh":
-            hits = hits + F.size(F.regexp_extract_all(
-                F.col(text_col), F.lit("[" + "".join(markers) + "]"), 0))
+            hits = hits + F.regexp_count(
+                tcol, F.lit("[" + "".join(markers) + "]"))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return df.withColumn(
