@@ -295,13 +295,14 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
     straddling a hyperplane need multi-probe (repeat with different
     seeds and union) — documented recall/cost dial."""
     from bi_etl_and_integration_spark.operators.similarity import (
-        random_hyperplanes, sign_bucket)
+        random_hyperplanes, sign_buckets_udf)
     if planes is None:
         # _dim runs a limit(1) job; callers looping over probes pass
         # precomputed planes to avoid paying it per probe
         planes = random_hyperplanes(_dim(df, vec_col), n_planes, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     sign_bucket(F.col(vec_col), planes).alias("bkt"))
+                     sign_buckets_udf([planes])(F.col(vec_col))[0]
+                     .alias("bkt"))
     verify, out_schema = _cosine_verify(df, id_col, threshold)
     return base.groupBy("bkt").applyInPandas(verify, out_schema)
 
@@ -350,12 +351,11 @@ def embedding_dedup_multiprobe(df: DataFrame, vec_col: str = "embedding",
     dropDuplicates collapses pairs several probes both found (cosine is
     deterministic per pair, so the copies are identical rows)."""
     from bi_etl_and_integration_spark.operators.similarity import (
-        random_hyperplanes, sign_bucket)
+        random_hyperplanes, sign_buckets_udf)
     dim = _dim(df, vec_col)  # one limit(1) job, shared by all probes
-    buckets = F.array(*[
-        sign_bucket(F.col(vec_col),
-                    random_hyperplanes(dim, n_planes, seed + 7919 * i))
-        for i in range(n_probes)])
+    buckets = sign_buckets_udf(
+        [random_hyperplanes(dim, n_planes, seed + 7919 * i)
+         for i in range(n_probes)])(F.col(vec_col))
     probed = df.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("v"),
                        F.posexplode(buckets).alias("probe", "bkt"))
