@@ -52,3 +52,23 @@ def test_ivf_topk_recovers_exact_match(rows):
     best = [r for r in out if r["rank"] == 1][0]
     assert best["vec_id"] == 5
     assert abs(best["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_sign_buckets_udf_matches_expression_form(rows):
+    vecs = [(i, [((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(20)]
+    df = rows(vecs, EMB)
+    planes_a = sim.random_hyperplanes(8, 5, seed=1)
+    planes_b = sim.random_hyperplanes(8, 5, seed=2)
+    expr = df.select(
+        "vec_id",
+        sim.sign_bucket(F.col("embedding"), planes_a).alias("a"),
+        sim.sign_bucket(F.col("embedding"), planes_b).alias("b"))
+    udf = df.select(
+        "vec_id",
+        sim.sign_buckets_udf([planes_a, planes_b])(F.col("embedding"))
+        .alias("ab"))
+    want = {r["vec_id"]: (r["a"], r["b"]) for r in expr.collect()}
+    got = {r["vec_id"]: tuple(r["ab"]) for r in udf.collect()}
+    # fixture dots are far from zero, so BLAS order can't flip a sign
+    assert got == want
