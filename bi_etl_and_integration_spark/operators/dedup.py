@@ -232,7 +232,11 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     an equi-join per chunk finds all candidates (no cross join).
     """
     chunk = 64 // bands
-    base = simhash_table(df, text_col, id_col)
+    # persist: both self-join sides otherwise recompute the whole
+    # token-explode + vote aggregation (the broadcast side is separate
+    # lineage, so ReuseExchange can't kick in); the table is only
+    # (id, 64-bit hash) — N×16 bytes, cacheable at any corpus size
+    base = simhash_table(df, text_col, id_col).persist()
     banded = base.select(
         "id", "__sh",
         F.posexplode(F.array(*[
