@@ -1268,12 +1268,22 @@ def x12(spark, cat):
                      F.sum("nt").alias("total_tokens"))
 
 
-@q("x11_multimodal_features")  # rows-only: stubbed decoder (no codecs here)
+@q("x11_multimodal_features",
+   "SELECT doc_id AS media_id, "
+   "(octet_length(encode(text)) % 64) + 1 AS width, "
+   "((octet_length(encode(text)) // 64) % 64) + 1 AS height, "
+   "octet_length(encode(text)) AS n_bytes "
+   "FROM documents ORDER BY media_id")
 def x11(spark, cat):
+    """Stub decoder features restated in SQL: the deterministic fake
+    derives (width, height) from the payload byte length, so the oracle
+    certifies the whole Arrow mapInPandas path — batching, schema, and
+    id alignment — not the (environment-stubbed) codec itself."""
     from bi_etl_and_integration_spark.operators.multimodal import (
         image_features)
     media = cat.documents.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
     feats = image_features(media, decode_stub=True)
-    return feats.select("media_id", "width", "height", "n_bytes")
+    return (feats.select("media_id", "width", "height", "n_bytes")
+            .orderBy("media_id"))
