@@ -117,3 +117,25 @@ def test_conditional_split_pushes_each_branch_predicate(cat):
         cat.orders, {"big": F.col("o_totalprice") > 1000})
     pushed = " ".join(plans.pushed_filters(streams["big"]))
     assert "o_totalprice" in pushed
+
+
+def test_embedding_multiprobe_is_single_shuffle(cat):
+    """Multi-probe LSH must posexplode per-probe bucket ids into ONE
+    (probe, bucket) shuffle — k probes as k sequential job waves would
+    multiply stage barriers at corpus scale."""
+    from bi_etl_and_integration_spark.operators import dedup as dd
+    out = dd.embedding_dedup_multiprobe(
+        cat.embeddings, "embedding", "vec_id",
+        threshold=0.5, n_planes=4, n_probes=3)
+    # one Exchange for the bucket groupBy, one for the pair dedup
+    assert plans.shuffle_count(out) <= 2, plans.formatted_plan(out)
+
+
+def test_simhash_self_join_reuses_cached_table(cat):
+    """The banding self-join must not recompute the token-explode +
+    vote aggregation per side: the simhash table is persisted, so the
+    plan shows InMemoryTableScan instead of a second aggregation."""
+    from bi_etl_and_integration_spark.operators import dedup as dd
+    out = dd.simhash_dedup(cat.documents, "text", "doc_id")
+    plan = plans.formatted_plan(out)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
