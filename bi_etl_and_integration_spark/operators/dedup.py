@@ -127,14 +127,17 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                      hashed_shingles(F.col(text_col), shingle_n)
                      .alias("__hs")).persist()  # consumed 3x (sig + verify)
     exploded = base.select("id", F.explode("__hs").alias("__h"))
+    # generated-SQL aggs: one parse instead of 64×4 py4j round-trips
+    # (~1 s of driver time per plan construction); __h < p and a < p so
+    # the product stays under 2^62 — no ANSI overflow
     sig = exploded.groupBy("id").agg(
-        *[F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_P)))
-          .alias(f"__m{i}") for i, (a, b) in enumerate(coeffs)])
-    band_keys = F.array(*[
-        F.xxhash64(*[F.col(f"__m{j}")
-                     for j in range(b * rows_per_band,
-                                    (b + 1) * rows_per_band)])
-        for b in range(bands)])
+        *[F.expr(f"MIN(PMOD(__h * {a}L + {b}L, {_P}L)) AS __m{i}")
+          for i, (a, b) in enumerate(coeffs)])
+    band_keys = F.expr("ARRAY(" + ", ".join(
+        "XXHASH64(" + ", ".join(
+            f"__m{j}" for j in range(b * rows_per_band,
+                                     (b + 1) * rows_per_band)) + ")"
+        for b in range(bands)) + ")")
     banded = sig.select("id", F.posexplode(band_keys).alias("band", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
@@ -206,19 +209,26 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     # columns instead of 64 (4x less hash-agg work), safe for documents
     # up to 65535 tokens (a 100 TB web corpus caps well under that; the
     # bound is asserted via the count column).
+    # expressions are built as generated SQL text (one JVM parse) rather
+    # than hundreds of chained Column calls: each Column op is a py4j
+    # round-trip, and this fold alone was ~1.5 s of DRIVER time per
+    # plan construction — pure client overhead, paid even on a cluster
     lane_mask = 0x0001000100010001
-    aggs = [F.sum(F.shiftrightunsigned(F.col("__h"), j)
-                  .bitwiseAND(F.lit(lane_mask))).alias(f"__p{j}")
+    aggs = [F.expr(f"SUM(SHIFTRIGHTUNSIGNED(__h, {j}) & {lane_mask}L) "
+                   f"AS __p{j}")
             for j in range(16)]
     votes = toks.groupBy("id").agg(F.count("__h").alias("__n"), *aggs)
-    out = F.lit(0).cast("long")
+
+    def mask_sql(m: int) -> str:
+        # the sign bit's mask is LONG_MIN, which has no positive literal
+        return f"{m}L" if m >= 0 else "(-9223372036854775807L - 1L)"
+
+    terms = []
     for i, m in enumerate(masks):
         j, lane = i % 16, i // 16
-        ones = (F.shiftrightunsigned(F.col(f"__p{j}"), 16 * lane)
-                .bitwiseAND(F.lit(0xFFFF)))
-        out = out.bitwiseOR(
-            F.when(2 * ones > F.col("__n"), F.lit(m).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
+        ones = f"(SHIFTRIGHTUNSIGNED(__p{j}, {16 * lane}) & 65535L)"
+        terms.append(f"IF(2 * {ones} > __n, {mask_sql(m)}, 0L)")
+    out = F.expr(" | ".join(terms))
     return votes.select("id", out.alias(out_col))
 
 
