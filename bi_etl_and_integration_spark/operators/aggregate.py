@@ -68,6 +68,25 @@ def distinct(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
     return df.dropDuplicates(list(keys)) if keys else df.distinct()
 
 
+def percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
+                ps: Sequence[float], *, approx: bool = False,
+                accuracy: int = 10_000) -> DataFrame:
+    """Per-group continuous percentiles (ClickHouse ``quantile``-family
+    capability; beyond-reference OLAP standard alongside ``cube`` /
+    ``approx_count_distinct``).
+
+    ``approx=False`` uses Spark's exact interpolating ``percentile`` —
+    cross-engine deterministic (matches DuckDB ``quantile_cont``) but
+    buffers each group's values; the 100 TB path is ``approx=True``
+    (``approx_percentile``, bounded-memory sketch with ``accuracy`` as
+    the error dial, engine-specific results)."""
+    fn = "approx_percentile" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
+    exprs = [F.expr(f"{fn}({value_col}, {p}{extra})")
+             .alias(f"p{int(p * 100):02d}") for p in ps]
+    return df.groupBy(*keys).agg(*exprs)
+
+
 def rollup(df: DataFrame, keys: Sequence[str],
            aggs: Mapping[str, Column]) -> DataFrame:
     exprs = [c.alias(name) for name, c in aggs.items()]

@@ -566,6 +566,23 @@ def q26b(spark, cat):
         F.approx_count_distinct("l_partkey").alias("nk_approx"))
 
 
+@q("q26c_percentiles",
+   "SELECT o_orderstatus, "
+   + R("quantile_cont(o_totalprice, 0.5)") + " AS p50, "
+   + R("quantile_cont(o_totalprice, 0.9)") + " AS p90 "
+   "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+def q26c(spark, cat):
+    """Exact interpolating percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``); ``percentiles(approx=True)`` is the
+    bounded-memory scale path, engine-specific hence not oracled."""
+    out = agg_ops.percentiles(cat.orders, ["o_orderstatus"],
+                              "o_totalprice", [0.5, 0.9])
+    return (out.select("o_orderstatus",
+                       dec_round("p50").alias("p50"),
+                       dec_round("p90").alias("p90"))
+            .orderBy("o_orderstatus"))
+
+
 # ============================================================ windows
 
 @q("q27_limit_by",

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bi_etl_and_integration_spark.operators import aggregate as agg
@@ -86,3 +87,17 @@ def test_pre_aggregate_then_join_never_fans_out(rows):
     assert out.count() == base.count()  # structurally impossible to fan out
     got = {r["k"]: (r["s"], r["n"]) for r in out.collect()}
     assert got == {1: (12.0, 2), 2: (1.0, 1), 3: (None, None)}
+
+
+def test_percentiles_exact_and_approx(rows):
+    df = rows([("a", float(v)) for v in range(1, 11)]
+              + [("b", 100.0)], "k string, v double")
+    out = {r["k"]: (r["p50"], r["p90"]) for r in
+           agg.percentiles(df, ["k"], "v", [0.5, 0.9]).collect()}
+    # continuous interpolation: median of 1..10 = 5.5, p90 = 9.1
+    assert out["a"] == (5.5, pytest.approx(9.1))
+    assert out["b"] == (100.0, 100.0)
+    ap = {r["k"]: r["p50"] for r in
+          agg.percentiles(df, ["k"], "v", [0.5], approx=True).collect()}
+    assert ap["a"] in (5.0, 6.0)  # nearest-rank sketch, not interpolated
+    assert ap["b"] == 100.0
