@@ -65,3 +65,21 @@ def with_lag_lead(df: DataFrame, keys: Sequence[str],
     w = Window.partitionBy(*keys).orderBy(*order)
     return (df.withColumn(f"{col}_lag", F.lag(col, lag_n).over(w))
               .withColumn(f"{col}_lead", F.lead(col, lead_n).over(w)))
+
+
+def ntile_buckets(df: DataFrame, keys: Sequence[str],
+                  order: Sequence[Column], n: int,
+                  out_col: str = "bucket") -> DataFrame:
+    """Equal-frequency bucketing per key group (NTILE).
+
+    ``keys`` is deliberately required: a global NTILE (no partitionBy)
+    funnels every row through ONE window partition — the classic
+    single-reducer cliff at scale.  For a corpus-wide ntile, bucket
+    within natural keys or pre-bin on ``approx_percentile`` cutpoints
+    instead.  ``order`` must include a unique tiebreaker so restarts
+    are deterministic."""
+    if not keys:
+        raise ValueError("ntile_buckets requires partition keys; a "
+                         "global NTILE is a single-reducer plan at scale")
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n).over(w))

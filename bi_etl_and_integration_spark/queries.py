@@ -611,6 +611,26 @@ def q28(spark, cat):
             .orderBy("o_custkey", "o_orderkey"))
 
 
+@q("q28b_ntile_quartiles",
+   "WITH t AS (SELECT o_orderstatus, o_totalprice, NTILE(4) OVER "
+   "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) q "
+   "FROM orders) "
+   "SELECT o_orderstatus, q, COUNT(*) AS n, "
+   + R("MIN(o_totalprice)") + " AS lo, " + R("MAX(o_totalprice)") + " AS hi "
+   "FROM t GROUP BY o_orderstatus, q ORDER BY o_orderstatus, q")
+def q28b(spark, cat):
+    """Equal-frequency quartiles per status (partitioned NTILE — the
+    scale-safe form; global NTILE is rejected by the operator)."""
+    t = win_ops.ntile_buckets(cat.orders, ["o_orderstatus"],
+                              [F.col("o_totalprice"), F.col("o_orderkey")],
+                              4, out_col="q")
+    return (t.groupBy("o_orderstatus", "q")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_round(F.min("o_totalprice")).alias("lo"),
+                 dec_round(F.max("o_totalprice")).alias("hi"))
+            .orderBy("o_orderstatus", "q"))
+
+
 @q("q29_topk",
    "SELECT o_orderkey, o_totalprice FROM orders "
    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")

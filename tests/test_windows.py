@@ -55,3 +55,15 @@ def test_lag_lead(rows):
     out = win.with_lag_lead(df, ["k"], [F.col("v")], "v")
     mid = [r for r in out.collect() if r["v"] == 2][0]
     assert mid["v_lag"] == 1 and mid["v_lead"] == 3
+
+
+def test_ntile_buckets_partitioned_and_rejects_global(rows):
+    import pytest
+    df = rows([("a", i) for i in range(1, 9)] + [("b", 1)],
+              "k string, v int")
+    out = win.ntile_buckets(df, ["k"], [F.col("v")], 4, out_col="q")
+    got = {(r["k"], r["v"]): r["q"] for r in out.collect()}
+    assert got[("a", 1)] == 1 and got[("a", 8)] == 4
+    assert got[("b", 1)] == 1
+    with pytest.raises(ValueError):
+        win.ntile_buckets(df, [], [F.col("v")], 4)
