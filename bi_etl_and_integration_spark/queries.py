@@ -611,6 +611,24 @@ def q28(spark, cat):
             .orderBy("o_custkey", "o_orderkey"))
 
 
+@q("q26d_stats",
+   "SELECT l_returnflag, "
+   + R("corr(l_quantity, l_extendedprice)", 4) + " AS c, "
+   + R("covar_samp(l_quantity, l_extendedprice)", 2) + " AS cv, "
+   + R("stddev_samp(l_extendedprice)", 2) + " AS sd "
+   "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+def q26d(spark, cat):
+    """Statistical aggregates (ClickHouse corr/covar/stddev family):
+    both engines accumulate co-moments in double; drift stays far below
+    the decimal(38,10) rounding anchor, verified at sf0.001/0.01."""
+    return agg_ops.aggregate(
+        cat.lineitem, ["l_returnflag"],
+        {"c": dec_round(F.corr("l_quantity", "l_extendedprice"), 4),
+         "cv": dec_round(F.covar_samp("l_quantity", "l_extendedprice"), 2),
+         "sd": dec_round(F.stddev_samp("l_extendedprice"), 2)},
+    ).orderBy("l_returnflag")
+
+
 @q("q28b_ntile_quartiles",
    "WITH t AS (SELECT o_orderstatus, o_totalprice, NTILE(4) OVER "
    "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) q "
