@@ -437,6 +437,24 @@ def q19(spark, cat):
             .orderBy("o_custkey"))
 
 
+@q("q19b_argmax",
+   "SELECT o_custkey, "
+   "arg_max(o_orderkey, o_totalprice * 1000000000 + o_orderkey) AS best_order, "
+   + R("MAX(o_totalprice)") + " AS best_price "
+   "FROM orders GROUP BY o_custkey ORDER BY o_custkey")
+def q19b(spark, cat):
+    """ClickHouse ``argMax`` (DM datamart idiom): key of the row holding
+    the group's max measure.  Ties are broken deterministically by
+    folding the unique key into the ordering value: price*1e9+key is
+    exact in double (6e14 < 2^53) and the 1e7 scaled price granularity
+    exceeds the max key, so ordering is (price, key) lexicographic."""
+    return (cat.orders.groupBy("o_custkey")
+            .agg(F.expr("max_by(o_orderkey, o_totalprice * 1000000000D "
+                        "+ o_orderkey)").alias("best_order"),
+                 dec_round(F.max("o_totalprice")).alias("best_price"))
+            .orderBy("o_custkey"))
+
+
 @q("q20_string_agg",
    "SELECT o_custkey, STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' "
    "ORDER BY o_orderkey) AS s FROM orders GROUP BY o_custkey "
