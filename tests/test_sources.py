@@ -87,3 +87,13 @@ def test_read_jdbc_param_binding_validation(spark):
         readers.read_jdbc(spark, "jdbc:x", query="q", dbtable="t")
     with pytest.raises(ValueError):
         readers.read_jdbc(spark, "jdbc:x")
+
+
+def test_orc_roundtrip(rows, tmp_path):
+    df = rows([(1, "a", 1.5), (2, "b", 2.5)], "id int, v string, x double")
+    p = str(tmp_path / "orc_stage")
+    df.write.mode("overwrite").orc(p)
+    back = readers.read_orc(df.sparkSession, p)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in df.collect())
