@@ -437,6 +437,19 @@ def q19(spark, cat):
             .orderBy("o_custkey"))
 
 
+@q("q19c_group_uniq_array",
+   "SELECT o_custkey, array_to_string(list_sort(list_distinct("
+   "list(o_orderstatus))), ',') AS sts "
+   "FROM orders GROUP BY o_custkey ORDER BY o_custkey")
+def q19c(spark, cat):
+    """ClickHouse ``groupUniqArray`` = collect_set with the same
+    sorted-determinism convention as ``group_array``."""
+    return (cat.orders.groupBy("o_custkey")
+            .agg(F.array_join(F.sort_array(F.collect_set("o_orderstatus")),
+                              ",").alias("sts"))
+            .orderBy("o_custkey"))
+
+
 @q("q19b_argmax",
    "SELECT o_custkey, "
    "arg_max(o_orderkey, o_totalprice * 1000000000 + o_orderkey) AS best_order, "
