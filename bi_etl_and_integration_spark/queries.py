@@ -186,6 +186,31 @@ def q05(spark, cat):
     )
 
 
+@q("q05b_datetime_functions",
+   "SELECT o_orderkey, EXTRACT(year FROM o_orderdate) AS y, "
+   "EXTRACT(quarter FROM o_orderdate) AS q, "
+   "CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due, "
+   "datediff('day', o_orderdate, DATE '1998-12-31') AS age_d, "
+   "CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart, "
+   "last_day(o_orderdate) AS mend "
+   "FROM orders ORDER BY o_orderkey")
+def q05b(spark, cat):
+    """SSIS date-expression family (DATEADD/DATEDIFF/DATEPART/YEAR,
+    PRO/Глава 06:93-114,144-148) over the full scalar surface:
+    extraction, arithmetic, diff, truncation, end-of-month."""
+    return (cat.orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due"),
+        F.datediff(F.lit("1998-12-31").cast("date"),
+                   F.col("o_orderdate")).alias("age_d"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        .alias("mstart"),
+        F.last_day("o_orderdate").alias("mend"))
+        .orderBy("o_orderkey"))
+
+
 @q("q06_conditional_split",
    "SELECT event_id, 'high' AS branch FROM events WHERE value > 50 "
    "UNION ALL "
