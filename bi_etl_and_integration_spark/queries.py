@@ -250,6 +250,26 @@ def q08(spark, cat):
     return mapped.select("c_custkey", "seg", "nm").orderBy("c_custkey")
 
 
+@q("q08b_string_functions",
+   "SELECT p_partkey, strpos(p_name, 'a') AS pos, left(p_name, 6) AS l6, "
+   "right(p_brand, 2) AS r2, lpad(p_brand, 12, '.') AS pad, "
+   "replace(p_type, ' ', '_') AS t_, split_part(p_type, ' ', 1) AS w1 "
+   "FROM part ORDER BY p_partkey")
+def q08b(spark, cat):
+    """SSIS string-expression family (FINDSTRING/LEFT/RIGHT/REPLACE,
+    PRO/Глава 11:17-22) + PG split_part — the scalar string surface
+    beyond upper/lower/trim (q05/q08)."""
+    return (cat.part.select(
+        "p_partkey",
+        F.instr("p_name", "a").alias("pos"),
+        F.expr("left(p_name, 6)").alias("l6"),
+        F.expr("right(p_brand, 2)").alias("r2"),
+        F.lpad("p_brand", 12, ".").alias("pad"),
+        F.regexp_replace("p_type", " ", "_").alias("t_"),
+        F.substring_index("p_type", " ", 1).alias("w1"))
+        .orderBy("p_partkey"))
+
+
 @q("q09_filter_pruning",
    "SELECT l_orderkey, l_linenumber FROM lineitem "
    "WHERE l_shipdate >= DATE '1995-01-01' "
