@@ -211,6 +211,44 @@ def q05b(spark, cat):
         .orderBy("o_orderkey"))
 
 
+@q("q05c_null_functions",
+   "SELECT event_id, COALESCE(value, -1.0) AS v_nz, "
+   "NULLIF(event_type, 'view') AS t_nv, "
+   "CAST(value IS NULL AS INT) AS is_n "
+   "FROM events ORDER BY event_id")
+def q05c(spark, cat):
+    """SSIS null-handling family (REPLACENULL / ISNULL ternary,
+    PRO/Глава 06:118-122; COALESCE in the migration scripts)."""
+    return (cat.events.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("v_nz"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("t_nv"),
+        F.isnull("value").cast("int").alias("is_n"))
+        .orderBy("event_id"))
+
+
+@q("q05d_math_functions",
+   "SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS fl, "
+   "CAST(ceil(o_totalprice) AS BIGINT) AS ce, abs(o_totalprice - 300000) AS ab, "
+   + R("sqrt(o_totalprice)", 4) + " AS sq, "
+   + R("ln(o_totalprice)", 4) + " AS ln, "
+   + R("pow(o_totalprice, 0.25)", 4) + " AS pw "
+   "FROM orders ORDER BY o_orderkey")
+def q05d(spark, cat):
+    """Math scalar surface (SSIS arithmetic, PRO/Глава 06:84): floor/
+    ceil/abs exact; transcendentals decimal-anchored (libm results
+    agree to well under 1e-10 relative on this domain)."""
+    return (cat.orders.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("fl"),
+        F.ceil("o_totalprice").cast("long").alias("ce"),
+        F.abs(F.col("o_totalprice") - 300000).alias("ab"),
+        dec_round(F.sqrt("o_totalprice"), 4).alias("sq"),
+        dec_round(F.log("o_totalprice"), 4).alias("ln"),
+        dec_round(F.pow(F.col("o_totalprice"), F.lit(0.25)), 4).alias("pw"))
+        .orderBy("o_orderkey"))
+
+
 @q("q06_conditional_split",
    "SELECT event_id, 'high' AS branch FROM events WHERE value > 50 "
    "UNION ALL "
