@@ -87,6 +87,36 @@ def percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
     return df.groupBy(*keys).agg(*exprs)
 
 
+def approx_top_k(df: DataFrame, col: str, k: int = 20, *,
+                 m: int = 10_000) -> DataFrame:
+    """Heavy hitters (ClickHouse ``topK`` capability): per-partition
+    local top-``m`` counts via one Arrow pass, then a global merge of
+    at most m×partitions candidate rows.
+
+    The shuffle is bounded by m×partitions regardless of the column's
+    cardinality — the 100 TB property a plain count+sort lacks.  Counts
+    are EXACT whenever each partition holds ≤ m distinct values (then
+    no local tail is dropped); beyond that it is a space-saving-style
+    approximation whose dropped mass per partition is bounded by the
+    partition's tail beyond rank m.  Deterministic output order:
+    (count desc, value).  Output: (value, est_count)."""
+    import pandas as pd
+
+    def local(batches):
+        from collections import Counter
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf[col].dropna())
+        top = c.most_common(m)
+        yield pd.DataFrame({"value": [t for t, _ in top],
+                            "cnt": [n for _, n in top]})
+
+    part = df.select(F.col(col).cast("string").alias(col)) \
+        .mapInPandas(local, schema="value string, cnt long")
+    return (part.groupBy("value").agg(F.sum("cnt").alias("est_count"))
+            .orderBy(F.desc("est_count"), F.col("value")).limit(k))
+
+
 def rollup(df: DataFrame, keys: Sequence[str],
            aggs: Mapping[str, Column]) -> DataFrame:
     exprs = [c.alias(name) for name, c in aggs.items()]

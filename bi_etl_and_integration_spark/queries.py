@@ -1416,6 +1416,24 @@ def x10(spark, cat):
             .orderBy("doc_id"))
 
 
+@q("x13_heavy_hitters",
+   "WITH tok AS (SELECT LOWER(UNNEST(list_filter(STRING_SPLIT(text,' '), "
+   "x -> x != ''))) AS value FROM documents) "
+   "SELECT value, COUNT(*) AS est_count FROM tok "
+   "GROUP BY value ORDER BY est_count DESC, value LIMIT 20")
+def x13(spark, cat):
+    """Heavy hitters over document tokens via the bounded-shuffle
+    local-top-m merge (aggregate.approx_top_k).  Oracle-matched here
+    because m=10000 exceeds any fixture partition's distinct-token
+    count, making the sketch exact; at corpus scale the same plan
+    degrades gracefully to a space-saving approximation instead of
+    shuffling the full token frequency table."""
+    toks = cat.documents.select(
+        F.explode(F.filter(F.split(F.lower(F.col("text")), " "),
+                           lambda x: x != "")).alias("tok"))
+    return agg_ops.approx_top_k(toks, "tok", k=20, m=10_000)
+
+
 @q("x12_training_pipeline",
    "WITH tok AS (SELECT doc_id, md5(text) AS fp, "
    "len(list_filter(string_split(text,' '), x -> x != '')) AS nt "

@@ -101,3 +101,23 @@ def test_percentiles_exact_and_approx(rows):
           agg.percentiles(df, ["k"], "v", [0.5], approx=True).collect()}
     assert ap["a"] in (5.0, 6.0)  # nearest-rank sketch, not interpolated
     assert ap["b"] == 100.0
+
+
+def test_approx_top_k_exact_when_m_covers_cardinality(rows):
+    data = [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 3 + [("w",)] * 1
+    df = rows(data, "v string")
+    out = [(r["value"], r["est_count"]) for r in
+           agg.approx_top_k(df, "v", k=3, m=100).collect()]
+    # ties broken by value: y before z at count 3
+    assert out == [("x", 5), ("y", 3), ("z", 3)]
+
+
+def test_approx_top_k_bounds_candidates(rows):
+    df = rows([(str(i % 7),) for i in range(70)], "v string") \
+        .repartition(2)
+    out = agg.approx_top_k(df, "v", k=2, m=3)
+    got = out.collect()
+    assert len(got) == 2
+    # with m=3 < 7 distinct per partition the counts are estimates,
+    # but the top value still surfaces
+    assert got[0]["est_count"] >= got[1]["est_count"]
