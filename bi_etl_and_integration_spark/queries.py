@@ -507,6 +507,26 @@ def q18(spark, cat):
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+@q("q18b_salted_aggregate",
+   "SELECT l_returnflag, " + R("SUM(l_extendedprice)") + " AS sp, "
+   "COUNT(*) AS n, " + R("AVG(l_quantity)") + " AS aq "
+   "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+def q18b(spark, cat):
+    """Skew path, oracle-matched: the two-phase salted aggregation
+    (hot key spread over 16 reducers, then per-key merge) must produce
+    EXACTLY the plain GROUP BY's results — the value-hash equality
+    against the unsalted oracle is the correctness proof of the
+    decompose/merge algebra (sum/count pairs for avg)."""
+    out = agg_ops.salted_aggregate(
+        cat.lineitem, ["l_returnflag"],
+        {"sp": ("sum", F.col("l_extendedprice")),
+         "n": ("count", F.lit(1)),
+         "aq": ("avg", F.col("l_quantity"))}, salt=16)
+    return (out.select("l_returnflag", dec_round("sp").alias("sp"),
+                       F.col("n"), dec_round("aq").alias("aq"))
+            .orderBy("l_returnflag"))
+
+
 @q("q19_group_array",
    "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') "
    "AS ks FROM orders GROUP BY o_custkey ORDER BY o_custkey")
