@@ -351,6 +351,22 @@ def q11(spark, cat):
     return looked.select("o_orderkey", "c_name").orderBy("o_orderkey")
 
 
+@q("q11b_salted_join",
+   "SELECT o.o_orderkey, c.c_name FROM orders o "
+   "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey")
+def q11b(spark, cat):
+    """Skew-join path, oracle-matched: salting the probe side and
+    replicating the dimension across salt values must reproduce the
+    plain equi-join row-for-row — the hash match proves the salt
+    column never leaks into join semantics."""
+    joined = rel_ops.salted_join(
+        cat.orders,
+        cat.customer.select(F.col("c_custkey").alias("o_custkey"),
+                            "c_name"),
+        ["o_custkey"], salt=8, how="inner")
+    return joined.select("o_orderkey", "c_name").orderBy("o_orderkey")
+
+
 @q("q12_cascaded_lookup",
    "SELECT l.l_orderkey, l.l_linenumber, COALESCE(p.p_partkey,-1) AS p_sk, "
    "COALESCE(s.s_suppkey,-1) AS s_sk FROM lineitem l "
