@@ -33,7 +33,7 @@ from bi_etl_and_integration_spark.operators import (
 from bi_etl_and_integration_spark.operators.cdc import net_changes
 from bi_etl_and_integration_spark.sources import Catalog, read_csv
 from bi_etl_and_integration_spark.sources.writers import (
-    staged_roundtrip, write_csv)
+    staged_roundtrip, write_bucketed, write_csv)
 from bi_etl_and_integration_spark.streaming.windows import (
     session_windowed_agg as sw_agg,
     sliding_windowed_agg as sl_agg,
@@ -395,6 +395,40 @@ def q13(spark, cat):
                          F.col("n.n_regionkey") == F.col("r.r_regionkey"),
                          "full")
             .select("n_name", "r_name"))
+
+
+@q("q13b_bucketed_join",
+   "SELECT c.c_custkey, c.c_name, o.o_orderkey FROM customer c "
+   "JOIN orders o ON o.o_custkey = c.c_custkey "
+   "ORDER BY c.c_custkey, o.o_orderkey")
+def q13b(spark, cat):
+    """Co-located join, oracle-matched: both sides written as bucketed
+    tables on the join key (the one-time shuffle at rest), then joined
+    with ZERO Exchange — the MergeTree-sharding analog and the 100 TB
+    co-location tool.  The plan property is asserted in
+    tests/test_scale_ops.py; here the value hash proves the bucketed
+    path returns exactly the plain join's rows."""
+    sfx = os.path.basename(os.path.normpath(cat.sf_dir)).replace(".", "_")
+    tc, to = f"bk_customer_{sfx}", f"bk_orders_{sfx}"
+    for t in (tc, to):
+        # a fresh session's catalog doesn't know tables left by a prior
+        # run, but their managed locations survive — drop both layers
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            .removeprefix("file:"), t)
+        if os.path.exists(loc):
+            import shutil
+            shutil.rmtree(loc)
+    write_bucketed(cat.customer.select(F.col("c_custkey").alias("k"),
+                                       "c_name"),
+                   tc, buckets=8, by=["k"], sort_by=["k"])
+    write_bucketed(cat.orders.select(F.col("o_custkey").alias("k"),
+                                     "o_orderkey"),
+                   to, buckets=8, by=["k"], sort_by=["k"])
+    j = spark.table(tc).join(spark.table(to), "k")
+    return (j.select(F.col("k").alias("c_custkey"), "c_name", "o_orderkey")
+            .orderBy("c_custkey", "o_orderkey"))
 
 
 @q("q14_mart_cte_cascade",
