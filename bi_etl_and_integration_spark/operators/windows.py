@@ -67,6 +67,23 @@ def with_lag_lead(df: DataFrame, keys: Sequence[str],
               .withColumn(f"{col}_lead", F.lead(col, lead_n).over(w)))
 
 
+def running_range(df: DataFrame, keys: Sequence[str], ts_col: str,
+                  value_col: str, *, interval: str = "30 days",
+                  agg: str = "SUM", out_col: str = "run") -> DataFrame:
+    """Time-RANGE window frame (``RANGE BETWEEN INTERVAL .. PRECEDING``):
+    the moving-window-over-event-time aggregate.  Unlike a ROWS frame
+    the window follows the CLOCK, not the row count — the correct
+    semantics for trailing-30-day style marts.  Expressed as generated
+    SQL because PySpark's ``Window.rangeBetween`` only takes numeric
+    offsets (interval frames are SQL-only)."""
+    keys_sql = ", ".join(keys)
+    frame = (f"{agg}({value_col}) OVER (PARTITION BY {keys_sql} "
+             f"ORDER BY CAST({ts_col} AS TIMESTAMP) "
+             f"RANGE BETWEEN INTERVAL {interval} PRECEDING "
+             f"AND CURRENT ROW)")
+    return df.withColumn(out_col, F.expr(frame))
+
+
 def ntile_buckets(df: DataFrame, keys: Sequence[str],
                   order: Sequence[Column], n: int,
                   out_col: str = "bucket") -> DataFrame:

@@ -813,6 +813,23 @@ def q26d(spark, cat):
     ).orderBy("l_returnflag")
 
 
+@q("q28c_range_frame",
+   "SELECT o_custkey, o_orderkey, CAST(ROUND(CAST(SUM(o_totalprice) OVER "
+   "(PARTITION BY o_custkey ORDER BY o_orderdate "
+   "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) "
+   "AS DECIMAL(38,10)),2) AS DOUBLE) AS r30 "
+   "FROM orders ORDER BY o_custkey, o_orderkey")
+def q28c(spark, cat):
+    """Trailing-30-day revenue per customer: time-RANGE frame (the
+    window follows the clock, not the row count)."""
+    r = win_ops.running_range(cat.orders, ["o_custkey"], "o_orderdate",
+                              "o_totalprice", interval="30 days",
+                              out_col="__r")
+    return (r.select("o_custkey", "o_orderkey",
+                     dec_round("__r").alias("r30"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
 @q("q28b_ntile_quartiles",
    "WITH t AS (SELECT o_orderstatus, o_totalprice, NTILE(4) OVER "
    "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) q "

@@ -67,3 +67,16 @@ def test_ntile_buckets_partitioned_and_rejects_global(rows):
     assert got[("b", 1)] == 1
     with pytest.raises(ValueError):
         win.ntile_buckets(df, [], [F.col("v")], 4)
+
+
+def test_running_range_follows_clock_not_rows(rows):
+    import datetime as dt
+    df = rows([("k", dt.date(2020, 1, 1), 1.0),
+               ("k", dt.date(2020, 1, 15), 2.0),
+               ("k", dt.date(2020, 3, 1), 4.0)],
+              "k string, d date, v double")
+    out = win.running_range(df, ["k"], "d", "v", interval="30 days")
+    got = {r["d"].isoformat(): r["run"] for r in out.collect()}
+    # Jan 15 sees Jan 1 (14 days back); Mar 1 sees neither
+    assert got == {"2020-01-01": 1.0, "2020-01-15": 3.0,
+                   "2020-03-01": 4.0}
