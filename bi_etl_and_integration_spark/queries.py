@@ -262,6 +262,20 @@ def q06(spark, cat):
         streams["low"].select("event_id", F.lit("low").alias("branch")))
 
 
+@q("q06c_regex_extract",
+   r"SELECT p_partkey, regexp_extract(p_brand, 'Brand#(\d+)', 1) AS bnum, "
+   r"regexp_extract(p_name, '^(\w+)', 1) AS w1 "
+   "FROM part ORDER BY p_partkey")
+def q06c(spark, cat):
+    """Regex capture-group extraction (Script-Component regex example,
+    PRO/Глава 09:82-102, beyond validation: structured field pull-out)."""
+    return (cat.part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("bnum"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("w1"))
+        .orderBy("p_partkey"))
+
+
 @q("q07_cast_quarantine",
    "SELECT COUNT(CASE WHEN TRY_CAST(json_extract_string(props,'$.k') AS INT)"
    " IS NOT NULL THEN 1 END) AS n_ok, "
