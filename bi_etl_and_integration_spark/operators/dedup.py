@@ -127,18 +127,22 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                      hashed_shingles(F.col(text_col), shingle_n)
                      .alias("__hs")).persist()  # consumed 3x (sig + verify)
     exploded = base.select("id", F.explode("__hs").alias("__h"))
-    # generated-SQL aggs: one parse instead of 64×4 py4j round-trips
+    # generated-SQL, TWO expressions total: the 64 signature mins as one
+    # ARRAY agg, the band keys as one ARRAY of xxhash64 over its slices
+    # — a single parse + analysis pass instead of 64×4 py4j round-trips
     # (~1 s of driver time per plan construction); __h < p and a < p so
     # the product stays under 2^62 — no ANSI overflow
-    sig = exploded.groupBy("id").agg(
-        *[F.expr(f"MIN(PMOD(__h * {a}L + {b}L, {_P}L)) AS __m{i}")
-          for i, (a, b) in enumerate(coeffs)])
-    band_keys = F.expr("ARRAY(" + ", ".join(
+    sig_sql = "ARRAY(" + ", ".join(
+        f"MIN(PMOD(__h * {a}L + {b}L, {_P}L))"
+        for a, b in coeffs) + ") AS __sig"
+    sig = exploded.groupBy("id").agg(F.expr(sig_sql))
+    band_sql = "ARRAY(" + ", ".join(
         "XXHASH64(" + ", ".join(
-            f"__m{j}" for j in range(b * rows_per_band,
-                                     (b + 1) * rows_per_band)) + ")"
-        for b in range(bands)) + ")")
-    banded = sig.select("id", F.posexplode(band_keys).alias("band", "bucket"))
+            f"__sig[{j}]" for j in range(b * rows_per_band,
+                                         (b + 1) * rows_per_band)) + ")"
+        for b in range(bands)) + ")"
+    banded = sig.select(
+        "id", F.posexplode(F.expr(band_sql)).alias("band", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
