@@ -88,3 +88,20 @@ def test_embedding_dedup_multiprobe_superset(rows):
     assert all(4 not in p for p in multi)
     # each recovered pair appears exactly once despite multiple probes
     assert len(multi_rows) == len(multi)
+
+
+def test_simhash_table_matches_column_variant(rows):
+    """The SWAR-packed vote aggregation (simhash_table) must agree
+    bit-for-bit with the per-row array-accumulator column (simhash) —
+    same hash family, same vote rule, different plan."""
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+            (4, "single"),
+            (5, "a b a b a b repeated tokens a b")]
+    df = rows(docs, DOCS)
+    via_table = {r["id"]: r["__sh"]
+                 for r in dd.simhash_table(df).collect()}
+    via_col = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dd.simhash(F.col("text")).alias("sh")).collect()}
+    assert via_table == via_col
