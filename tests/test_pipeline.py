@@ -149,3 +149,24 @@ def test_checkpointed_write_swaps_atomically(spark, rows, tmp_path):
     v2 = rows([(1,), (2,)], "id int")
     checkpointed_write(v2, path)
     assert spark.read.parquet(path).count() == 2
+
+
+def test_cli_runs_spec_and_reports_status(spark, tmp_path, capsys):
+    import json
+    from bi_etl_and_integration_spark.__main__ import main
+    src = str(tmp_path / "in.parquet")
+    spark.range(5).write.parquet(src)
+    spec = {"name": "cli_demo", "stages": [
+        {"name": "load", "read": {"format": "parquet", "path": src}},
+        {"name": "agg", "sql": "SELECT COUNT(*) AS n FROM {load}",
+         "depends_on": ["load"]},
+        {"name": "out", "write": {"path": str(tmp_path / "out")},
+         "input": "agg", "depends_on": ["agg"]}]}
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    rc = main(["run-pipeline", str(spec_path)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["status"] == {"load": "ok", "agg": "ok", "out": "ok"}
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.collect()[0]["n"] == 5
