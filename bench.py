@@ -87,9 +87,15 @@ def main() -> None:
             consume(fn(spark, sf_dir))          # warm: codegen + JIT
             sw0 = shuffle_write_bytes()
             t0 = time.monotonic()
-            consume(fn(spark, sf_dir))          # measured
-            times[name] = round(time.monotonic() - t0, 3)
+            consume(fn(spark, sf_dir))          # measured (1st)
+            m1 = time.monotonic() - t0
             sw1 = shuffle_write_bytes()
+            t0 = time.monotonic()
+            consume(fn(spark, sf_dir))          # measured (2nd)
+            m2 = time.monotonic() - t0
+            # min of two steady-state runs: co-tenant load on this host
+            # inflates single samples ±30%; the min tracks plan cost
+            times[name] = round(min(m1, m2), 3)
             if sw0 is not None and sw1 is not None:
                 shuffle_mb[name] = round((sw1 - sw0) / 1e6, 2)
         except Exception as e:  # noqa: BLE001 — record, keep benching
@@ -100,7 +106,7 @@ def main() -> None:
     out = {
         "metric": "declared-corpus wall time, warm session, "
                   "spark local[*] (SURVEY §2.12 + extras; steady-state: "
-                  "2nd run timed)",
+                  "min of two timed runs after warm-up)",
         "value": round(sum(t for t in times.values() if t >= 0), 3),
         "unit": "sec",
         "queries": times,
