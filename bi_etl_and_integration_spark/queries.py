@@ -1556,6 +1556,47 @@ def x12(spark, cat):
                      F.sum("nt").alias("total_tokens"))
 
 
+@q("x12b_training_pipeline_langid",
+   r"WITH base AS (SELECT doc_id, text, list_filter(string_split("
+   r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' '), "
+   r"x -> x != '') AS toks FROM documents), "
+   "scored AS (SELECT doc_id, text, list_reverse_sort([ "
+   "{'hits': len(list_filter(toks, t -> t IN ('the','and','of','to',"
+   "'is','in','that','it','with'))), 'lang': 'en'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('der','die','das','und',"
+   "'ist','nicht','mit','ein'))), 'lang': 'de'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('le','la','les','et',"
+   "'est','une','pas','pour'))), 'lang': 'fr'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('el','los','las','es',"
+   "'una','por','para','con'))), 'lang': 'es'}, "
+   "{'hits': len(list_filter(toks, t -> t IN ('的','是','了','在',"
+   "'我','有'))) + (length(text) - length(regexp_replace(text, "
+   "'[的是了在我有]', '', 'g'))), 'lang': 'zh'}])[1] AS best FROM base), "
+   "keep AS (SELECT doc_id, md5(text) AS fp, "
+   "len(list_filter(string_split(text,' '), x -> x != '')) AS nt "
+   "FROM scored WHERE (CASE WHEN best.hits > 0 THEN best.lang "
+   "ELSE 'und' END) = 'en' AND "
+   "len(list_filter(string_split(text,' '), x -> x != '')) >= 20), "
+   "dedup AS (SELECT fp, MIN(doc_id) AS canonical_id, MAX(nt) AS nt "
+   "FROM keep GROUP BY fp) "
+   "SELECT COUNT(*) AS n_docs, SUM(nt) AS total_tokens FROM dedup")
+def x12b(spark, cat):
+    """The x12 pipeline with a language gate in front: language-ID ->
+    keep English -> token-count quality filter -> exact content dedup ->
+    corpus stats.  Every stage is individually oracle-certified (x09,
+    x07, x01/x10); this proves the COMPOSITION end to end — one narrow
+    codegen pass over text plus one hash aggregation, no extra scan."""
+    pred = tx_ops.language_id(cat.documents, "text")
+    keep = (pred.select("doc_id", F.md5("text").alias("fp"),
+                        tx_ops.token_count("text", "whitespace").alias("nt"),
+                        "lang_pred")
+            .where((F.col("lang_pred") == "en") & (F.col("nt") >= 20)))
+    dedup = keep.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"),
+                                   F.max("nt").alias("nt"))
+    return dedup.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("nt").alias("total_tokens"))
+
+
 @q("x11_multimodal_features",
    "SELECT doc_id AS media_id, "
    "(octet_length(encode(text)) % 64) + 1 AS width, "
