@@ -97,6 +97,38 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
             .select("p.*"))
 
 
+def functional_dependencies(df: DataFrame,
+                            pairs: Sequence[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency profiling (PRO/Глава 03:81-85: the
+    profiler's "functional deps / key candidates" analysis): a → b
+    holds iff every a-value maps to exactly one b-value, i.e.
+    COUNT(DISTINCT a) == COUNT(DISTINCT (a, b)).
+
+    One exact distinct aggregation per pair over the determinant and
+    the (determinant, dependent) combination — each is a single
+    shuffle on the hashed key; the violation count (#determinant
+    values with >1 dependent) quantifies HOW broken a dependency is,
+    not just whether.  Output per pair: (determinant, dependent,
+    n_det, n_pair, holds, n_violations)."""
+    outs = []
+    for a, b in pairs:
+        grp = (df.groupBy(a)
+               .agg(F.count_distinct(F.col(b)).alias("__nb")))
+        agg = grp.agg(
+            F.count(F.lit(1)).alias("n_det"),
+            F.sum("__nb").alias("n_pair"),
+            F.sum((F.col("__nb") > 1).cast("long")).alias("n_violations"))
+        outs.append(agg.select(
+            F.lit(a).alias("determinant"), F.lit(b).alias("dependent"),
+            F.col("n_det"), F.col("n_pair"),
+            (F.col("n_violations") == 0).alias("holds"),
+            F.col("n_violations")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def regex_validate(df: DataFrame, col: str, pattern: str,
                    ) -> dict[str, DataFrame]:
     """Regex check splitting valid/invalid streams."""

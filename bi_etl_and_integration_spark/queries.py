@@ -354,6 +354,28 @@ def q10b(spark, cat):
 
 # ============================================================== joins
 
+@q("q10c_functional_deps",
+   "WITH g1 AS (SELECT o_orderkey a, COUNT(DISTINCT o_custkey) nb "
+   "FROM orders GROUP BY a), "
+   "r1 AS (SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent, "
+   "COUNT(*) AS n_det, SUM(nb) AS n_pair, "
+   "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END)=0 AS holds, "
+   "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END) AS n_violations FROM g1), "
+   "g2 AS (SELECT o_custkey a, COUNT(DISTINCT o_orderstatus) nb "
+   "FROM orders GROUP BY a), "
+   "r2 AS (SELECT 'o_custkey', 'o_orderstatus', COUNT(*), SUM(nb), "
+   "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END)=0, "
+   "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END) FROM g2) "
+   "SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY determinant")
+def q10c(spark, cat):
+    """Functional-dependency profiling: o_orderkey→o_custkey must hold
+    (orders have one customer), o_custkey→o_orderstatus must not; the
+    violation counts quantify how broken a dependency is."""
+    return cl_ops.functional_dependencies(
+        cat.orders, [("o_orderkey", "o_custkey"),
+                     ("o_custkey", "o_orderstatus")]).orderBy("determinant")
+
+
 @q("q11_broadcast_lookup",
    "SELECT o.o_orderkey, c.c_name FROM orders o "
    "LEFT JOIN customer c ON o.o_custkey=c.c_custkey ORDER BY o.o_orderkey")

@@ -76,3 +76,14 @@ def test_domain_cleanse_without_corrections(rows):
     streams = cl.domain_cleanse(df, "c", domain, "v")
     assert streams["corrected"].count() == 0
     assert [r["id"] for r in streams["invalid"].collect()] == [2]
+
+
+def test_functional_dependencies(rows):
+    df = rows([(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z")],
+              "id int, det string, dep string")
+    out = {(r["determinant"], r["dependent"]):
+           (r["holds"], r["n_violations"]) for r in
+           cl.functional_dependencies(
+               df, [("id", "det"), ("det", "dep")]).collect()}
+    assert out[("id", "det")] == (True, 0)    # id is a key
+    assert out[("det", "dep")] == (False, 1)  # 'b' maps to two values
