@@ -97,6 +97,26 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
             .select("p.*"))
 
 
+def value_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                    n_buckets: int = 10) -> DataFrame:
+    """Equi-width value distribution (PRO/Глава 03:81-85 profiling:
+    "value distributions"): exact counts per bucket in ONE hash
+    aggregation — bucket = floor((x-lo)/width), top edge clamped into
+    the last bucket.  Exact and engine-portable, unlike sampled
+    `histogram_numeric`; fixed bucket count keeps the shuffle O(n_buckets)
+    at any data size.  Output: (bucket, bucket_lo, n)."""
+    width = (hi - lo) / n_buckets
+    b = F.least(F.floor((F.col(col) - lo) / width).cast("long"),
+                F.lit(n_buckets - 1))
+    return (df.where(F.col(col).isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bucket_lo",
+                        (F.lit(lo) + F.col("bucket") * width)
+                        .cast("double"))
+            .select("bucket", "bucket_lo", "n"))
+
+
 def functional_dependencies(df: DataFrame,
                             pairs: Sequence[tuple[str, str]]) -> DataFrame:
     """Functional-dependency profiling (PRO/Глава 03:81-85: the

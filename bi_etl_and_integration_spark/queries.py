@@ -354,6 +354,19 @@ def q10b(spark, cat):
 
 # ============================================================== joins
 
+@q("q10d_histogram",
+   "SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 11) "
+   "AS bucket, CAST(LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 11) "
+   "* 50000.0 AS DOUBLE) AS bucket_lo, COUNT(*) AS n "
+   "FROM orders WHERE o_totalprice IS NOT NULL "
+   "GROUP BY bucket ORDER BY bucket")
+def q10d(spark, cat):
+    """Profiler value distribution: exact equi-width histogram of order
+    totals (12 buckets of 50k, top edge clamped) in one aggregation."""
+    return cl_ops.value_histogram(cat.orders, "o_totalprice",
+                                  0.0, 600_000.0, 12).orderBy("bucket")
+
+
 @q("q10c_functional_deps",
    "WITH g1 AS (SELECT o_orderkey a, COUNT(DISTINCT o_custkey) nb "
    "FROM orders GROUP BY a), "

@@ -87,3 +87,14 @@ def test_functional_dependencies(rows):
                df, [("id", "det"), ("det", "dep")]).collect()}
     assert out[("id", "det")] == (True, 0)    # id is a key
     assert out[("det", "dep")] == (False, 1)  # 'b' maps to two values
+
+
+def test_value_histogram_exact_buckets(rows):
+    df = rows([(float(v),) for v in (0, 5, 10, 15, 95, 100, 200)],
+              "x double")
+    out = {r["bucket"]: (r["bucket_lo"], r["n"]) for r in
+           cl.value_histogram(df, "x", 0.0, 100.0, 10).collect()}
+    assert out[0] == (0.0, 2)      # 0, 5
+    assert out[1] == (10.0, 2)     # 10, 15
+    # 95, and the clamped top-edge values 100 and 200
+    assert out[9] == (90.0, 3)
