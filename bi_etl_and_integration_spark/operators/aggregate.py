@@ -87,6 +87,22 @@ def percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
     return df.groupBy(*keys).agg(*exprs)
 
 
+def top_k_by_key(df: DataFrame, keys: Sequence[str], value_col: str,
+                 k: int = 3) -> DataFrame:
+    """Per-key frequency top-k (ClickHouse ``topK(k)(x) GROUP BY key``
+    shape), exact: count per (key, value) first — one hash aggregation
+    with map-side combine — then rank WITHIN the reduced count table.
+    The window never sees raw rows, so its partition size is the key's
+    value cardinality, not its row count.  Deterministic tie-break on
+    the value.  Output: keys + (value, n, rank)."""
+    from pyspark.sql.window import Window
+    c = (df.groupBy(*keys, value_col)
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.col(value_col))
+    return (c.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def approx_top_k(df: DataFrame, col: str, k: int = 20, *,
                  m: int = 10_000) -> DataFrame:
     """Heavy hitters (ClickHouse ``topK`` capability): per-partition

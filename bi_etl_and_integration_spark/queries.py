@@ -829,6 +829,23 @@ def q27(spark, cat):
     return top.select("user_id", "event_id").orderBy("user_id", "event_id")
 
 
+@q("q27b_top_by_frequency",
+   "WITH c AS (SELECT event_type, user_id, COUNT(*) AS n FROM events "
+   "GROUP BY event_type, user_id), "
+   "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+   "ORDER BY n DESC, user_id) AS rank FROM c) "
+   "SELECT event_type, user_id, n, rank FROM r WHERE rank <= 3 "
+   "ORDER BY event_type, rank")
+def q27b(spark, cat):
+    """Per-key frequency top-k (ClickHouse topK-by-group shape): the
+    3 most active users per event type; ranking runs on the reduced
+    count table, never raw events."""
+    return (agg_ops.top_k_by_key(cat.events, ["event_type"], "user_id",
+                                 k=3)
+            .select("event_type", "user_id", "n", "rank")
+            .orderBy("event_type", "rank"))
+
+
 @q("q28_running_sum",
    "SELECT o_custkey, o_orderkey, "
    + R("SUM(o_totalprice) OVER (PARTITION BY o_custkey "

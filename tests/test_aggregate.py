@@ -121,3 +121,15 @@ def test_approx_top_k_bounds_candidates(rows):
     # with m=3 < 7 distinct per partition the counts are estimates,
     # but the top value still surfaces
     assert got[0]["est_count"] >= got[1]["est_count"]
+
+
+def test_top_k_by_key_ranks_reduced_counts(rows):
+    data = ([("a", "x")] * 3 + [("a", "y")] * 2 + [("a", "z")]
+            + [("b", "q")] * 2)
+    df = rows(data, "k string, v string")
+    out = {(r["k"], r["rank"]): (r["v"], r["n"]) for r in
+           agg.top_k_by_key(df, ["k"], "v", k=2).collect()}
+    assert out[("a", 1)] == ("x", 3)
+    assert out[("a", 2)] == ("y", 2)
+    assert out[("b", 1)] == ("q", 2)
+    assert ("a", 3) not in out  # z cut by k=2
