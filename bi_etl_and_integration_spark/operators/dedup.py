@@ -104,7 +104,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
                       jaccard_threshold: float = 0.8,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, n_probes: int = 1) -> DataFrame:
     """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard_sim)
     with id_a < id_b and verified similarity >= threshold.
 
@@ -117,12 +117,26 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     signature mins run as one codegen'd hash aggregation — not as 64
     higher-order array passes, which would re-hash every shingle per
     coefficient.  Verification Jaccard runs on the hashed shingle sets.
+
+    ``n_probes`` > 1 is the multi-probe recall dial: each probe is an
+    INDEPENDENT affine hash family (probe i seeded ``seed + 7919*i``;
+    probe 0 == the single-probe family, so results are a strict
+    superset of the n_probes=1 run).  All probes compute in the SAME
+    single aggregation pass and band self-join — a probe is just
+    ``bands`` more band indices from its own family — so the cost is
+    k× signature expressions and k× candidate rows, not k sequential
+    job waves; each candidate pair is verified once (dropDuplicates
+    before the Jaccard join).  A pair at Jaccard s escapes all probes
+    with (1-p(s))^k, p(s) = 1-(1-s^r)^bands.
     """
     import random
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P))
-              for _ in range(num_hashes)]
+    coeffs = []
+    for probe in range(max(1, n_probes)):
+        rnd = random.Random(seed + 7919 * probe)
+        coeffs += [(rnd.randrange(1, _P), rnd.randrange(0, _P))
+                   for _ in range(num_hashes)]
     rows_per_band = num_hashes // bands
+    bands = bands * max(1, n_probes)
     base = df.select(F.col(id_col).alias("id"),
                      hashed_shingles(F.col(text_col), shingle_n)
                      .alias("__hs")).persist()  # consumed 3x (sig + verify)

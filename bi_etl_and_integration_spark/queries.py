@@ -1450,6 +1450,17 @@ def x02(spark, cat):
                                     jaccard_threshold=0.5)
 
 
+@q("x02b_dedup_minhash_multiprobe")  # rows-only: LSH banding is engine-specific
+def x02b(spark, cat):
+    # 3 independent affine hash families in ONE aggregation pass and ONE
+    # band self-join (probe = 16 extra band indices); probe 0 reuses the
+    # x02 family so the pair set is a strict superset of x02's — the
+    # recall dial ROADMAP.md documented, made a declared capability
+    return dd_ops.minhash_lsh_dedup(cat.documents, "text", "doc_id",
+                                    num_hashes=32, bands=16,
+                                    jaccard_threshold=0.5, n_probes=3)
+
+
 @q("x03_dedup_simhash")  # rows-only
 def x03(spark, cat):
     return dd_ops.simhash_dedup(cat.documents, "text", "doc_id",

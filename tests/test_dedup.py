@@ -44,6 +44,28 @@ def test_minhash_lsh_finds_near_dups(rows):
     assert sim >= 0.5
 
 
+def test_minhash_multiprobe_superset(rows):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = rows([(1, base), (2, base + "extra token"),
+               (3, base + "two extra tokens"),
+               (4, "completely unrelated words here about spark")], DOCS)
+    kw = dict(num_hashes=16, bands=4, jaccard_threshold=0.5)
+    single_rows = dd.minhash_lsh_dedup(df, **kw).collect()
+    multi_rows = dd.minhash_lsh_dedup(df, n_probes=3, **kw).collect()
+    single = {(r["id_a"], r["id_b"]) for r in single_rows}
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    # probe 0 is the single-probe hash family: union can only add pairs
+    assert single <= multi
+    assert (1, 2) in multi
+    assert all(4 not in p for p in multi)
+    # candidate pairs found by several probes verify exactly once
+    assert len(multi_rows) == len(multi)
+    # verified Jaccard is probe-independent
+    sims = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in multi_rows}
+    for r in single_rows:
+        assert sims[(r["id_a"], r["id_b"])] == r["jaccard_sim"]
+
+
 def test_simhash_identical_docs_distance_zero(rows):
     df = rows([(1, "spark makes big data simple"),
                (2, "spark makes big data simple"),
