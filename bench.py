@@ -55,11 +55,15 @@ def main() -> None:
 
     import urllib.request
 
-    def shuffle_write_bytes() -> int | None:
-        """Total shuffle-write bytes over all completed stages, via the
-        local Spark UI REST API — per-query deltas are the scale
-        signal: a query whose shuffle grows linearly with input is the
-        one that breaks first on a 1000-executor 100 TB run."""
+    def stage_totals() -> dict[str, int] | None:
+        """Cumulative stage metrics via the local Spark UI REST API —
+        per-query deltas are the scale signal: a query whose shuffle
+        grows linearly with input is the one that breaks first on a
+        1000-executor 100 TB run, and ANY disk spill is the Spark
+        analog of the reference's "Buffers spooled > 0 = bad"
+        (PRO/Глава 15:85-88) — it means a partition outgrew exec
+        memory and the same plan at 100 TB needs more partitions or a
+        skew fix."""
         try:
             ui = spark.sparkContext.uiWebUrl
             apps = json.load(urllib.request.urlopen(
@@ -68,7 +72,12 @@ def main() -> None:
             stages = json.load(urllib.request.urlopen(
                 f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
                 timeout=10))
-            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+            return {
+                "shuffle": sum(s.get("shuffleWriteBytes", 0)
+                               for s in stages),
+                "spill": sum(s.get("diskBytesSpilled", 0)
+                             for s in stages),
+            }
         except Exception:  # noqa: BLE001 — UI disabled/slow: skip metric
             return None
 
@@ -80,16 +89,17 @@ def main() -> None:
     # codegen pattern first.
     times: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
+    spill_mb: dict[str, float] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
         try:
             consume(fn(spark, sf_dir))          # warm: codegen + JIT
-            sw0 = shuffle_write_bytes()
+            sw0 = stage_totals()
             t0 = time.monotonic()
             consume(fn(spark, sf_dir))          # measured (1st)
             m1 = time.monotonic() - t0
-            sw1 = shuffle_write_bytes()
+            sw1 = stage_totals()
             t0 = time.monotonic()
             consume(fn(spark, sf_dir))          # measured (2nd)
             m2 = time.monotonic() - t0
@@ -97,7 +107,11 @@ def main() -> None:
             # inflates single samples ±30%; the min tracks plan cost
             times[name] = round(min(m1, m2), 3)
             if sw0 is not None and sw1 is not None:
-                shuffle_mb[name] = round((sw1 - sw0) / 1e6, 2)
+                shuffle_mb[name] = round(
+                    (sw1["shuffle"] - sw0["shuffle"]) / 1e6, 2)
+                if sw1["spill"] > sw0["spill"]:  # only flag offenders
+                    spill_mb[name] = round(
+                        (sw1["spill"] - sw0["spill"]) / 1e6, 2)
         except Exception as e:  # noqa: BLE001 — record, keep benching
             times[name] = -1.0
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}",
@@ -111,6 +125,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "shuffle_mb": shuffle_mb,
+        "spill_mb": spill_mb,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
