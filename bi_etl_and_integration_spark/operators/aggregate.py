@@ -145,6 +145,29 @@ def cube(df: DataFrame, keys: Sequence[str],
     return df.cube(*keys).agg(*exprs)
 
 
+def grouping_sets(df: DataFrame, sets: Sequence[Sequence[str]],
+                  aggs: Mapping[str, Column], *,
+                  marker_cols: bool = True) -> DataFrame:
+    """Arbitrary GROUPING SETS (rollup/cube are special cases): one
+    shuffle computes every requested grouping — the multi-aggregation
+    datamart (DM/Правильное построение витрины с множественными
+    агрегациями.md:1) as a single pass instead of one job per grain.
+
+    ``marker_cols`` appends ``g_<key>`` = GROUPING(key) ∈ {0,1} for
+    every key so consumers can tell "aggregated-away" NULLs from data
+    NULLs — the standard SQL disambiguator.  Physical plan is Spark's
+    ``Expand`` (each input row replicated once per set) feeding one
+    hash aggregate: rows×|sets| map-side, but still exactly one
+    exchange on the grouping columns at any scale."""
+    keys: list[str] = []
+    for s in sets:
+        keys += [k for k in s if k not in keys]
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    if marker_cols:
+        exprs += [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]
+    return df.groupingSets([list(s) for s in sets], *keys).agg(*exprs)
+
+
 #: re-aggregatable agg kinds for the two-phase (salted) path
 _SALTABLE = {
     "sum": (F.sum, F.sum),

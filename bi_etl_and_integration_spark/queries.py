@@ -787,6 +787,26 @@ def q25b(spark, cat):
          "n": F.count(F.lit(1))})
 
 
+@q("q25c_grouping_sets",
+   f"SELECT l_returnflag, l_linestatus, {R('SUM(l_extendedprice)')} AS s, "
+   "CAST(GROUPING(l_returnflag) AS INT) AS g_l_returnflag, "
+   "CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus "
+   "FROM lineitem "
+   "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) "
+   "ORDER BY g_l_returnflag, g_l_linestatus, "
+   "l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+def q25c(spark, cat):
+    """Arbitrary grouping sets in ONE pass (rollup/cube generalized):
+    per-flag totals + per-status totals + grand total, with GROUPING()
+    markers separating aggregated-away NULLs from data NULLs."""
+    out = agg_ops.grouping_sets(
+        cat.lineitem, [["l_returnflag"], ["l_linestatus"], []],
+        {"s": dec_round(F.sum("l_extendedprice"))})
+    return out.orderBy("g_l_returnflag", "g_l_linestatus",
+                       F.col("l_returnflag").asc_nulls_first(),
+                       F.col("l_linestatus").asc_nulls_first())
+
+
 @q("q26_count_distinct",
    "SELECT COUNT(DISTINCT l_partkey) AS nk FROM lineitem")
 def q26(spark, cat):
@@ -894,6 +914,29 @@ def q28c(spark, cat):
     return (r.select("o_custkey", "o_orderkey",
                      dec_round("__r").alias("r30"))
             .orderBy("o_custkey", "o_orderkey"))
+
+
+@q("q28d_lag_lead",
+   "SELECT o_custkey, o_orderkey, "
+   "CAST(DATEDIFF('day', LAG(o_orderdate) OVER (PARTITION BY o_custkey "
+   "ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT) AS gap_prev, "
+   "CAST(DATEDIFF('day', o_orderdate, LEAD(o_orderdate) OVER "
+   "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS INT) "
+   "AS gap_next FROM orders ORDER BY o_custkey, o_orderkey")
+def q28d(spark, cat):
+    """Days between consecutive orders per customer — lag AND lead in
+    one window (single sort within the o_custkey partition; first/last
+    rows yield NULL gaps, matching SQL semantics)."""
+    r = win_ops.with_lag_lead(
+        cat.orders, ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")], "o_orderdate")
+    return (r.select(
+        "o_custkey", "o_orderkey",
+        F.datediff("o_orderdate", "o_orderdate_lag").cast("int")
+        .alias("gap_prev"),
+        F.datediff("o_orderdate_lead", "o_orderdate").cast("int")
+        .alias("gap_next"))
+        .orderBy("o_custkey", "o_orderkey"))
 
 
 @q("q28b_ntile_quartiles",

@@ -62,6 +62,21 @@ def test_rollup_and_cube(rows):
     assert c.count() == 8  # rollup rows + per-k2(2)
 
 
+def test_grouping_sets_markers(rows):
+    # a data NULL in k1 must stay distinguishable from the
+    # aggregated-away NULL via the GROUPING() marker columns
+    df = rows([("a", "x", 1), (None, "y", 2), ("b", "x", 4)],
+              "k1 string, k2 string, v int")
+    out = agg.grouping_sets(df, [["k1"], ["k2"], []],
+                            {"s": F.sum("v")}).collect()
+    by = {(r["k1"], r["k2"], r["g_k1"], r["g_k2"]): r["s"] for r in out}
+    assert len(by) == len(out) == 3 + 2 + 1  # per-k1(3) + per-k2(2) + total
+    assert by[(None, None, 0, 1)] == 2       # data NULL k1 group
+    assert by[(None, None, 1, 1)] == 7       # grand total
+    assert by[("a", None, 0, 1)] == 1
+    assert by[(None, "x", 1, 0)] == 5
+
+
 def test_partial_states_merge_equals_direct(rows):
     """The MV contract: merge(partial states) == direct aggregation,
     including states computed over separate batches."""
