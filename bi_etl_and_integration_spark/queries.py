@@ -1474,6 +1474,55 @@ def q44(spark, cat):
             .orderBy("n_name"))
 
 
+@q("q45_returned_items",
+   "SELECT c.c_custkey, c.c_name, "
+   + R("SUM(l.l_extendedprice*(1-l.l_discount))")
+   + " AS revenue, n.n_name "
+   "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+   "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+   "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+   "WHERE l.l_returnflag = 'R' "
+   "GROUP BY c.c_custkey, c.c_name, n.n_name "
+   "ORDER BY revenue DESC, c_custkey LIMIT 20")
+def q45(spark, cat):
+    """TPC-H Q10 shape: who returned the most revenue.  The fact side
+    filters on l_returnflag before the join (pushed to the scan), the
+    nation dim broadcasts, and the LIMIT plans TakeOrderedAndProject —
+    at 100 TB the only full shuffle is lineitem->orders."""
+    li = (cat.lineitem.where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (cat.orders.select("o_orderkey", "o_custkey")
+         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cat.customer.select("c_custkey", "c_name", "c_nationkey"),
+               F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("c_custkey", "c_name", "n_name")
+            .agg(dec_round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))))
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@q("q46_correlated_subquery",
+   "SELECT c.c_custkey, " + R("c.c_acctbal") + " AS bal FROM customer c "
+   "WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 "
+   "WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c.c_custkey")
+def q46(spark, cat):
+    """Correlated scalar subquery through the SQL entry point —
+    Catalyst's RewriteCorrelatedScalarSubquery (SURVEY §4) decorrelates
+    it into an aggregate-then-join, i.e. the same plan as the manual
+    CTE cascade; declared to pin that rewrite as engine behavior."""
+    cat.customer.createOrReplaceTempView("customer")
+    return cat.sql(
+        "SELECT c.c_custkey, "
+        "CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(38,10)),2) AS DOUBLE) "
+        "AS bal FROM customer c "
+        "WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 "
+        "WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c.c_custkey")
+
+
 # ======================================= LLM-pipeline extras (north star)
 
 @q("x01_dedup_exact",
