@@ -626,6 +626,32 @@ def q18b(spark, cat):
             .orderBy("l_returnflag"))
 
 
+@q("q18c_conditional_agg",
+   "SELECT l_returnflag, "
+   + R("SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05)")
+   + " AS disc_rev, "
+   "COUNT(*) FILTER (WHERE l_quantity >= 25) AS big_n, "
+   + R("AVG(l_extendedprice) FILTER (WHERE l_tax = 0)")
+   + " AS notax_avg "
+   "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+def q18c(spark, cat):
+    """Conditional aggregates (ClickHouse sumIf/countIf/avgIf
+    combinators — beyond-reference capability of the target system):
+    one scan, one aggregation, N independent predicates — the
+    replacement for N self-joined filtered subqueries.  Declared
+    through SQL FILTER clauses; identical plan to F.sum(F.when(...))."""
+    return agg_ops.aggregate(
+        cat.lineitem, ["l_returnflag"],
+        {"disc_rev": dec_round(
+            F.sum(F.when(F.col("l_discount") > 0.05,
+                         F.col("l_extendedprice")))),
+         "big_n": F.count(F.when(F.col("l_quantity") >= 25, 1)),
+         "notax_avg": dec_round(
+             F.avg(F.when(F.col("l_tax") == 0,
+                          F.col("l_extendedprice"))))},
+    ).orderBy("l_returnflag")
+
+
 @q("q19_group_array",
    "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') "
    "AS ks FROM orders GROUP BY o_custkey ORDER BY o_custkey")
@@ -914,6 +940,30 @@ def q28c(spark, cat):
     return (r.select("o_custkey", "o_orderkey",
                      dec_round("__r").alias("r30"))
             .orderBy("o_custkey", "o_orderkey"))
+
+
+@q("q28e_rank_family",
+   "SELECT o_orderstatus, o_orderkey, "
+   "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, "
+   + R("PERCENT_RANK() OVER w", 4) + " AS prnk, "
+   + R("CUME_DIST() OVER w", 4) + " AS cd "
+   "FROM orders WINDOW w AS (PARTITION BY o_orderstatus "
+   "ORDER BY o_totalprice DESC, o_orderkey) "
+   "ORDER BY o_orderstatus, o_orderkey")
+def q28e(spark, cat):
+    """The full ranking family over one shared window (single sort per
+    partition serves all four functions): rank with gaps, dense rank,
+    and the two normalized positions."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (cat.orders.select(
+        "o_orderstatus", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        dec_round(F.percent_rank().over(w), 4).alias("prnk"),
+        dec_round(F.cume_dist().over(w), 4).alias("cd"))
+        .orderBy("o_orderstatus", "o_orderkey"))
 
 
 @q("q28d_lag_lead",
