@@ -131,6 +131,32 @@ def test_embedding_multiprobe_is_single_shuffle(cat):
     assert plans.shuffle_count(out) <= 2, plans.formatted_plan(out)
 
 
+def test_minhash_multiprobe_single_aggregation_pass(cat):
+    """k probe families must fuse into the single signature aggregation
+    and band self-join — the plan may not grow a HashAggregate or
+    Exchange per probe."""
+    from bi_etl_and_integration_spark.operators import dedup as dd
+    one = dd.minhash_lsh_dedup(cat.documents, "text", "doc_id",
+                               num_hashes=16, bands=4)
+    three = dd.minhash_lsh_dedup(cat.documents, "text", "doc_id",
+                                 num_hashes=16, bands=4, n_probes=3)
+    assert plans.shuffle_count(three) == plans.shuffle_count(one), \
+        plans.formatted_plan(three)
+
+
+def test_returned_items_showcase_shape(cat):
+    """q45 (TPC-H Q10 shape) at dim scale: every dimension side
+    broadcasts, the returnflag filter reaches the lineitem scan, and
+    the LIMIT plans TakeOrderedAndProject instead of a total sort."""
+    from bi_etl_and_integration_spark.queries import QUERIES
+    df = QUERIES["q45_returned_items"](cat.spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.broadcast_join_count(df) >= 1, plan
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_returnflag" in pushed, plan
+
+
 def test_simhash_self_join_reuses_cached_table(cat):
     """The banding self-join must not recompute the token-explode +
     vote aggregation per side: the simhash table is persisted, so the
