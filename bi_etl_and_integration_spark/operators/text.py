@@ -99,6 +99,44 @@ def language_id(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit("und")))
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, chunk_tokens: int = 256,
+                    overlap_tokens: int = 64) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    LLM-training / RAG preprocessing step.  Output: one row per chunk
+    ``(id, chunk_start, chunk, n_tokens)``; ``chunk_start`` is the
+    1-based token offset (a stable chunk key: re-chunking the same doc
+    yields identical ids, so downstream dedup/embedding jobs are
+    idempotent).
+
+    Whitespace tokenization (tokens are rejoined verbatim — no
+    lowercasing or punctuation stripping, the chunk must carry the
+    original text).  Entirely higher-order functions over one narrow
+    projection + explode: no shuffle, no UDF, safe at 100 TB; a doc's
+    chunk fan-out is len/step rows, bounded by the longest document,
+    not the corpus."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # last window starts at most at len-overlap so every tail token is
+    # covered exactly once past the previous chunk's overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap_tokens, F.lit(1)),
+        F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("chunk_start"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ")
+            .alias("chunk"),
+            F.least(F.lit(chunk_tokens), F.size(toks) - s + 1)
+            .cast("int").alias("n_tokens")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(chunks).alias("c"))
+            .select("id", "c.chunk_start", "c.chunk", "c.n_tokens"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "doc_fp") -> DataFrame:
     """Document fingerprint: 64-bit hash of the token-normalized text

@@ -1722,6 +1722,25 @@ def x10(spark, cat):
             .orderBy("doc_id"))
 
 
+@q("x14_chunking",
+   r"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') "
+   "AS toks FROM documents), "
+   "u AS (SELECT doc_id, toks, UNNEST(generate_series(1, "
+   "GREATEST(len(toks) - 8, 1), 24)) AS s FROM t) "
+   "SELECT doc_id AS id, CAST(s AS INT) AS chunk_start, "
+   "array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk, "
+   "CAST(LEAST(32, len(toks) - s + 1) AS INT) AS n_tokens "
+   "FROM u ORDER BY id, chunk_start")
+def x14(spark, cat):
+    """Fixed-size token chunking with overlap (32-token windows,
+    8-token overlap) — the LLM-training/RAG preprocessing step; chunk
+    text is carried verbatim and chunk_start is a stable re-runnable
+    key.  Zero-shuffle narrow op, oracle-matched chunk for chunk."""
+    return (tx_ops.chunk_documents(cat.documents, "text", "doc_id",
+                                   chunk_tokens=32, overlap_tokens=8)
+            .orderBy("id", "chunk_start"))
+
+
 @q("x13_heavy_hitters",
    "WITH tok AS (SELECT LOWER(UNNEST(list_filter(STRING_SPLIT(text,' '), "
    "x -> x != ''))) AS value FROM documents) "

@@ -52,3 +52,23 @@ def test_fingerprint_is_normalization_invariant(rows):
     out = {r["doc_id"]: r["doc_fp"] for r in tx.fingerprint(df).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_chunk_documents_overlap_and_tail(rows):
+    import pytest
+    # 10 tokens, chunk=4, overlap=2 -> starts 1,3,5,7 (step 2, last
+    # start <= len-overlap=8); every token covered, overlaps verbatim
+    df = rows([(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b"),
+               (3, "single")], DOCS)
+    out = tx.chunk_documents(df, chunk_tokens=4, overlap_tokens=2)
+    got = {(r["id"], r["chunk_start"]): (r["chunk"], r["n_tokens"])
+           for r in out.collect()}
+    assert got[(1, 1)] == ("t1 t2 t3 t4", 4)
+    assert got[(1, 3)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 7)] == ("t7 t8 t9 t10", 4)
+    # short docs yield exactly one (possibly partial) chunk
+    assert got[(2, 1)] == ("a b", 2)
+    assert got[(3, 1)] == ("single", 1)
+    assert len([k for k in got if k[0] == 1]) == 4
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
