@@ -262,6 +262,20 @@ def sample(df: DataFrame, fraction: float | None = None,
     raise ValueError("fraction or n required")
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum sampling rates (class-balanced training datasets:
+    downsample the dominant class, keep the rare one).  ``fractions``
+    maps stratum value -> keep probability; unlisted strata are
+    dropped.  Bernoulli per row on the scan — no shuffle, no
+    per-stratum job, works at any cardinality of rows (strata values
+    must be few: the map ships in the plan)."""
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        raise ValueError(f"fractions outside [0,1]: {bad}")
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
 # ------------------------------------------------------ pivot/unpivot
 
 def pivot(df: DataFrame, group_cols: Sequence[str], pivot_col: str,

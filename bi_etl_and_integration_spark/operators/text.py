@@ -137,6 +137,48 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             .select("id", "c.chunk_start", "c.chunk", "c.n_tokens"))
 
 
+def pack_sequences(df: DataFrame, len_col: str = "n_tokens", *,
+                   budget: int = 512) -> DataFrame:
+    """Greedy next-fit sequence packing: assign rows (chunks) to packs
+    so each pack's total token count stays ≤ ``budget`` — the step
+    after :func:`chunk_documents` that fills fixed-length training
+    batches instead of padding each chunk.
+
+    Runs as ``mapInPandas`` with per-partition streaming state (the
+    generator spans all Arrow batches of one partition, so packs cross
+    batch boundaries but never partition boundaries — zero shuffle,
+    zero coordination).  ``pack_id`` = partition_id << 32 | local pack
+    index: globally unique without any global counter.  A single row
+    longer than the budget gets a pack of its own (never dropped —
+    truncation is the caller's policy).  Next-fit packs ≥ 50% full on
+    average for chunk mixes ≤ budget; per-partition sorting by length
+    upstream tightens it further if needed."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql.types import LongType, StructField, StructType
+    # never .add() on df.schema: it mutates the df's cached StructType
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("pack_id", LongType(), False)])
+
+    def pack(batches):
+        from pyspark import TaskContext
+        base = TaskContext.get().partitionId() << 32
+        cur, used = 0, 0
+        for pdf in batches:
+            ids = []
+            for n in pdf[len_col]:
+                n = int(n)
+                if used > 0 and used + n > budget:
+                    cur, used = cur + 1, 0
+                used += n
+                ids.append(base | cur)
+            pdf = pdf.copy()
+            pdf["pack_id"] = ids
+            yield pdf
+
+    return df.mapInPandas(pack, out_schema)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "doc_fp") -> DataFrame:
     """Document fingerprint: 64-bit hash of the token-normalized text

@@ -1102,6 +1102,19 @@ def q33(spark, cat):
     return s.agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+@q("q33b_stratified_sample")  # rows-only: seeded, engine-specific RNG
+def q33b(spark, cat):
+    """Class-balanced sampling (sampleBy): downweight the dominant
+    order status, keep the rare ones — per-stratum Bernoulli on the
+    scan, no shuffle, no per-stratum job."""
+    s = rel_ops.stratified_sample(
+        cat.orders, "o_orderstatus", {"O": 0.1, "F": 0.1, "P": 1.0},
+        seed=42)
+    return (s.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+            .orderBy("o_orderstatus"))
+
+
 @q("q34_scd2_latest",
    "WITH v AS (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
    "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn "
@@ -1739,6 +1752,16 @@ def x14(spark, cat):
     return (tx_ops.chunk_documents(cat.documents, "text", "doc_id",
                                    chunk_tokens=32, overlap_tokens=8)
             .orderBy("id", "chunk_start"))
+
+
+@q("x15_sequence_packing")  # rows-only: pack ids are partition-local
+def x15(spark, cat):
+    """Chunk then pack: 32-token chunks greedily packed into 128-token
+    training sequences.  Row count == chunk count (every chunk assigned
+    exactly once); the budget invariant is unit-tested."""
+    chunks = tx_ops.chunk_documents(cat.documents, "text", "doc_id",
+                                    chunk_tokens=32, overlap_tokens=8)
+    return tx_ops.pack_sequences(chunks, "n_tokens", budget=128)
 
 
 @q("x13_heavy_hitters",

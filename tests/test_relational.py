@@ -119,3 +119,17 @@ def test_merge_sorted(rows):
     a = rows([(1,), (3,)], "k int")
     b = rows([(2,), (4,)], "k int")
     assert ids(rel.merge_sorted(a, b, "k"), "k") == [1, 2, 3, 4]
+
+
+def test_stratified_sample_rates(rows):
+    import pytest
+    from bi_etl_and_integration_spark.operators import relational as rel
+    df = rows([("a", i) for i in range(200)] + [("b", i) for i in range(20)],
+              "k string, v int")
+    out = rel.stratified_sample(df, "k", {"a": 0.1, "b": 1.0}, seed=7)
+    got = {r["k"]: r["n"] for r in
+           out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["b"] == 20                   # keep-all stratum intact
+    assert 0 < got["a"] < 100               # downsampled around 10%
+    with pytest.raises(ValueError):
+        rel.stratified_sample(df, "k", {"a": 1.5})

@@ -72,3 +72,26 @@ def test_chunk_documents_overlap_and_tail(rows):
     assert len([k for k in got if k[0] == 1]) == 4
     with pytest.raises(ValueError):
         tx.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_pack_sequences_budget_invariants(rows):
+    import pytest
+    df = rows([(i, f"doc{i} " * 0 + " ".join(f"w{j}" for j in range(n)))
+               for i, n in enumerate([5, 7, 3, 9, 2, 6, 4])], DOCS)
+    chunks = tx.chunk_documents(df, chunk_tokens=4, overlap_tokens=1)
+    n_chunks = chunks.count()
+    packed = tx.pack_sequences(chunks, "n_tokens", budget=8).collect()
+    # every chunk assigned exactly once
+    assert len(packed) == n_chunks
+    assert {(r["id"], r["chunk_start"]) for r in packed} == \
+        {(r["id"], r["chunk_start"]) for r in chunks.collect()}
+    # no pack exceeds the budget (all chunk lengths <= budget here)
+    by_pack: dict = {}
+    for r in packed:
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= 8 for v in by_pack.values()), by_pack
+    # an oversized row still gets a pack of its own
+    big = tx.pack_sequences(chunks, "n_tokens", budget=2).collect()
+    assert len(big) == n_chunks
+    with pytest.raises(ValueError):
+        tx.pack_sequences(chunks, "n_tokens", budget=0)
