@@ -49,3 +49,24 @@ def session_windowed_agg(df: DataFrame, ts_col: str, gap: str,
     """Session window: rows within ``gap`` of each other merge."""
     return _windowed(df, ts_col, F.session_window(ts_col, gap), keys, aggs,
                      watermark)
+
+
+def dedup_within_watermark(df: DataFrame, keys: Sequence[str],
+                           ts_col: str, watermark: str) -> DataFrame:
+    """Streaming exactly-once event dedup with BOUNDED state: keep the
+    first row per key, dropping re-deliveries that arrive within the
+    watermark delay; keys older than the watermark are evicted from the
+    state store (``dropDuplicatesWithinWatermark``).
+
+    The at-least-once → exactly-once repair for replayed sources (the
+    CDC rerun-duplicates hazard, PRACT/004 CDC.md:342-362, solved in
+    the stream instead of the sink).  An unbounded ``dropDuplicates``
+    on a stream grows state forever; this variant's state is bounded
+    by keys-per-watermark-window at any corpus rate.  On a batch
+    DataFrame it degrades to plain per-key dedup (same contract)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if not df.isStreaming:
+        return df.dropDuplicates(list(keys))
+    return (df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))

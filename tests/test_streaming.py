@@ -109,3 +109,34 @@ def test_streaming_tumbling_end_to_end(spark, rows, tmp_path):
     finally:
         q.stop()
     assert got == {("a", 0): 3.0, ("a", 10): 4.0, ("b", 0): 8.0}
+
+
+def test_dedup_within_watermark_stream(spark, rows, tmp_path):
+    """Replayed events (the CDC rerun hazard) collapse to exactly-once
+    within the watermark; batch fallback dedups identically."""
+    import datetime as dt
+    from bi_etl_and_integration_spark.streaming.windows import (
+        dedup_within_watermark)
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    batch = rows([("e1", t0, 1.0), ("e1", t0, 1.0),               # replay
+                  ("e1", t0 + dt.timedelta(seconds=30), 1.0),     # replay
+                  ("e2", t0 + dt.timedelta(minutes=1), 2.0)],
+                 "event_id string, ts timestamp, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    src = str(tmp_path / "dedup_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts",
+                                     "10 minutes")
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_stream").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r["event_id"]
+                     for r in spark.table("dedup_stream").collect())
+    finally:
+        q.stop()
+    assert got == ["e1", "e2"]
+    # batch degradation: same keys survive
+    b = dedup_within_watermark(batch, ["event_id"], "ts", "10 minutes")
+    assert sorted(r["event_id"] for r in b.collect()) == ["e1", "e2"]
