@@ -56,6 +56,13 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         # -- broadcast threshold: 64 MB — dimension tables (region, nation,
         #    customer at small SF, dictionaries) should broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- runtime row-group pruning: a selective join side injects a
+        #    bloom filter into the probe side's scan — at 100 TB this
+        #    skips parquet row groups for fact rows whose join key
+        #    can't match (free with AQE; inert when selectivity is low).
+        #    NOTE: runtimeFilter.semiJoinReduction measured-and-rejected
+        #    — it sends planning into a pathological loop (>20x) here
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # -- cost-based optimizer: consumes ANALYZE TABLE statistics
         #    (sources.writers.analyze_table) for join reordering on
         #    multi-join marts; inert for tables without stats
