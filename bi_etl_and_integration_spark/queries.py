@@ -1586,6 +1586,30 @@ def q46(spark, cat):
         "WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c.c_custkey")
 
 
+@q("q47_lateral_topk",
+   "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+   "FROM customer c JOIN LATERAL ("
+   "SELECT o_orderkey, o_totalprice FROM orders o "
+   "WHERE o.o_custkey = c.c_custkey "
+   "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE "
+   "ORDER BY c.c_custkey, t.o_orderkey")
+def q47(spark, cat):
+    """Per-key top-N in correlated LATERAL form — the SQL twin of
+    q27's window limit_by; Catalyst decorrelates the LIMIT subquery
+    into a partitioned window (DomainJoin rewrite), so the executed
+    plan is the same single shuffle as limit_by, never a per-customer
+    subquery loop."""
+    cat.customer.createOrReplaceTempView("customer")
+    cat.orders.createOrReplaceTempView("orders")
+    return cat.sql(
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+        "FROM customer c JOIN LATERAL ("
+        "SELECT o_orderkey, o_totalprice FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t "
+        "ORDER BY c.c_custkey, t.o_orderkey")
+
+
 # ======================================= LLM-pipeline extras (north star)
 
 @q("x01_dedup_exact",
