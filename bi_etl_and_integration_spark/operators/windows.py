@@ -84,6 +84,33 @@ def running_range(df: DataFrame, keys: Sequence[str], ts_col: str,
     return df.withColumn(out_col, F.expr(frame))
 
 
+def quantile_bins(df: DataFrame, value_col: str, n: int, *,
+                  out_col: str = "bucket",
+                  approx: bool = False,
+                  accuracy: int = 10000) -> DataFrame:
+    """Corpus-wide equal-frequency binning WITHOUT the single-reducer
+    window — the scale path :func:`ntile_buckets` points at for global
+    tiles.  Computes n-1 quantile cutpoints in one tiny aggregate
+    (exact ``percentile`` for audit, ``approx_percentile`` sketch for
+    100 TB), broadcasts the 1-row cutpoint frame, and assigns
+    ``bucket = 1 + #cutpoints_below`` in a narrow projection: no big
+    shuffle, no per-partition ordering, deterministic for ties (all
+    equal values share a bucket — unlike NTILE's arbitrary tie split,
+    which is exactly what makes NTILE un-parallelizable globally)."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    fn = F.approx_percentile if approx else F.percentile
+    args = (F.col(value_col), probs) + ((F.lit(accuracy),) if approx else ())
+    cuts = df.agg(fn(*args).alias("__cuts"))
+    bucket = (F.lit(1) + F.aggregate(
+        F.col("__cuts"), F.lit(0),
+        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0))
+    ).cast("int")
+    return (df.join(F.broadcast(cuts))
+            .withColumn(out_col, bucket).drop("__cuts"))
+
+
 def ntile_buckets(df: DataFrame, keys: Sequence[str],
                   order: Sequence[Column], n: int,
                   out_col: str = "bucket") -> DataFrame:

@@ -966,6 +966,21 @@ def q28e(spark, cat):
         .orderBy("o_orderstatus", "o_orderkey"))
 
 
+@q("q28f_quantile_bins",
+   "WITH c AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) "
+   "AS q FROM orders) "
+   "SELECT o_orderkey, CAST(1 + (o_totalprice > q[1])::INT "
+   "+ (o_totalprice > q[2])::INT + (o_totalprice > q[3])::INT AS INT) "
+   "AS bucket FROM orders, c ORDER BY o_orderkey")
+def q28f(spark, cat):
+    """Corpus-wide quartile binning via broadcast cutpoints — the
+    global-NTILE replacement that never funnels the corpus through one
+    window partition; exact cutpoints here, approx_percentile sketch
+    at scale (same operator, approx=True)."""
+    return (win_ops.quantile_bins(cat.orders, "o_totalprice", 4)
+            .select("o_orderkey", "bucket").orderBy("o_orderkey"))
+
+
 @q("q28d_lag_lead",
    "SELECT o_custkey, o_orderkey, "
    "CAST(DATEDIFF('day', LAG(o_orderdate) OVER (PARTITION BY o_custkey "

@@ -80,3 +80,24 @@ def test_running_range_follows_clock_not_rows(rows):
     # Jan 15 sees Jan 1 (14 days back); Mar 1 sees neither
     assert got == {"2020-01-01": 1.0, "2020-01-15": 3.0,
                    "2020-03-01": 4.0}
+
+
+def test_quantile_bins_global_equal_frequency(rows):
+    import pytest
+    from bi_etl_and_integration_spark.operators import windows as win
+    df = rows([("r", float(i)) for i in range(1, 101)], "k string, v double")
+    out = win.quantile_bins(df, "v", 4)
+    counts = {r["bucket"]: r["n"] for r in
+              out.groupBy("bucket").count().withColumnRenamed(
+                  "count", "n").collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    assert all(20 <= c <= 30 for c in counts.values()), counts
+    # ties land in ONE bucket (the determinism NTILE can't give)
+    tied = rows([("r", 5.0)] * 10 + [("r", 9.0)], "k string, v double")
+    tb = win.quantile_bins(tied, "v", 2).collect()
+    assert len({r["bucket"] for r in tb if r["v"] == 5.0}) == 1
+    # approx path: same shape, sketch cutpoints
+    ap = win.quantile_bins(df, "v", 4, approx=True).collect()
+    assert {r["bucket"] for r in ap} == {1, 2, 3, 4}
+    with pytest.raises(ValueError):
+        win.quantile_bins(df, "v", 1)
