@@ -84,6 +84,24 @@ def running_range(df: DataFrame, keys: Sequence[str], ts_col: str,
     return df.withColumn(out_col, F.expr(frame))
 
 
+def forward_fill(df: DataFrame, keys: Sequence[str],
+                 order: Sequence[Column], cols: Sequence[str], *,
+                 suffix: str = "_ff") -> DataFrame:
+    """Last-observation-carried-forward (gap filling): replace NULLs
+    with the most recent non-null value per key in event order —
+    ``last(col, ignorenulls) OVER (... ROWS UNBOUNDED PRECEDING)``.
+    The standard repair for sparse sensor/CDC streams where only
+    changed attributes are emitted.  One window shuffle serves every
+    filled column; leading NULLs (no prior observation) stay NULL.
+    ``order`` must include a unique tiebreaker for deterministic
+    restarts."""
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumns({
+        f"{c}{suffix}": F.last(F.col(c), ignorenulls=True).over(w)
+        for c in cols})
+
+
 def quantile_bins(df: DataFrame, value_col: str, n: int, *,
                   out_col: str = "bucket",
                   approx: bool = False,

@@ -981,6 +981,22 @@ def q28f(spark, cat):
             .select("o_orderkey", "bucket").orderBy("o_orderkey"))
 
 
+@q("q28g_forward_fill",
+   "SELECT user_id, event_id, "
+   + R("LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id "
+       "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+       "CURRENT ROW)")
+   + " AS value_ff FROM events ORDER BY user_id, event_id")
+def q28g(spark, cat):
+    """Forward fill (LOCF) of the nullable events.value per user —
+    one window shuffle, leading NULLs preserved."""
+    r = win_ops.forward_fill(cat.events, ["user_id"],
+                             [F.col("ts"), F.col("event_id")], ["value"])
+    return (r.select("user_id", "event_id",
+                     dec_round("value_ff").alias("value_ff"))
+            .orderBy("user_id", "event_id"))
+
+
 @q("q28d_lag_lead",
    "SELECT o_custkey, o_orderkey, "
    "CAST(DATEDIFF('day', LAG(o_orderdate) OVER (PARTITION BY o_custkey "

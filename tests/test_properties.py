@@ -143,3 +143,43 @@ def test_exact_dedup_conserves_rows(spark, texts):
     # canonical ids are members, and member lists cover all ids
     members = [i for r in out.collect() for i in r["member_ids"]]
     assert sorted(members) == list(range(len(texts)))
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=60).map(str.strip)
+    .filter(bool),
+    min_size=1, max_size=8)
+
+
+@SETTINGS
+@given(texts=doc_texts, chunk=st.integers(2, 8), overlap=st.integers(0, 3))
+def test_chunking_covers_every_token_and_packing_conserves(spark, texts,
+                                                           chunk, overlap):
+    """Invariants: (1) each doc's chunks cover all its tokens — the
+    concatenation of non-overlap tails reconstructs the token stream;
+    (2) packing assigns every chunk exactly once and never overfills
+    a pack (budget >= chunk size here)."""
+    from bi_etl_and_integration_spark.operators.text import (
+        chunk_documents, pack_sequences)
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=chunk,
+                             overlap_tokens=overlap)
+    rows = sorted(chunks.collect(),
+                  key=lambda r: (r["id"], r["chunk_start"]))
+    by_doc: dict = {}
+    for r in rows:
+        prev_end = by_doc.get(r["id"], 0)
+        # chunks abut or overlap — no token gap between consecutive ones
+        assert r["chunk_start"] <= prev_end + 1
+        by_doc[r["id"]] = r["chunk_start"] + r["n_tokens"] - 1
+    for i, t in enumerate(texts):
+        assert by_doc[i] == len(t.split())   # last chunk reaches the end
+    packed = pack_sequences(chunks, "n_tokens", budget=chunk).collect()
+    assert len(packed) == len(rows)
+    sums: dict = {}
+    for r in packed:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= chunk for v in sums.values())

@@ -101,3 +101,17 @@ def test_quantile_bins_global_equal_frequency(rows):
     assert {r["bucket"] for r in ap} == {1, 2, 3, 4}
     with pytest.raises(ValueError):
         win.quantile_bins(df, "v", 1)
+
+
+def test_forward_fill_locf(rows):
+    from bi_etl_and_integration_spark.operators import windows as win
+    df = rows([("a", 1, None), ("a", 2, 10.0), ("a", 3, None),
+               ("a", 4, None), ("a", 5, 20.0), ("b", 1, None)],
+              "k string, seq int, v double")
+    out = win.forward_fill(df, ["k"], [F.col("seq")], ["v"])
+    got = {(r["k"], r["seq"]): r["v_ff"] for r in out.collect()}
+    assert got[("a", 1)] is None          # leading NULL: nothing to carry
+    assert got[("a", 3)] == 10.0
+    assert got[("a", 4)] == 10.0
+    assert got[("a", 5)] == 20.0
+    assert got[("b", 1)] is None          # fills never cross keys
