@@ -185,3 +185,46 @@ def domain_cleanse(df: DataFrame, col: str, domain: DataFrame,
         corrected = rest.limit(0)
         invalid = rest
     return {"valid": valid, "corrected": corrected, "invalid": invalid}
+
+
+def reconcile(source: DataFrame, target: DataFrame, keys: Sequence[str],
+              compare_cols: Sequence[str] | None = None, *,
+              status_col: str = "status",
+              changed_col: str = "changed_cols") -> DataFrame:
+    """Row-level source-vs-target reconciliation — the Row Count audit
+    (APRESS/003.md:8-10) extended from totals to a keyed diff, i.e.
+    the migration-validation step for PG→CH style reloads
+    (SCRIPTS/Перелив данных из PostgreSQL в ClickHouse.md) and the
+    change-detection compare dimension loads perform per attribute
+    (PRO/Глава 10:41-48).
+
+    One full-outer sort-merge join on the keys; every column compare is
+    null-safe (``<=>``) and runs in the same codegen stage — no second
+    pass, no collect.  Output: key columns + ``status`` ∈
+    {only_source, only_target, changed, same} + ``changed_cols``
+    (comma-joined names, NULL unless status='changed').  At 100 TB
+    both sides shuffle once on the key; pre-bucketed tables drop both
+    Exchanges."""
+    if compare_cols is None:
+        compare_cols = [c for c in source.columns
+                        if c not in keys and c in target.columns]
+    s = source.alias("s")
+    t = target.alias("t")
+    cond = None
+    for k in keys:
+        eq = F.col(f"s.{k}") == F.col(f"t.{k}")
+        cond = eq if cond is None else cond & eq
+    j = s.join(t, cond, "full_outer")
+    s_key, t_key = F.col(f"s.{keys[0]}"), F.col(f"t.{keys[0]}")
+    diffs = [F.when(~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")),
+                    F.lit(c)) for c in compare_cols]
+    changed = F.concat_ws(",", *diffs)
+    status = (F.when(t_key.isNull(), F.lit("only_source"))
+              .when(s_key.isNull(), F.lit("only_target"))
+              .when(changed != "", F.lit("changed"))
+              .otherwise(F.lit("same")))
+    out_keys = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+                for k in keys]
+    return j.select(*out_keys, status.alias(status_col),
+                    F.when(status == "changed", changed)
+                    .alias(changed_col))

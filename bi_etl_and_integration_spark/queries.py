@@ -1617,6 +1617,44 @@ def q46(spark, cat):
         "WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c.c_custkey")
 
 
+@q("q48_reconciliation",
+   "WITH tgt AS ("
+   "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
+   "THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal "
+   "FROM customer WHERE c_custkey % 13 != 0 "
+   "UNION ALL SELECT c_custkey + 1000000, c_name, c_acctbal "
+   "FROM customer WHERE c_custkey % 31 = 0) "
+   "SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey, "
+   "CASE WHEN t.c_custkey IS NULL THEN 'only_source' "
+   "WHEN s.c_custkey IS NULL THEN 'only_target' "
+   "WHEN s.c_name IS DISTINCT FROM t.c_name "
+   "OR s.c_acctbal IS DISTINCT FROM t.c_acctbal THEN 'changed' "
+   "ELSE 'same' END AS status, "
+   "CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN "
+   "NULLIF(CONCAT_WS(',', "
+   "CASE WHEN s.c_name IS DISTINCT FROM t.c_name THEN 'c_name' END, "
+   "CASE WHEN s.c_acctbal IS DISTINCT FROM t.c_acctbal "
+   "THEN 'c_acctbal' END), '') END AS changed_cols "
+   "FROM customer s FULL JOIN tgt t ON s.c_custkey = t.c_custkey "
+   "ORDER BY c_custkey")
+def q48(spark, cat):
+    """Source-vs-target row diff (migration validation): target is the
+    source with every 13th key dropped, every 7th acctbal perturbed,
+    and every 31st re-keyed — the diff must classify each row exactly."""
+    src = cat.customer.select("c_custkey", "c_name", "c_acctbal")
+    tgt = (src.where(F.col("c_custkey") % 13 != 0)
+           .withColumn("c_acctbal",
+                       F.when(F.col("c_custkey") % 7 == 0,
+                              F.col("c_acctbal") + 10)
+                       .otherwise(F.col("c_acctbal")))
+           .unionByName(src.where(F.col("c_custkey") % 31 == 0)
+                        .withColumn("c_custkey",
+                                    F.col("c_custkey") + 1000000)))
+    out = cl_ops.reconcile(src, tgt, ["c_custkey"],
+                           ["c_name", "c_acctbal"])
+    return out.orderBy("c_custkey")
+
+
 @q("q47_lateral_topk",
    "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
    "FROM customer c JOIN LATERAL ("

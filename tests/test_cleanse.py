@@ -98,3 +98,20 @@ def test_value_histogram_exact_buckets(rows):
     assert out[1] == (10.0, 2)     # 10, 15
     # 95, and the clamped top-edge values 100 and 200
     assert out[9] == (90.0, 3)
+
+
+def test_reconcile_classifies_each_row(rows):
+    from bi_etl_and_integration_spark.operators.cleanse import reconcile
+    src = rows([(1, "a", 10.0), (2, "b", 20.0), (3, "c", None),
+                (4, "d", 40.0)], "k int, name string, bal double")
+    tgt = rows([(1, "a", 10.0),          # same
+                (2, "b2", 21.0),         # changed: both cols
+                (3, "c", None),          # same (null-safe compare)
+                (5, "e", 50.0)], "k int, name string, bal double")
+    out = {r["k"]: (r["status"], r["changed_cols"])
+           for r in reconcile(src, tgt, ["k"]).collect()}
+    assert out[1] == ("same", None)
+    assert out[2] == ("changed", "name,bal")
+    assert out[3] == ("same", None)      # NULL == NULL under <=>
+    assert out[4] == ("only_source", None)
+    assert out[5] == ("only_target", None)
