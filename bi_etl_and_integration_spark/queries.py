@@ -1617,6 +1617,31 @@ def q46(spark, cat):
         "WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c.c_custkey")
 
 
+@q("q49_time_rollup",
+   "WITH b AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon, "
+   "CAST(DATE_TRUNC('year', o_orderdate) AS DATE) AS yr, o_totalprice "
+   "FROM orders) "
+   f"SELECT mon, yr, {R('SUM(o_totalprice)')} AS s, COUNT(*) AS n, "
+   "CAST(GROUPING(mon) AS INT) AS g_mon, CAST(GROUPING(yr) AS INT) AS g_yr "
+   "FROM b GROUP BY GROUPING SETS ((mon), (yr), ()) "
+   "ORDER BY g_mon, g_yr, mon NULLS FIRST, yr NULLS FIRST")
+def q49(spark, cat):
+    """Multi-grain time rollup (monthly + yearly + grand total) in ONE
+    Expand+aggregate pass — the ClickHouse materialized-view-per-grain
+    datamart collapsed into a single scan; GROUPING() markers tell the
+    grains apart downstream."""
+    b = cat.orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        F.date_trunc("year", "o_orderdate").cast("date").alias("yr"),
+        "o_totalprice")
+    out = agg_ops.grouping_sets(
+        b, [["mon"], ["yr"], []],
+        {"s": dec_round(F.sum("o_totalprice")), "n": F.count(F.lit(1))})
+    return out.orderBy("g_mon", "g_yr",
+                       F.col("mon").asc_nulls_first(),
+                       F.col("yr").asc_nulls_first())
+
+
 @q("q48_reconciliation",
    "WITH tgt AS ("
    "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
