@@ -168,6 +168,24 @@ def grouping_sets(df: DataFrame, sets: Sequence[Sequence[str]],
     return df.groupingSets([list(s) for s in sets], *keys).agg(*exprs)
 
 
+def share_of_total(df: DataFrame, keys: Sequence[str], value: Column, *,
+                   share_col: str = "share",
+                   value_col: str = "value") -> DataFrame:
+    """Per-group share of the grand total (percent-of-total /
+    ratio_to_report): one keyed aggregation plus a 1-row total
+    broadcast-joined back — NEVER ``SUM() OVER ()``, whose empty
+    PARTITION BY funnels every row through a single window partition
+    (the same cliff :func:`windows.ntile_buckets` documents).  The
+    total re-aggregates the group sums, so the input is scanned
+    once."""
+    grouped = df.groupBy(*keys).agg(value.alias(value_col))
+    total = grouped.agg(F.sum(value_col).alias("__total"))
+    return (grouped.join(F.broadcast(total))
+            .withColumn(share_col,
+                        F.col(value_col) / F.col("__total"))
+            .drop("__total"))
+
+
 #: re-aggregatable agg kinds for the two-phase (salted) path
 _SALTABLE = {
     "sum": (F.sum, F.sum),

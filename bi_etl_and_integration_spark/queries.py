@@ -1617,6 +1617,24 @@ def q46(spark, cat):
         "WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c.c_custkey")
 
 
+@q("q50_share_of_total",
+   "WITH g AS (SELECT o_orderstatus, SUM(o_totalprice) AS v FROM orders "
+   "GROUP BY o_orderstatus) "
+   f"SELECT o_orderstatus, {R('v')} AS v, "
+   + R("v / SUM(v) OVER ()", 6) + " AS share "
+   "FROM g ORDER BY o_orderstatus")
+def q50(spark, cat):
+    """Percent-of-total per order status — computed via the broadcast
+    scalar-total path (share_of_total), never a global empty-PARTITION
+    window; the oracle uses SUM() OVER () because DuckDB's corpus fits
+    one node, ours must not assume that."""
+    out = agg_ops.share_of_total(cat.orders, ["o_orderstatus"],
+                                 F.sum("o_totalprice"), value_col="v")
+    return (out.select("o_orderstatus", dec_round("v").alias("v"),
+                       dec_round("share", 6).alias("share"))
+            .orderBy("o_orderstatus"))
+
+
 @q("q49_time_rollup",
    "WITH b AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon, "
    "CAST(DATE_TRUNC('year', o_orderdate) AS DATE) AS yr, o_totalprice "

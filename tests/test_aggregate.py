@@ -148,3 +148,12 @@ def test_top_k_by_key_ranks_reduced_counts(rows):
     assert out[("a", 2)] == ("y", 2)
     assert out[("b", 1)] == ("q", 2)
     assert ("a", 3) not in out  # z cut by k=2
+
+
+def test_share_of_total(rows):
+    df = rows([("a", 10.0), ("a", 20.0), ("b", 70.0)],
+              "k string, v double")
+    out = {r["k"]: (r["value"], r["share"]) for r in
+           agg.share_of_total(df, ["k"], F.sum("v")).collect()}
+    assert out["a"] == (30.0, 0.3)
+    assert out["b"] == (70.0, 0.7)
