@@ -165,3 +165,28 @@ def test_simhash_self_join_reuses_cached_table(cat):
     out = dd.simhash_dedup(cat.documents, "text", "doc_id")
     plan = plans.formatted_plan(out)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_partition_pruning_static_and_dynamic(cat, spark, tmp_path):
+    """Date-partitioned layout at rest: a literal dim predicate must
+    fold into static PartitionFilters, and a non-foldable dim filter
+    must inject a dynamicpruning subquery — so at 100 TB the fact scan
+    reads only the partitions the dim side selects, never the table."""
+    d = str(tmp_path)
+    orders = cat.orders.withColumn("o_year", F.year("o_orderdate"))
+    orders.write.partitionBy("o_year").parquet(d + "/orders_part")
+    fact = spark.read.parquet(d + "/orders_part")
+
+    static = fact.where(F.col("o_year") == 1995).select("o_orderkey")
+    sp = plans.formatted_plan(static)
+    s_filters = [ln for ln in sp.splitlines() if "PartitionFilters" in ln]
+    assert s_filters and "1995" in s_filters[0], sp
+
+    dim = spark.createDataFrame([(1995, "keep"), (1996, "drop")],
+                                "y int, attr string")
+    dim.write.parquet(d + "/dim")
+    dim = spark.read.parquet(d + "/dim").where(F.col("attr") == "keep")
+    j = (fact.join(dim, fact["o_year"] == dim["y"])
+         .select("o_orderkey", "attr"))
+    assert "dynamicpruning" in plans.formatted_plan(j).lower(), \
+        plans.formatted_plan(j)
