@@ -265,6 +265,33 @@ def merge_states(states: DataFrame, keys: Sequence[str],
     return merged.select(*cols)
 
 
+def uniq_state(df: DataFrame, keys: Sequence[str],
+               cols: Sequence[str], *, lg_k: int = 12) -> DataFrame:
+    """``uniqState`` parity: per-key re-aggregatable DISTINCT-COUNT
+    states as Datasketches HLL binaries (``<col>__hll``), completing
+    the MV state family beyond sum/count/avg — distinct counts are the
+    one aggregate a sum/count pair can NOT incrementally maintain.
+    ``lg_k`` = 2^k registers (12 → ~1.5 KB/sketch, ~2% rel. error);
+    states from any batch partition union losslessly."""
+    return df.groupBy(*keys).agg(
+        *[F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(f"{c}__hll")
+          for c in cols])
+
+
+def uniq_merge(states: DataFrame, keys: Sequence[str],
+               cols: Sequence[str]) -> DataFrame:
+    """``uniqMerge`` parity: union per-batch HLL states and estimate —
+    ``<col>_uniq`` per input col.  Merge-then-estimate equals
+    estimate-over-all-data exactly (sketch union is lossless), which
+    is the re-aggregatability contract the MV pattern needs."""
+    merged = states.groupBy(*keys).agg(
+        *[F.hll_union_agg(F.col(f"{c}__hll")).alias(f"{c}__hll")
+          for c in cols])
+    return merged.select(
+        *keys, *[F.hll_sketch_estimate(F.col(f"{c}__hll"))
+                 .alias(f"{c}_uniq") for c in cols])
+
+
 def pre_aggregate_then_join(base: DataFrame, base_key: str,
                             details: Sequence[tuple[DataFrame, str,
                                                     Mapping[str, Column]]],

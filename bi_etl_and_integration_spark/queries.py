@@ -758,6 +758,23 @@ def q21b(spark, cat):
             .orderBy("o_custkey"))
 
 
+@q("q21c_uniq_states")  # rows-only: HLL estimate is sketch-specific
+def q21c(spark, cat):
+    """uniqState/uniqMerge parity: distinct customers per order status
+    via per-batch HLL sketch states merged at read — the distinct-count
+    MV that sum/count states cannot maintain.  Merge-of-batches equals
+    sketch-over-all-data exactly (lossless union, unit-tested);
+    estimate tracks exact COUNT DISTINCT within ~2% at lg_k=12."""
+    batches = [cat.orders.where(F.col("o_orderkey") % 2 == i)
+               for i in range(2)]
+    states = agg_ops.uniq_state(batches[0], ["o_orderstatus"],
+                                ["o_custkey"])
+    states = states.unionByName(
+        agg_ops.uniq_state(batches[1], ["o_orderstatus"], ["o_custkey"]))
+    return (agg_ops.uniq_merge(states, ["o_orderstatus"], ["o_custkey"])
+            .orderBy("o_orderstatus"))
+
+
 @q("q22_distinct",
    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
    "ORDER BY l_returnflag, l_linestatus")

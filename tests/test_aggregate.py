@@ -157,3 +157,22 @@ def test_share_of_total(rows):
            agg.share_of_total(df, ["k"], F.sum("v")).collect()}
     assert out["a"] == (30.0, 0.3)
     assert out["b"] == (70.0, 0.7)
+
+
+def test_uniq_states_merge_equals_direct(rows):
+    """uniqState/uniqMerge contract: merging per-batch HLL states gives
+    EXACTLY the estimate of sketching all data at once (lossless
+    union), and tracks the true distinct count closely."""
+    b1 = rows([("a", i) for i in range(50)] + [("b", 1)], "k string, v int")
+    b2 = rows([("a", i) for i in range(25, 75)] + [("b", 2)],
+              "k string, v int")
+    s1 = agg.uniq_state(b1, ["k"], ["v"])
+    s2 = agg.uniq_state(b2, ["k"], ["v"])
+    merged = {r["k"]: r["v_uniq"] for r in
+              agg.uniq_merge(s1.unionByName(s2), ["k"], ["v"]).collect()}
+    direct = {r["k"]: r["v_uniq"] for r in
+              agg.uniq_merge(agg.uniq_state(b1.unionByName(b2), ["k"],
+                                            ["v"]), ["k"], ["v"]).collect()}
+    assert merged == direct                  # lossless union
+    assert abs(merged["a"] - 75) <= 4        # ~2% error at lg_k=12
+    assert merged["b"] == 2
