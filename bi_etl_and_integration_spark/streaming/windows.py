@@ -51,6 +51,49 @@ def session_windowed_agg(df: DataFrame, ts_col: str, gap: str,
                      watermark)
 
 
+def interval_join(left: DataFrame, right: DataFrame,
+                  keys: Sequence[str], *, left_ts: str, right_ts: str,
+                  lower: str, upper: str,
+                  watermark: str, how: str = "inner") -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    match rows with equal keys where
+    ``right_ts ∈ [left_ts - lower, left_ts + upper]``.
+
+    The time bound + watermarks are what make a stream-stream join
+    FINITE: each side buffers only rows young enough to still find a
+    partner, and the state store evicts them past
+    ``watermark + interval`` — without the bound Spark rejects the
+    join as unbounded-state.  Same code path works on batch frames
+    (the bound is then just a range predicate).  Outer variants emit
+    unmatched rows only after watermark expiry."""
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    for df, c in ((left, left_ts), (right, right_ts)):
+        if dict(df.dtypes).get(c) == "timestamp_ntz":
+            cast = F.col(c).cast("timestamp")
+            if df is left:
+                left = left.withColumn(c, cast)
+            else:
+                right = right.withColumn(c, cast)
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        eq = left[k] == right[k]
+        cond = eq if cond is None else cond & eq
+    cond = (cond
+            & (rts >= lts - F.expr(f"INTERVAL {lower}"))
+            & (rts <= lts + F.expr(f"INTERVAL {upper}")))
+    joined = left.join(right, cond, how)
+    if how.replace("_outer", "").replace("outer", "") in ("inner", "left"):
+        # expression joins keep both key copies; for inner/left the
+        # right copy is redundant — drop it so keys resolve unambiguously
+        for k in keys:
+            joined = joined.drop(right[k])
+    return joined
+
+
 def dedup_within_watermark(df: DataFrame, keys: Sequence[str],
                            ts_col: str, watermark: str) -> DataFrame:
     """Streaming exactly-once event dedup with BOUNDED state: keep the

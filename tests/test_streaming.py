@@ -140,3 +140,44 @@ def test_dedup_within_watermark_stream(spark, rows, tmp_path):
     # batch degradation: same keys survive
     b = dedup_within_watermark(batch, ["event_id"], "ts", "10 minutes")
     assert sorted(r["event_id"] for r in b.collect()) == ["e1", "e2"]
+
+
+def test_stream_stream_interval_join(spark, rows, tmp_path):
+    """Two file streams joined on key within an event-time interval —
+    the bounded-state stream-stream join; matches only within the
+    window, state finite by watermark + bound."""
+    import datetime as dt
+    from bi_etl_and_integration_spark.streaming.windows import interval_join
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    clicks = rows([("u1", t0, "c1"),
+                   ("u2", t0 + dt.timedelta(minutes=30), "c2")],
+                  "uid string, cts timestamp, click string") \
+        .withColumn("cts", F.col("cts").cast("timestamp_ltz"))
+    buys = rows([("u1", t0 + dt.timedelta(minutes=5), "b1"),    # in window
+                 ("u2", t0 + dt.timedelta(minutes=50), "b2"),   # outside
+                 ("u3", t0, "b3")],                             # no click
+                "uid string, bts timestamp, buy string") \
+        .withColumn("bts", F.col("bts").cast("timestamp_ltz"))
+    d1, d2 = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.write.parquet(d1)
+    buys.write.parquet(d2)
+    sc = spark.readStream.schema(clicks.schema).parquet(d1)
+    sb = spark.readStream.schema(buys.schema).parquet(d2)
+    j = interval_join(sc, sb, ["uid"], left_ts="cts", right_ts="bts",
+                      lower="0 minutes", upper="10 minutes",
+                      watermark="1 hour")
+    q = (j.select("uid", "click", "buy").writeStream
+         .outputMode("append").format("memory")
+         .queryName("ij_stream").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["uid"], r["click"], r["buy"])
+               for r in spark.table("ij_stream").collect()}
+    finally:
+        q.stop()
+    assert got == {("u1", "c1", "b1")}
+    # batch path: same predicate, same single match
+    bj = interval_join(clicks, buys, ["uid"], left_ts="cts",
+                       right_ts="bts", lower="0 minutes",
+                       upper="10 minutes", watermark="1 hour")
+    assert [(r["uid"], r["buy"]) for r in bj.collect()] == [("u1", "b1")]
