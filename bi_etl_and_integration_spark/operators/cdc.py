@@ -160,3 +160,34 @@ def snapshot_plus_catchup(snapshot: DataFrame, changes: DataFrame,
     covers rows changed *during* the copy exactly once."""
     catchup = changes.where(F.col(offset_col) > F.lit(snapshot_offset))
     return apply_changes(snapshot, catchup, keys, offset_col, op_col)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  compare_cols: Sequence[str] | None = None, *,
+                  op_col: str = "op") -> DataFrame:
+    """Generate a change feed by diffing two full snapshots — CDC for
+    sources with NO change tracking (the change-detection-by-compare
+    pattern dimension loads fall back to, PRO/Глава 10:41-48, and the
+    alternative PRO/Глава 12 names when table CDC can't be enabled).
+
+    Output: the NEW row image (old image for deletes) + ``op`` ∈
+    {OP_INSERT, OP_UPDATE, OP_DELETE} — directly consumable by
+    :func:`split_ops` / :func:`apply_changes`, so a snapshot-only
+    source plugs into the same incremental apply path as a real CDC
+    feed.  Unchanged rows are dropped (the feed carries deltas only).
+    One full-outer join on the keys; compares are null-safe."""
+    from bi_etl_and_integration_spark.operators.cleanse import reconcile
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns
+                        if c not in keys and c in old.columns]
+    diff = reconcile(old, new, keys, compare_cols)
+    changed = diff.where(F.col("status") != "same")
+    op = (F.when(F.col("status") == "only_target", F.lit(OP_INSERT))
+          .when(F.col("status") == "only_source", F.lit(OP_DELETE))
+          .otherwise(F.lit(OP_UPDATE)))
+    keyed = changed.select(*keys, op.alias(op_col))
+    new_img = new.select(*keys, *compare_cols)
+    old_img = old.select(*keys, *compare_cols)
+    with_new = keyed.where(F.col(op_col) != OP_DELETE).join(new_img, list(keys))
+    with_old = keyed.where(F.col(op_col) == OP_DELETE).join(old_img, list(keys))
+    return with_new.unionByName(with_old)

@@ -1320,6 +1320,48 @@ def q38b(spark, cat):
     return out.orderBy("c_custkey")
 
 
+@q("q38c_snapshot_diff",
+   "WITH tgt AS ("
+   "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
+   "THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal "
+   "FROM customer WHERE c_custkey % 13 != 0 "
+   "UNION ALL SELECT c_custkey + 1000000, c_name, c_acctbal "
+   "FROM customer WHERE c_custkey % 31 = 0) "
+   "SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey, "
+   "CAST(CASE WHEN s.c_custkey IS NULL THEN 2 "
+   "WHEN t.c_custkey IS NULL THEN 1 ELSE 4 END AS INT) AS op, "
+   "CASE WHEN s.c_custkey IS NULL THEN t.c_name "
+   "WHEN t.c_custkey IS NULL THEN s.c_name ELSE t.c_name END AS c_name, "
+   + R("CASE WHEN s.c_custkey IS NULL THEN t.c_acctbal "
+       "WHEN t.c_custkey IS NULL THEN s.c_acctbal "
+       "ELSE t.c_acctbal END")
+   + " AS c_acctbal "
+   "FROM customer s FULL JOIN tgt t ON s.c_custkey = t.c_custkey "
+   "WHERE s.c_custkey IS NULL OR t.c_custkey IS NULL "
+   "OR s.c_name IS DISTINCT FROM t.c_name "
+   "OR s.c_acctbal IS DISTINCT FROM t.c_acctbal "
+   "ORDER BY c_custkey")
+def q38c(spark, cat):
+    """CDC WITHOUT change tracking: diff two snapshots into an
+    insert/update/delete feed (new image; old image for deletes) that
+    plugs into the standard apply path — same perturbed target as q48,
+    emitted as deltas only."""
+    from bi_etl_and_integration_spark.operators.cdc import snapshot_diff
+    src = cat.customer.select("c_custkey", "c_name", "c_acctbal")
+    tgt = (src.where(F.col("c_custkey") % 13 != 0)
+           .withColumn("c_acctbal",
+                       F.when(F.col("c_custkey") % 7 == 0,
+                              F.col("c_acctbal") + 10)
+                       .otherwise(F.col("c_acctbal")))
+           .unionByName(src.where(F.col("c_custkey") % 31 == 0)
+                        .withColumn("c_custkey",
+                                    F.col("c_custkey") + 1000000)))
+    feed = snapshot_diff(src, tgt, ["c_custkey"])
+    return (feed.select("c_custkey", F.col("op").cast("int").alias("op"),
+                        "c_name", dec_round("c_acctbal").alias("c_acctbal"))
+            .orderBy("c_custkey"))
+
+
 @q("q39_term_extraction",
    "WITH tok AS (SELECT LOWER(UNNEST(list_filter(STRING_SPLIT(text,' '), "
    "x -> x != ''))) t FROM documents) "

@@ -148,3 +148,19 @@ def test_incremental_cdc_run_commits_only_on_success(rows, tmp_path):
         offset_col="lsn", state_store=st, state_name="t",
         apply_fn=lambda df: df.collect())
     _assert_same(again.select("k", "v"), applied.select("k", "v"))
+
+
+def test_snapshot_diff_emits_change_feed(rows):
+    from bi_etl_and_integration_spark.operators import cdc
+    old = rows([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    new = rows([(1, "a"), (2, "b2"), (4, "d")], "k int, v string")
+    feed = cdc.snapshot_diff(old, new, ["k"])
+    got = {r["k"]: (r["op"], r["v"]) for r in feed.collect()}
+    assert got == {2: (cdc.OP_UPDATE, "b2"),
+                   3: (cdc.OP_DELETE, "c"),
+                   4: (cdc.OP_INSERT, "d")}
+    # the feed drives the standard apply path to reproduce `new`
+    applied = cdc.apply_changes(old, feed.withColumn("lsn", F.lit(1)),
+                                ["k"], offset_col="lsn")
+    assert {(r["k"], r["v"]) for r in applied.collect()} == \
+        {(1, "a"), (2, "b2"), (4, "d")}
