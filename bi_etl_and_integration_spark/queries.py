@@ -164,6 +164,25 @@ def q04c(spark, cat):
             .orderBy("event_id"))
 
 
+@q("q04d_variant",
+   "SELECT event_id, TRY_CAST(json_extract_string(props,'$.k') AS INT) "
+   "AS k, TRY_CAST(json_extract_string(props,'$.missing') AS INT) "
+   "AS m FROM events ORDER BY event_id")
+def q04d(spark, cat):
+    """Semi-structured via the VARIANT type (Spark 4): parse once into
+    the binary variant encoding, then typed path extraction —
+    schemaless like get_json_object but without re-parsing the JSON
+    text per path, the open-schema answer to from_json's fixed
+    struct.  try_variant_get yields NULL (not an error) for missing
+    paths or cast misses."""
+    v = cat.events.select("event_id",
+                          F.parse_json(F.col("props")).alias("v"))
+    return (v.select("event_id",
+                     F.try_variant_get("v", "$.k", "int").alias("k"),
+                     F.try_variant_get("v", "$.missing", "int").alias("m"))
+            .orderBy("event_id"))
+
+
 # ==================================================== row transforms
 
 @q("q05_derived_columns",
