@@ -175,19 +175,32 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     :func:`split_ops` / :func:`apply_changes`, so a snapshot-only
     source plugs into the same incremental apply path as a real CDC
     feed.  Unchanged rows are dropped (the feed carries deltas only).
-    One full-outer join on the keys; compares are null-safe."""
-    from bi_etl_and_integration_spark.operators.cleanse import reconcile
+    ONE full-outer join on the keys — op classification, null-safe
+    compares and image selection all ride the same join (each snapshot
+    is scanned once, not re-joined per image)."""
     if compare_cols is None:
         compare_cols = [c for c in new.columns
                         if c not in keys and c in old.columns]
-    diff = reconcile(old, new, keys, compare_cols)
-    changed = diff.where(F.col("status") != "same")
-    op = (F.when(F.col("status") == "only_target", F.lit(OP_INSERT))
-          .when(F.col("status") == "only_source", F.lit(OP_DELETE))
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        differs = d if differs is None else differs | d
+    op = (F.when(o_key.isNull(), F.lit(OP_INSERT))
+          .when(n_key.isNull(), F.lit(OP_DELETE))
           .otherwise(F.lit(OP_UPDATE)))
-    keyed = changed.select(*keys, op.alias(op_col))
-    new_img = new.select(*keys, *compare_cols)
-    old_img = old.select(*keys, *compare_cols)
-    with_new = keyed.where(F.col(op_col) != OP_DELETE).join(new_img, list(keys))
-    with_old = keyed.where(F.col(op_col) == OP_DELETE).join(old_img, list(keys))
-    return with_new.unionByName(with_old)
+    out_keys = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in keys]
+    # new image; old image only when the row no longer exists
+    images = [F.when(n_key.isNull(), F.col(f"o.{c}"))
+              .otherwise(F.col(f"n.{c}")).alias(c)
+              for c in compare_cols]
+    return (j.where(o_key.isNull() | n_key.isNull() | differs)
+            .select(*out_keys, op.alias(op_col), *images))
