@@ -2058,6 +2058,28 @@ def x12b(spark, cat):
                      F.sum("nt").alias("total_tokens"))
 
 
+@q("x16_multimodal_dedup")  # rows-only (random-projection buckets)
+def x16(spark, cat):
+    """Composed multimodal near-dup: binary media -> Arrow stub decode
+    (x11's path) -> 8-dim feature vector -> random-projection bucket +
+    BLAS cosine verify (x05's path).  Byte-identical payloads yield
+    identical features, so exact dups always pair at cosine 1.0 — the
+    image-dedup training-data op with the codec stubbed and every
+    Spark stage real.  Short payloads zero-pad to the fixed dim."""
+    from bi_etl_and_integration_spark.operators.multimodal import (
+        image_features)
+    media = cat.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    feats = image_features(media, decode_stub=True)
+    vecs = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.slice(F.concat("feature", F.array_repeat(F.lit(0.0), 8)),
+                1, 8).alias("embedding"))
+    return dd_ops.embedding_dedup(vecs, "embedding", "vec_id",
+                                  threshold=0.999, n_planes=4)
+
+
 @q("x11_multimodal_features",
    "SELECT doc_id AS media_id, "
    "(octet_length(encode(text)) % 64) + 1 AS width, "
