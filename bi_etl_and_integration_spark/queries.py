@@ -185,6 +185,22 @@ def q04d(spark, cat):
 
 # ==================================================== row transforms
 
+@q("q04e_json_map",
+   "WITH e AS (SELECT event_id, props, UNNEST(json_keys(props)) AS k "
+   "FROM events) "
+   "SELECT event_id, k, "
+   "CAST(json_extract_string(props, '$.' || k) AS INT) AS v "
+   "FROM e ORDER BY event_id, k")
+def q04e(spark, cat):
+    """Schemaless key-value extraction: JSON object as MapType (keys
+    unknown at plan time, unlike from_json's fixed struct), exploded
+    to one row per entry — the EAV escape hatch for ragged props."""
+    m = cat.events.select(
+        "event_id", F.from_json("props", "map<string,int>").alias("m"))
+    return (m.select("event_id", F.explode("m").alias("k", "v"))
+            .orderBy("event_id", "k"))
+
+
 @q("q05_derived_columns",
    f"SELECT o_orderkey, {R('o_totalprice*1.1')} AS with_tax, "
    "UPPER(o_orderstatus) AS st, TRIM(SUBSTR(o_orderpriority,1,1)) AS pri1 "
