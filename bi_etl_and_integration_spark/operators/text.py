@@ -132,6 +132,9 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             .alias("chunk"),
             F.least(F.lit(chunk_tokens), F.size(toks) - s + 1)
             .cast("int").alias("n_tokens")))
+    # NULL text -> no chunks (explode drops the empty array), never a
+    # phantom row with a NULL chunk
+    chunks = F.when(F.col(text_col).isNull(), F.array()).otherwise(chunks)
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(chunks).alias("c"))
             .select("id", "c.chunk_start", "c.chunk", "c.n_tokens"))
