@@ -121,10 +121,14 @@ def quantile_bins(df: DataFrame, value_col: str, n: int, *,
     fn = F.approx_percentile if approx else F.percentile
     args = (F.col(value_col), probs) + ((F.lit(accuracy),) if approx else ())
     cuts = df.agg(fn(*args).alias("__cuts"))
-    bucket = (F.lit(1) + F.aggregate(
-        F.col("__cuts"), F.lit(0),
-        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0))
-    ).cast("int")
+    # NULL values get a NULL bucket, never a silent bucket 1 (the
+    # NULL > cutpoint comparison is NULL, which `when` would read as 0)
+    bucket = F.when(
+        F.col(value_col).isNotNull(),
+        F.lit(1) + F.aggregate(
+            F.col("__cuts"), F.lit(0),
+            lambda acc, c: acc + F.when(F.col(value_col) > c, 1)
+            .otherwise(0))).cast("int")
     return (df.join(F.broadcast(cuts))
             .withColumn(out_col, bucket).drop("__cuts"))
 

@@ -99,6 +99,12 @@ def test_quantile_bins_global_equal_frequency(rows):
     # approx path: same shape, sketch cutpoints
     ap = win.quantile_bins(df, "v", 4, approx=True).collect()
     assert {r["bucket"] for r in ap} == {1, 2, 3, 4}
+    # NULL values get a NULL bucket, not a silent bucket 1
+    withnull = rows([("r", 1.0), ("r", 2.0), ("r", None)],
+                    "k string, v double")
+    nb = {r["v"]: r["bucket"] for r in
+          win.quantile_bins(withnull, "v", 2).collect()}
+    assert nb[None] is None and nb[1.0] == 1 and nb[2.0] == 2
     with pytest.raises(ValueError):
         win.quantile_bins(df, "v", 1)
 
