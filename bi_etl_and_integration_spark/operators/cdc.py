@@ -178,29 +178,17 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     ONE full-outer join on the keys — op classification, null-safe
     compares and image selection all ride the same join (each snapshot
     is scanned once, not re-joined per image)."""
-    if compare_cols is None:
-        compare_cols = [c for c in new.columns
-                        if c not in keys and c in old.columns]
-    o = old.alias("o")
-    n = new.alias("n")
-    cond = None
-    for k in keys:
-        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
-        cond = eq if cond is None else cond & eq
-    j = o.join(n, cond, "full_outer")
-    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
-    differs = None
-    for c in compare_cols:
-        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        differs = d if differs is None else differs | d
-    op = (F.when(o_key.isNull(), F.lit(OP_INSERT))
-          .when(n_key.isNull(), F.lit(OP_DELETE))
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        keyed_diff_parts)
+    j, old_key, new_key, markers, out_keys, compare_cols = \
+        keyed_diff_parts(old, new, keys, compare_cols)
+    differs = F.concat_ws(",", *markers) != ""
+    op = (F.when(old_key.isNull(), F.lit(OP_INSERT))
+          .when(new_key.isNull(), F.lit(OP_DELETE))
           .otherwise(F.lit(OP_UPDATE)))
-    out_keys = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
-                for k in keys]
-    # new image; old image only when the row no longer exists
-    images = [F.when(n_key.isNull(), F.col(f"o.{c}"))
-              .otherwise(F.col(f"n.{c}")).alias(c)
+    # new image ("t" side); old image only when the row no longer exists
+    images = [F.when(new_key.isNull(), F.col(f"s.{c}"))
+              .otherwise(F.col(f"t.{c}")).alias(c)
               for c in compare_cols]
-    return (j.where(o_key.isNull() | n_key.isNull() | differs)
+    return (j.where(old_key.isNull() | new_key.isNull() | differs)
             .select(*out_keys, op.alias(op_col), *images))

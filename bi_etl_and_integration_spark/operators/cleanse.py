@@ -187,6 +187,36 @@ def domain_cleanse(df: DataFrame, col: str, domain: DataFrame,
     return {"valid": valid, "corrected": corrected, "invalid": invalid}
 
 
+def keyed_diff_parts(source: DataFrame, target: DataFrame,
+                     keys: Sequence[str],
+                     compare_cols: Sequence[str] | None):
+    """Shared scaffolding for :func:`reconcile` and
+    ``cdc.snapshot_diff``: aliased full-outer join on the keys plus the
+    per-column null-safe difference markers.  Returns
+    ``(joined, s_key, t_key, markers, out_keys, compare_cols)`` where
+    ``markers[i]`` is the i-th compare column's name when it differs
+    (NULL otherwise) and ``out_keys`` are the coalesced key columns.
+    NOTE: a NULL key value never matches across sides (SQL join
+    semantics) — rows with NULL business keys classify as
+    source-only + target-only, not as a match."""
+    if compare_cols is None:
+        compare_cols = [c for c in source.columns
+                        if c not in keys and c in target.columns]
+    s = source.alias("s")
+    t = target.alias("t")
+    cond = None
+    for k in keys:
+        eq = F.col(f"s.{k}") == F.col(f"t.{k}")
+        cond = eq if cond is None else cond & eq
+    j = s.join(t, cond, "full_outer")
+    s_key, t_key = F.col(f"s.{keys[0]}"), F.col(f"t.{keys[0]}")
+    markers = [F.when(~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")),
+                      F.lit(c)) for c in compare_cols]
+    out_keys = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+                for k in keys]
+    return j, s_key, t_key, markers, out_keys, list(compare_cols)
+
+
 def reconcile(source: DataFrame, target: DataFrame, keys: Sequence[str],
               compare_cols: Sequence[str] | None = None, *,
               status_col: str = "status",
@@ -205,26 +235,13 @@ def reconcile(source: DataFrame, target: DataFrame, keys: Sequence[str],
     (comma-joined names, NULL unless status='changed').  At 100 TB
     both sides shuffle once on the key; pre-bucketed tables drop both
     Exchanges."""
-    if compare_cols is None:
-        compare_cols = [c for c in source.columns
-                        if c not in keys and c in target.columns]
-    s = source.alias("s")
-    t = target.alias("t")
-    cond = None
-    for k in keys:
-        eq = F.col(f"s.{k}") == F.col(f"t.{k}")
-        cond = eq if cond is None else cond & eq
-    j = s.join(t, cond, "full_outer")
-    s_key, t_key = F.col(f"s.{keys[0]}"), F.col(f"t.{keys[0]}")
-    diffs = [F.when(~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")),
-                    F.lit(c)) for c in compare_cols]
-    changed = F.concat_ws(",", *diffs)
+    j, s_key, t_key, markers, out_keys, compare_cols = keyed_diff_parts(
+        source, target, keys, compare_cols)
+    changed = F.concat_ws(",", *markers)
     status = (F.when(t_key.isNull(), F.lit("only_source"))
               .when(s_key.isNull(), F.lit("only_target"))
               .when(changed != "", F.lit("changed"))
               .otherwise(F.lit("same")))
-    out_keys = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
-                for k in keys]
     return j.select(*out_keys, status.alias(status_col),
                     F.when(status == "changed", changed)
                     .alias(changed_col))

@@ -130,6 +130,11 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     with (1-p(s))^k, p(s) = 1-(1-s^r)^bands.
     """
     import random
+    if num_hashes % bands != 0:
+        # a remainder would let global band windows straddle probe
+        # families, silently voiding the independent-family recall math
+        raise ValueError(f"num_hashes ({num_hashes}) must be a "
+                         f"multiple of bands ({bands})")
     coeffs = []
     for probe in range(max(1, n_probes)):
         rnd = random.Random(seed + 7919 * probe)

@@ -132,9 +132,12 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             .alias("chunk"),
             F.least(F.lit(chunk_tokens), F.size(toks) - s + 1)
             .cast("int").alias("n_tokens")))
-    # NULL text -> no chunks (explode drops the empty array), never a
-    # phantom row with a NULL chunk
-    chunks = F.when(F.col(text_col).isNull(), F.array()).otherwise(chunks)
+    # NULL / empty / whitespace-only text -> no chunks (explode drops
+    # the empty array): split('') returns [''] which would otherwise
+    # fabricate a chunk claiming n_tokens=1 for a zero-token document
+    chunks = F.when(F.col(text_col).isNull()
+                    | (F.trim(F.col(text_col)) == ""),
+                    F.array()).otherwise(chunks)
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(chunks).alias("c"))
             .select("id", "c.chunk_start", "c.chunk", "c.n_tokens"))

@@ -1355,13 +1355,35 @@ def q38b(spark, cat):
     return out.orderBy("c_custkey")
 
 
+
+#: q48/q38c shared fixture: the "migrated copy with defects" —
+#: every 13th key dropped, every 7th acctbal perturbed, every 31st
+#: re-keyed.  ONE definition each for the DataFrame build and the
+#: oracle CTE so the two showcases can never drift apart.
+PERTURBED_CUSTOMER_SQL = (
+    "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
+    "THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal "
+    "FROM customer WHERE c_custkey % 13 != 0 "
+    "UNION ALL SELECT c_custkey + 1000000, c_name, c_acctbal "
+    "FROM customer WHERE c_custkey % 31 = 0")
+
+
+def _perturbed_customer(cat):
+    """(source, target) pair matching PERTURBED_CUSTOMER_SQL."""
+    src = cat.customer.select("c_custkey", "c_name", "c_acctbal")
+    tgt = (src.where(F.col("c_custkey") % 13 != 0)
+           .withColumn("c_acctbal",
+                       F.when(F.col("c_custkey") % 7 == 0,
+                              F.col("c_acctbal") + 10)
+                       .otherwise(F.col("c_acctbal")))
+           .unionByName(src.where(F.col("c_custkey") % 31 == 0)
+                        .withColumn("c_custkey",
+                                    F.col("c_custkey") + 1000000)))
+    return src, tgt
+
+
 @q("q38c_snapshot_diff",
-   "WITH tgt AS ("
-   "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
-   "THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal "
-   "FROM customer WHERE c_custkey % 13 != 0 "
-   "UNION ALL SELECT c_custkey + 1000000, c_name, c_acctbal "
-   "FROM customer WHERE c_custkey % 31 = 0) "
+   "WITH tgt AS (" + PERTURBED_CUSTOMER_SQL + ") "
    "SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey, "
    "CAST(CASE WHEN s.c_custkey IS NULL THEN 2 "
    "WHEN t.c_custkey IS NULL THEN 1 ELSE 4 END AS INT) AS op, "
@@ -1382,15 +1404,7 @@ def q38c(spark, cat):
     plugs into the standard apply path — same perturbed target as q48,
     emitted as deltas only."""
     from bi_etl_and_integration_spark.operators.cdc import snapshot_diff
-    src = cat.customer.select("c_custkey", "c_name", "c_acctbal")
-    tgt = (src.where(F.col("c_custkey") % 13 != 0)
-           .withColumn("c_acctbal",
-                       F.when(F.col("c_custkey") % 7 == 0,
-                              F.col("c_acctbal") + 10)
-                       .otherwise(F.col("c_acctbal")))
-           .unionByName(src.where(F.col("c_custkey") % 31 == 0)
-                        .withColumn("c_custkey",
-                                    F.col("c_custkey") + 1000000)))
+    src, tgt = _perturbed_customer(cat)
     feed = snapshot_diff(src, tgt, ["c_custkey"])
     return (feed.select("c_custkey", F.col("op").cast("int").alias("op"),
                         "c_name", dec_round("c_acctbal").alias("c_acctbal"))
@@ -1755,12 +1769,7 @@ def q49(spark, cat):
 
 
 @q("q48_reconciliation",
-   "WITH tgt AS ("
-   "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
-   "THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal "
-   "FROM customer WHERE c_custkey % 13 != 0 "
-   "UNION ALL SELECT c_custkey + 1000000, c_name, c_acctbal "
-   "FROM customer WHERE c_custkey % 31 = 0) "
+   "WITH tgt AS (" + PERTURBED_CUSTOMER_SQL + ") "
    "SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey, "
    "CASE WHEN t.c_custkey IS NULL THEN 'only_source' "
    "WHEN s.c_custkey IS NULL THEN 'only_target' "
@@ -1778,15 +1787,7 @@ def q48(spark, cat):
     """Source-vs-target row diff (migration validation): target is the
     source with every 13th key dropped, every 7th acctbal perturbed,
     and every 31st re-keyed — the diff must classify each row exactly."""
-    src = cat.customer.select("c_custkey", "c_name", "c_acctbal")
-    tgt = (src.where(F.col("c_custkey") % 13 != 0)
-           .withColumn("c_acctbal",
-                       F.when(F.col("c_custkey") % 7 == 0,
-                              F.col("c_acctbal") + 10)
-                       .otherwise(F.col("c_acctbal")))
-           .unionByName(src.where(F.col("c_custkey") % 31 == 0)
-                        .withColumn("c_custkey",
-                                    F.col("c_custkey") + 1000000)))
+    src, tgt = _perturbed_customer(cat)
     out = cl_ops.reconcile(src, tgt, ["c_custkey"],
                            ["c_name", "c_acctbal"])
     return out.orderBy("c_custkey")
@@ -1967,7 +1968,7 @@ def x10(spark, cat):
 
 @q("x14_chunking",
    r"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') "
-   "AS toks FROM documents), "
+   "AS toks FROM documents WHERE trim(text) <> ''), "
    "u AS (SELECT doc_id, toks, UNNEST(generate_series(1, "
    "GREATEST(len(toks) - 8, 1), 24)) AS s FROM t) "
    "SELECT doc_id AS id, CAST(s AS INT) AS chunk_start, "

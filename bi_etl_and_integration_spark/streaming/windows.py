@@ -12,6 +12,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _windowed(df: DataFrame, ts_col: str, window_expr: Column,
@@ -66,18 +67,18 @@ def interval_join(left: DataFrame, right: DataFrame,
     join as unbounded-state.  Same code path works on batch frames
     (the bound is then just a range predicate).  Outer variants emit
     unmatched rows only after watermark expiry."""
-    lts, rts = F.col(left_ts), F.col(right_ts)
-    for df, c in ((left, left_ts), (right, right_ts)):
-        if dict(df.dtypes).get(c) == "timestamp_ntz":
-            cast = F.col(c).cast("timestamp")
-            if df is left:
-                left = left.withColumn(c, cast)
-            else:
-                right = right.withColumn(c, cast)
+    if dict(left.dtypes).get(left_ts) == "timestamp_ntz":
+        left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    if dict(right.dtypes).get(right_ts) == "timestamp_ntz":
+        right = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
+    # bound refs (left[...]/right[...]) throughout: unqualified F.col
+    # would be AMBIGUOUS whenever a column name exists on both sides —
+    # e.g. two same-schema streams both carrying "ts"
+    lts, rts = left[left_ts], right[right_ts]
     cond = None
     for k in keys:
         eq = left[k] == right[k]
@@ -86,12 +87,22 @@ def interval_join(left: DataFrame, right: DataFrame,
             & (rts >= lts - F.expr(f"INTERVAL {lower}"))
             & (rts <= lts + F.expr(f"INTERVAL {upper}")))
     joined = left.join(right, cond, how)
-    if how.replace("_outer", "").replace("outer", "") in ("inner", "left"):
-        # expression joins keep both key copies; for inner/left the
-        # right copy is redundant — drop it so keys resolve unambiguously
-        for k in keys:
-            joined = joined.drop(right[k])
-    return joined
+    # one key column per key in every variant (left's for inner/left,
+    # right's for right, coalesced for full outer), and right-side
+    # non-key columns that collide with a left name get a __right
+    # suffix — the output never carries two columns with one name
+    base = how.replace("_outer", "").replace("outer", "") or "full"
+    if base == "right":
+        key_cols = [right[k].alias(k) for k in keys]
+    elif base == "full":
+        key_cols = [F.coalesce(left[k], right[k]).alias(k) for k in keys]
+    else:
+        key_cols = [left[k].alias(k) for k in keys]
+    l_other = [c for c in left.columns if c not in keys]
+    others = ([left[c].alias(c) for c in l_other]
+              + [right[c].alias(f"{c}__right" if c in l_other else c)
+                 for c in right.columns if c not in keys])
+    return joined.select(*key_cols, *others)
 
 
 def dedup_within_watermark(df: DataFrame, keys: Sequence[str],
@@ -110,6 +121,11 @@ def dedup_within_watermark(df: DataFrame, keys: Sequence[str],
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if not df.isStreaming:
-        return df.dropDuplicates(list(keys))
+        # deterministic batch twin of first-row-wins: earliest ts per
+        # key (plain dropDuplicates keeps a partition-order-dependent
+        # row — reruns could surface different payloads)
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn"))
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(list(keys)))

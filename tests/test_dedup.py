@@ -49,6 +49,9 @@ def test_minhash_multiprobe_superset(rows):
     df = rows([(1, base), (2, base + "extra token"),
                (3, base + "two extra tokens"),
                (4, "completely unrelated words here about spark")], DOCS)
+    import pytest
+    with pytest.raises(ValueError):
+        dd.minhash_lsh_dedup(df, num_hashes=10, bands=4)
     kw = dict(num_hashes=16, bands=4, jaccard_threshold=0.5)
     single_rows = dd.minhash_lsh_dedup(df, **kw).collect()
     multi_rows = dd.minhash_lsh_dedup(df, n_probes=3, **kw).collect()

@@ -181,3 +181,28 @@ def test_stream_stream_interval_join(spark, rows, tmp_path):
                        right_ts="bts", lower="0 minutes",
                        upper="10 minutes", watermark="1 hour")
     assert [(r["uid"], r["buy"]) for r in bj.collect()] == [("u1", "b1")]
+
+
+def test_interval_join_same_named_columns(rows):
+    """Both sides carrying identically-named columns (the common
+    same-schema case) must resolve: bound refs in the time predicate,
+    suffixed right-side duplicates in the output."""
+    import datetime as dt
+    from bi_etl_and_integration_spark.streaming.windows import interval_join
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    a = rows([("u1", t0, "a1")], "uid string, ts timestamp, tag string")
+    b = rows([("u1", t0 + dt.timedelta(minutes=5), "b1"),
+              ("u1", t0 + dt.timedelta(minutes=50), "b2")],
+             "uid string, ts timestamp, tag string")
+    j = interval_join(a, b, ["uid"], left_ts="ts", right_ts="ts",
+                      lower="0 minutes", upper="10 minutes",
+                      watermark="1 hour")
+    out = j.collect()
+    assert [(r["uid"], r["tag"], r["tag__right"]) for r in out] == \
+        [("u1", "a1", "b1")]
+    # full outer keeps one coalesced key column
+    fo = interval_join(a, b, ["uid"], left_ts="ts", right_ts="ts",
+                       lower="0 minutes", upper="10 minutes",
+                       watermark="1 hour", how="full_outer")
+    assert fo.columns.count("uid") == 1
+    assert fo.where(F.col("uid").isNull()).count() == 0

@@ -69,9 +69,9 @@ def test_chunk_documents_overlap_and_tail(rows):
     # short docs yield exactly one (possibly partial) chunk
     assert got[(2, 1)] == ("a b", 2)
     assert got[(3, 1)] == ("single", 1)
-    # NULL text yields no chunks at all
-    nulls = rows([(9, None)], DOCS)
-    assert tx.chunk_documents(nulls, chunk_tokens=4,
+    # NULL / empty / whitespace-only text yields no chunks at all
+    degenerate = rows([(9, None), (10, ""), (11, "   ")], DOCS)
+    assert tx.chunk_documents(degenerate, chunk_tokens=4,
                               overlap_tokens=2).count() == 0
     assert len([k for k in got if k[0] == 1]) == 4
     with pytest.raises(ValueError):
