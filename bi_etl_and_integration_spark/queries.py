@@ -590,6 +590,27 @@ def q17(spark, cat):
     return joined.agg(F.count(F.lit(1)).alias("n"))
 
 
+@q("q17c_interval_join",
+   "SELECT COUNT(*) AS n FROM events e JOIN orders o "
+   "ON e.user_id = o.o_custkey "
+   "AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts "
+   "AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts + INTERVAL 30 DAY")
+def q17c(spark, cat):
+    """The stream-stream interval join's batch path, oracle-matched:
+    orders placed within 30 days after each event of the same user.
+    Same operator that runs watermarked on streams — on batch frames
+    the bound is a plain range predicate behind the equi-join."""
+    from bi_etl_and_integration_spark.streaming.windows import interval_join
+    ev = cat.events.select("event_id", "user_id", "ts")
+    ords = cat.orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("ots"))
+    j = interval_join(ev, ords, ["user_id"], left_ts="ts",
+                      right_ts="ots", lower="0 days", upper="30 days",
+                      watermark="1 day")
+    return j.agg(F.count(F.lit(1)).alias("n"))
+
+
 @q("q17b_asof_join",
    "WITH ord AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) "
    "AS od, MAX(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), "
