@@ -243,6 +243,18 @@ def partial_states(df: DataFrame, keys: Sequence[str],
     return df.groupBy(*keys).agg(*exprs)
 
 
+def merge_state_tables(states: DataFrame, keys: Sequence[str],
+                       measures: Sequence[str]) -> DataFrame:
+    """Merge state tables WITHOUT finalizing: sums of sums / counts.
+    The result is itself a valid state table — this is the compaction
+    primitive (``IncrementalAggMV.compact``) and the first half of
+    :func:`merge_states`; one definition so the state schema can't
+    drift between the two."""
+    return states.groupBy(*keys).agg(
+        *[F.sum(f"{m}__sum").alias(f"{m}__sum") for m in measures],
+        *[F.sum(f"{m}__cnt").alias(f"{m}__cnt") for m in measures])
+
+
 def merge_states(states: DataFrame, keys: Sequence[str],
                  measures: Sequence[str],
                  finals: Mapping[str, str] | None = None) -> DataFrame:
@@ -250,9 +262,7 @@ def merge_states(states: DataFrame, keys: Sequence[str],
     union of many incremental batches) and finalize.  ``finals`` maps
     output name -> one of sum|count|avg per measure, default avg."""
     finals = finals or {m: "avg" for m in measures}
-    merged = states.groupBy(*keys).agg(
-        *[F.sum(f"{m}__sum").alias(f"{m}__sum") for m in measures],
-        *[F.sum(f"{m}__cnt").alias(f"{m}__cnt") for m in measures])
+    merged = merge_state_tables(states, keys, measures)
     cols: list = list(keys)
     for m in measures:
         kind = finals.get(m, "avg")

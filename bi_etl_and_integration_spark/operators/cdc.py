@@ -130,7 +130,8 @@ def split_ops(changes: DataFrame, op_col: str = "op",
 def apply_changes(target: DataFrame, changes: DataFrame,
                   keys: Sequence[str], offset_col: str,
                   op_col: str = "op",
-                  payload_cols: Sequence[str] | None = None) -> DataFrame:
+                  payload_cols: Sequence[str] | None = None,
+                  tiebreak: Sequence[Column] | None = None) -> DataFrame:
     """Set-based, idempotent CDC apply (PRO/Глава 12:62-73 splitter +
     staged apply, collapsed into one plan):
 
@@ -141,11 +142,25 @@ def apply_changes(target: DataFrame, changes: DataFrame,
     Deterministic in (target, changes) -> re-running a crashed batch is
     a no-op (the MERGE-idempotency cure, PRACT/004:342-362).  One
     shuffle on ``keys`` covers the anti-join; the union appends.
+
+    When several changes for one key can share an offset (SQL Server
+    CDC rows of one transaction share the commit LSN; ``__$seqval``
+    orders within it), pass that intra-offset sequence as
+    ``tiebreak``.  Without one, same-offset rows resolve by operation
+    precedence — delete, then update, then insert — which is the only
+    order consistent with transaction semantics (nothing follows a
+    delete; an update follows its insert), so reruns are deterministic
+    instead of resurrecting or losing the key by partition order.
     """
     keys = list(keys)
     payload_cols = list(payload_cols or
                         [c for c in target.columns if c not in keys])
-    net = net_changes(changes, keys, offset_col)
+    op_precedence = (F.when(F.col(op_col) == OP_DELETE, 0)
+                     .when(F.col(op_col) == OP_UPDATE, 1)
+                     .otherwise(2)).asc()
+    net = net_changes(changes, keys, offset_col,
+                      list(tiebreak) if tiebreak is not None
+                      else [op_precedence])
     survivors = target.join(net.select(*keys), keys, "left_anti")
     upserts = (net.where(F.col(op_col) != OP_DELETE)
                .select(*keys, *payload_cols))

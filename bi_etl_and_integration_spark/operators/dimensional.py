@@ -41,18 +41,21 @@ def merge_apply(target: DataFrame, source: DataFrame, keys: Sequence[str],
                        else [c for c in source.columns
                              if c in target.columns and c not in keys])
     t = target.alias("t")
-    s = source.alias("s")
+    # explicit match marker: data columns can't signal source presence
+    # (a legitimately-NULL source value must still overwrite — MERGE's
+    # UPDATE SET c = s.c writes NULL; coalesce would keep stale data)
+    s = source.withColumn("__in_src", F.lit(True)).alias("s")
     how = "full" if insert_new else "left"
     joined = t.join(s, keys, how)
-    in_src = F.col(f"s.{update_cols[0]}").isNotNull() if update_cols else None
+    matched = F.col("s.__in_src").isNotNull()
 
     out_cols = []
     for c in target.columns:
         if c in keys:
             out_cols.append(F.col(c))
         elif c in update_cols:
-            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
-                            .alias(c))
+            out_cols.append(F.when(matched, F.col(f"s.{c}"))
+                            .otherwise(F.col(f"t.{c}")).alias(c))
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     merged = joined.select(*out_cols)
@@ -77,10 +80,24 @@ def scd2_apply(target: DataFrame, source: DataFrame, keys: Sequence[str],
     source carries (keys, compare_cols, eff_ts_col).  Changed keys get
     their current version end-dated at the new effective ts and a new
     open version appended; unchanged keys pass through untouched.
+
+    A batch with SEVERAL rows per key net-collapses to the latest by
+    effective ts first (deterministic tiebreak on the compare values):
+    applying a batch end-state-wise is the same contract as the CDC
+    net apply — intermediate within-batch versions don't enter the
+    history.  Source rows with a NULL effective ts are ignored
+    entirely (an effective time IS the SCD2 input; validate upstream
+    with cast_with_quarantine if NULLs are possible).
     """
+    from pyspark.sql.window import Window
     keys = list(keys)
-    src = source.select(*keys, *compare_cols,
-                        F.col(eff_ts_col).alias("__eff"))
+    src = (source.select(*keys, *compare_cols,
+                         F.col(eff_ts_col).alias("__eff"))
+           .where(F.col("__eff").isNotNull()))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__eff").desc(), *[F.col(c).desc() for c in compare_cols])
+    src = (src.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1).drop("__rn"))
     cur = target.where(F.col(current_col))
     hist = target.where(~F.col(current_col))
 
@@ -108,7 +125,6 @@ def scd2_apply(target: DataFrame, source: DataFrame, keys: Sequence[str],
                       F.lit(False).alias(current_col)))
     # 3. changed or brand-new: open a fresh current version
     opened = (j.where(is_new | ~no_change)
-              .where(F.col("s.__eff").isNotNull())
               .select(*keys, *[F.col(f"s.{c}").alias(c)
                                for c in compare_cols],
                       F.col("s.__eff").alias(start_col),

@@ -23,14 +23,12 @@ refresh-then-merge bit-identical to a direct aggregation.
 from __future__ import annotations
 
 import os
-import uuid
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from bi_etl_and_integration_spark.operators.aggregate import (
-    merge_states, partial_states)
+    merge_state_tables, merge_states, partial_states)
 
 
 class IncrementalAggMV:
@@ -50,7 +48,10 @@ class IncrementalAggMV:
         self.path = path
         self.keys = list(keys)
         self.measures = dict(measures)
-        self.finals = dict(finals or {m: "sum" for m in measures})
+        # unlisted measures default to SUM (the class contract) even
+        # when a PARTIAL finals dict is passed — merge_states' own
+        # fallback is avg, which would silently change semantics
+        self.finals = {m: "sum" for m in measures} | dict(finals or {})
 
     def refresh(self, batch: DataFrame) -> None:
         states = partial_states(batch, self.keys, self.measures)
@@ -67,18 +68,11 @@ class IncrementalAggMV:
         """Fold every delta into a single state set.  The merged result
         is itself a valid state table (sums of sums), so compaction and
         incremental appends compose indefinitely."""
-        merged = self._states(spark).groupBy(*self.keys).agg(
-            *[F.sum(f"{m}__sum").alias(f"{m}__sum")
-              for m in self.measures],
-            *[F.sum(f"{m}__cnt").alias(f"{m}__cnt")
-              for m in self.measures])
-        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
-        merged.write.parquet(tmp)
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.replace(self.path, old)
-        os.replace(tmp, self.path)
-        import shutil
-        shutil.rmtree(old, ignore_errors=True)
+        from bi_etl_and_integration_spark.pipeline import (
+            checkpointed_write)
+        merged = merge_state_tables(self._states(spark), self.keys,
+                                    list(self.measures))
+        checkpointed_write(merged, self.path)
 
     def n_delta_files(self) -> int:
         return len([f for f in os.listdir(self.path)

@@ -62,6 +62,30 @@ class Pipeline:
             return fn
         return deco
 
+    def _ordered(self) -> list[Stage]:
+        """Stable topological order: every stage runs after its
+        dependencies regardless of declaration order (a failure
+        handler declared BEFORE the stage it handles would otherwise
+        be visited too early, silently never running while still
+        suppressing the error).  Declaration order is preserved among
+        stages whose dependencies are satisfied."""
+        by_name = {s.name: s for s in self.stages}
+        done: set[str] = set()
+        out: list[Stage] = []
+        pending = list(self.stages)
+        while pending:
+            progressed = False
+            for s in list(pending):
+                if all(d in done for d in s.depends_on if d in by_name):
+                    out.append(s)
+                    done.add(s.name)
+                    pending.remove(s)
+                    progressed = True
+            if not progressed:
+                cycle = [s.name for s in pending]
+                raise ValueError(f"dependency cycle among stages: {cycle}")
+        return out
+
     def run(self, spark: SparkSession, params: dict | None = None,
             resume_from: str | None = None) -> Context:
         """Execute stages in declared order honoring dependencies.
@@ -71,10 +95,19 @@ class Pipeline:
         stages must be idempotent producers whose outputs the resumed
         stages re-read from storage).
         """
+        names = [s.name for s in self.stages]
+        if resume_from is not None and resume_from not in names:
+            raise ValueError(f"resume_from {resume_from!r} matches no "
+                             f"stage; stages: {names}")
+        unknown = {d for s in self.stages for d in s.depends_on
+                   if d not in names}
+        if unknown:
+            raise ValueError(f"depends_on references unknown stages: "
+                             f"{sorted(unknown)}")
         ctx = Context(spark, dict(params or {}))
         status: dict[str, str] = {}
         skipping = resume_from is not None
-        for st in self.stages:
+        for st in self._ordered():
             if skipping:
                 if st.name == resume_from:
                     skipping = False
@@ -182,12 +215,33 @@ def persist_on_fanout(df: DataFrame, consumers: int) -> DataFrame:
     return df.persist() if consumers > 1 else df
 
 
+def recover_publish(path: str) -> bool:
+    """Heal a crash inside ``checkpointed_write``'s swap window: if the
+    published path is missing but a ``__old_`` backup exists, restore
+    the newest backup.  Returns True if a restore happened.  Called
+    automatically by ``checkpointed_write``; readers that must survive
+    a concurrent publisher crash can call it before reading."""
+    if os.path.exists(path):
+        return False
+    import glob
+    backups = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
+    if not backups:
+        return False
+    os.replace(backups[-1], path)
+    return True
+
+
 def checkpointed_write(df: DataFrame, path: str, *,
                        fmt: str = "parquet") -> str:
-    """Crash-safe publish: write to a temp dir, then atomically swap into
-    place (single-writer assumption — documented; a lakehouse format
-    replaces this on shared storage).  Readers either see the old
-    version or the new one, never a partial write."""
+    """Crash-safe publish: write to a temp dir, then swap into place
+    (single-writer assumption — documented; a lakehouse format replaces
+    this on shared storage).  A partial write is never visible.  POSIX
+    has no atomic DIRECTORY swap, so between the two renames there is a
+    sub-millisecond window where ``path`` is absent; a crash inside
+    that window is healed by :func:`recover_publish` (run automatically
+    on the next publish), and the ``__old_`` backup is only deleted
+    after the new version is in place."""
+    recover_publish(path)
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     getattr(df.write.mode("overwrite"), fmt)(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"

@@ -164,3 +164,21 @@ def test_snapshot_diff_emits_change_feed(rows):
                                 ["k"], offset_col="lsn")
     assert {(r["k"], r["v"]) for r in applied.collect()} == \
         {(1, "a"), (2, "b2"), (4, "d")}
+
+
+def test_apply_changes_same_offset_tiebreak(rows):
+    """UPDATE and DELETE sharing one offset (one transaction's commit
+    LSN): delete must win deterministically, not by partition order."""
+    from bi_etl_and_integration_spark.operators import cdc
+    tgt = rows([(1, "a")], "k int, v string")
+    ch = rows([(1, "a2", 7, cdc.OP_UPDATE), (1, None, 7, cdc.OP_DELETE)],
+              "k int, v string, lsn int, op int").repartition(4)
+    for _ in range(3):
+        out = cdc.apply_changes(tgt, ch, ["k"], "lsn").collect()
+        assert out == []        # delete is final every run
+    # insert+update at one offset: the update image is final
+    ch2 = rows([(5, "i", 9, cdc.OP_INSERT), (5, "u", 9, cdc.OP_UPDATE)],
+               "k int, v string, lsn int, op int").repartition(4)
+    got = {r["k"]: r["v"] for r in
+           cdc.apply_changes(tgt.limit(0), ch2, ["k"], "lsn").collect()}
+    assert got == {5: "u"}

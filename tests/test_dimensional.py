@@ -80,3 +80,40 @@ def test_scd2_apply_key_absent_from_source_untouched(rows):
     out = dim.scd2_apply(target, source, ["k"], ["v"], "eff").collect()
     assert len(out) == 1
     assert out[0]["is_current"] and out[0]["end_ts"] is None
+
+
+def test_merge_apply_null_overwrites(rows):
+    """MERGE UPDATE semantics: a source row that sets an attribute to
+    NULL must overwrite the target value (coalesce-style merging kept
+    stale data silently)."""
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        merge_apply)
+    tgt = rows([(1, "555-1234"), (2, "555-9999")], "k int, phone string")
+    src = rows([(1, None)], "k int, phone string")
+    out = {r["k"]: r["phone"] for r in
+           merge_apply(tgt, src, ["k"]).collect()}
+    assert out[1] is None       # cleared, not kept
+    assert out[2] == "555-9999"
+
+
+def test_scd2_apply_net_collapses_multirow_batches(rows):
+    """A batch carrying several versions of one key must apply
+    end-state-wise: exactly one is_current row, one closed row."""
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        scd2_apply)
+    t = dt.datetime(2025, 1, 1)
+    tgt = rows([(1, "old", t, None, True)],
+               "k int, v string, start_ts timestamp, end_ts timestamp, "
+               "is_current boolean")
+    src = rows([(1, "mid", dt.datetime(2025, 2, 1)),
+                (1, "new", dt.datetime(2025, 3, 1)),
+                (2, None, None)],       # NULL eff_ts: ignored entirely
+               "k int, v string, eff timestamp")
+    out = scd2_apply(tgt, src, ["k"], ["v"], "eff")
+    rows_ = out.collect()
+    current = [r for r in rows_ if r["is_current"]]
+    assert len(current) == 1 and current[0]["v"] == "new"
+    closed = [r for r in rows_ if not r["is_current"]]
+    assert len(closed) == 1 and closed[0]["end_ts"] == dt.datetime(2025, 3, 1)
+    assert all(r["k"] != 2 for r in rows_)

@@ -170,3 +170,47 @@ def test_cli_runs_spec_and_reports_status(spark, tmp_path, capsys):
     assert out["status"] == {"load": "ok", "agg": "ok", "out": "ok"}
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.collect()[0]["n"] == 5
+
+
+def test_failure_handler_runs_regardless_of_declaration_order(spark):
+    from bi_etl_and_integration_spark.pipeline import Pipeline
+    p = Pipeline("order")
+    ran = []
+
+    @p.stage("cleanup", depends_on=["load"], run_on="failure")
+    def cleanup(ctx):
+        ran.append("cleanup")
+
+    @p.stage("load")
+    def load(ctx):
+        raise RuntimeError("boom")
+
+    ctx = p.run(spark)
+    assert ran == ["cleanup"]
+    assert ctx.metrics["__status"]["load"] == "failed"
+
+
+def test_resume_from_unknown_stage_raises(spark):
+    import pytest
+    from bi_etl_and_integration_spark.pipeline import Pipeline
+    p = Pipeline("r")
+
+    @p.stage("load")
+    def load(ctx):
+        return 1
+
+    with pytest.raises(ValueError, match="laod"):
+        p.run(spark, resume_from="laod")
+
+
+def test_recover_publish_heals_missing_path(spark, tmp_path):
+    import os
+    from bi_etl_and_integration_spark.pipeline import (
+        checkpointed_write, recover_publish)
+    path = str(tmp_path / "pub")
+    df = spark.range(3)
+    checkpointed_write(df, path)
+    # simulate a crash inside the swap window: path gone, backup left
+    os.replace(path, path + "__old_deadbeef")
+    assert recover_publish(path) is True
+    assert spark.read.parquet(path).count() == 3
