@@ -109,27 +109,43 @@ def scd2_apply(target: DataFrame, source: DataFrame, keys: Sequence[str],
     is_new = F.col(f"t.{start_col}").isNull()          # key only in source
     no_change = F.col("s.__eff").isNull() | ~cmp_changed
 
-    # 1. unchanged current versions (incl. keys absent from source)
-    unchanged = (j.where(~is_new & no_change)
-                 .select(*keys, *[F.col(f"t.{c}").alias(c)
-                                  for c in compare_cols],
-                         F.col(f"t.{start_col}").alias(start_col),
-                         F.col(f"t.{end_col}").alias(end_col),
-                         F.col(f"t.{current_col}").alias(current_col)))
-    # 2. changed: close the old version at the new effective ts
-    closed = (j.where(~is_new & ~no_change)
-              .select(*keys, *[F.col(f"t.{c}").alias(c)
-                               for c in compare_cols],
-                      F.col(f"t.{start_col}").alias(start_col),
-                      F.col("s.__eff").alias(end_col),
-                      F.lit(False).alias(current_col)))
-    # 3. changed or brand-new: open a fresh current version
-    opened = (j.where(is_new | ~no_change)
-              .select(*keys, *[F.col(f"s.{c}").alias(c)
-                               for c in compare_cols],
-                      F.col("s.__eff").alias(start_col),
-                      F.lit(None).cast(target.schema[end_col].dataType)
-                      .alias(end_col),
-                      F.lit(True).alias(current_col)))
+    # SINGLE PASS: each joined row emits its applicable output versions
+    # as an array of structs, exploded once.  Unioning three filtered
+    # branches of the same join would re-evaluate the join + source
+    # net-collapse window per branch (3x the shuffles at 100 TB).
+    start_t = target.schema[start_col].dataType
+    end_t = target.schema[end_col].dataType
+
+    def variant(cols: dict) -> F.Column:
+        return F.struct(*[c.alias(n) for n, c in cols.items()])
+
+    # the list-form join merges the key columns; unqualified refs read
+    # the coalesced key (present for both-sides AND new/absent keys)
+    key_cols = {k: F.col(k) for k in keys}
+    unchanged_v = variant(
+        {**key_cols,
+         **{c: F.col(f"t.{c}") for c in compare_cols},
+         start_col: F.col(f"t.{start_col}"),
+         end_col: F.col(f"t.{end_col}"),
+         current_col: F.col(f"t.{current_col}")})
+    closed_v = variant(
+        {**key_cols,
+         **{c: F.col(f"t.{c}") for c in compare_cols},
+         start_col: F.col(f"t.{start_col}"),
+         end_col: F.col("s.__eff").cast(end_t),
+         current_col: F.lit(False)})
+    opened_v = variant(
+        {**key_cols,
+         **{c: F.col(f"s.{c}") for c in compare_cols},
+         start_col: F.col("s.__eff").cast(start_t),
+         end_col: F.lit(None).cast(end_t),
+         current_col: F.lit(True)})
+    variants = F.filter(F.array(
+        F.when(~is_new & no_change, unchanged_v),
+        F.when(~is_new & ~no_change, closed_v),
+        F.when(is_new | ~no_change, opened_v)),
+        lambda x: x.isNotNull())
+    applied = (j.select(F.explode(variants).alias("__r"))
+               .select("__r.*"))
     return (hist.select(*keys, *compare_cols, start_col, end_col, current_col)
-            .unionByName(unchanged).unionByName(closed).unionByName(opened))
+            .unionByName(applied))
