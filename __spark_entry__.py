@@ -15,6 +15,50 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 
+# The driver verifies the FIRST 50 ``queries()`` entries per round
+# (CORRECTNESS_r01 stopped at entry 50).  Round 1 proved q01–q26 green;
+# round 2 therefore front-loads the 50 highest-value unverified entries:
+# the two fixed hash-fails (q10/q10c — oracle HUGEINT casts) plus the 48
+# oracle-bearing queries that have never had a driver verdict
+# (windows / SCD2 / CDC / streaming / x-block).  Deferred to round 3:
+# six multi-join showcases of already-verified operators (q43–q48), the
+# rows-only entries, and the 46 already-green rows.
+_VERIFY_FIRST = [
+    "q10_rowcount_profile", "q10c_functional_deps",
+    # analytic windows / ranking (SURVEY §2.6)
+    "q26c_percentiles", "q26d_stats", "q27_limit_by",
+    "q27b_top_by_frequency", "q28_running_sum", "q28b_ntile_quartiles",
+    "q28c_range_frame", "q28d_lag_lead", "q28e_rank_family",
+    "q28f_quantile_bins", "q28g_forward_fill",
+    # set ops / reshaping (§2.7)
+    "q29_topk", "q30_union_all", "q31_intersect_except", "q32_pivot",
+    "q32b_unpivot", "q37_arrays_zip_unnest",
+    # SCD2 / MERGE / CDC (§2.6, §2.10)
+    "q34_scd2_latest", "q34b_scd2_windows", "q34c_scd2_apply",
+    "q35_merge_upsert", "q36_error_tolerant_load", "q38_cdc_net_changes",
+    "q38b_cdc_apply", "q38c_snapshot_diff",
+    # cleansing / DQS / terms (§2.8)
+    "q06b_regex_validate", "q39_term_extraction", "q39b_term_lookup",
+    "q40_domain_validation", "q40b_domain_corrections",
+    "q24c_fuzzy_grouping_cc",
+    # streaming-semantics batch twins (§2.10)
+    "q41_event_time_window", "q41b_session_window", "q41c_sliding_window",
+    # similarity + analytics showcases
+    "q42_similarity_topk", "q49_time_rollup", "q50_share_of_total",
+    # LLM-pipeline block (§2.12) — oracle-bearing entries
+    "x01_dedup_exact", "x04_dedup_ngram", "x07_text_tokens",
+    "x08_text_quality", "x09_text_langid", "x10_text_fingerprint",
+    "x14_chunking", "x13_heavy_hitters", "x12_training_pipeline",
+    "x12b_training_pipeline_langid", "x11_multimodal_features",
+]
+
+
+def _ordered() -> list[str]:
+    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
+    assert not missing, f"unknown names in _VERIFY_FIRST: {missing}"
+    rest = [n for n in QUERIES if n not in set(_VERIFY_FIRST)]
+    return _VERIFY_FIRST + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -23,9 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
-    return dict(ORACLE)
+    return {n: ORACLE[n] for n in _ordered() if n in ORACLE}

@@ -157,7 +157,32 @@ def main() -> None:
                       f"ratio={s / d:.1f}{flag}", file=sys.stderr)
 
     spark.stop()
-    print(json.dumps(out))
+
+    # The driver captures a bounded tail of stdout (round-1 BENCH json
+    # came back "parsed": null because the 116-query detail line blew
+    # past that window).  Contract: the FINAL stdout line is a compact
+    # parseable summary; the full per-query detail goes to a sidecar
+    # file next to this script (BENCH_DETAIL.json) and to stderr.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
+    print(json.dumps(out), file=sys.stderr)
+
+    summary = {
+        "metric": "declared-corpus wall time, warm session (detail: "
+                  "BENCH_DETAIL.json)",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(times),
+        "n_errors": sum(1 for t in times.values() if t < 0),
+        "spill_mb_total": round(sum(spill_mb.values()), 2),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -103,29 +103,59 @@ def top_k_by_key(df: DataFrame, keys: Sequence[str], value_col: str,
             .where(F.col("rank") <= k))
 
 
+def _space_saving_update(state, floor: int, vc, m: int):
+    """One bounded space-saving step (Metwally et al. 2005, merged per
+    Arrow batch a la mergeable summaries, Agarwal et al. PODS'12):
+    fold batch value-counts ``vc`` into the at-most-``m``-counter
+    ``state`` (a pandas Series value->count).  A value not currently
+    tracked enters at ``floor + its batch weight`` — ``floor`` is the
+    largest count ever evicted, the classic space-saving overestimate
+    that keeps every stored count an UPPER bound on the true count.
+    Returns (new_state, new_floor).  Memory: ``m`` counters plus one
+    Arrow batch transiently — never O(distinct-per-partition)."""
+    import pandas as pd
+    if state is None or state.empty:
+        merged = vc.astype("int64") + floor
+    else:
+        new_vals = vc.index.difference(state.index)
+        merged = state.add(vc, fill_value=0)
+        if len(new_vals):
+            merged[new_vals] += floor
+        merged = merged.astype("int64")
+    if len(merged) > m:
+        kept = merged.nlargest(m + 1)
+        floor = max(floor, int(kept.iloc[-1]))
+        merged = kept.iloc[:m]
+    return merged, floor
+
+
 def approx_top_k(df: DataFrame, col: str, k: int = 20, *,
                  m: int = 10_000) -> DataFrame:
     """Heavy hitters (ClickHouse ``topK`` capability): per-partition
-    local top-``m`` counts via one Arrow pass, then a global merge of
-    at most m×partitions candidate rows.
+    space-saving sketch with a HARD bound of ``m`` counters via one
+    Arrow pass, then a global merge of at most m x partitions candidate
+    rows.
 
-    The shuffle is bounded by m×partitions regardless of the column's
-    cardinality — the 100 TB property a plain count+sort lacks.  Counts
-    are EXACT whenever each partition holds ≤ m distinct values (then
-    no local tail is dropped); beyond that it is a space-saving-style
-    approximation whose dropped mass per partition is bounded by the
-    partition's tail beyond rank m.  Deterministic output order:
+    Both the executor memory AND the shuffle are bounded by ``m``
+    regardless of the column's cardinality — the 100 TB property a
+    plain count+sort lacks.  Counts are EXACT whenever each partition
+    holds <= m distinct values (no eviction ever fires, floor stays 0);
+    beyond that each stored count overestimates the true count by at
+    most partition_mass/m (space-saving guarantee), so every value with
+    true frequency > mass/m is retained.  Deterministic output order:
     (count desc, value).  Output: (value, est_count)."""
     import pandas as pd
 
     def local(batches):
-        from collections import Counter
-        c: Counter = Counter()
+        state, floor = None, 0
         for pdf in batches:
-            c.update(pdf[col].dropna())
-        top = c.most_common(m)
-        yield pd.DataFrame({"value": [t for t, _ in top],
-                            "cnt": [n for _, n in top]})
+            vc = pdf[col].dropna().value_counts()
+            if len(vc):
+                state, floor = _space_saving_update(state, floor, vc, m)
+        if state is None:
+            state = pd.Series(dtype="int64")
+        yield pd.DataFrame({"value": state.index.astype(str),
+                            "cnt": state.to_numpy("int64")})
 
     part = df.select(F.col(col).cast("string").alias(col)) \
         .mapInPandas(local, schema="value string, cnt long")

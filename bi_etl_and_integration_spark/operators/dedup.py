@@ -319,7 +319,8 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", *, threshold: float = 0.95,
                     n_planes: int = 8, seed: int = 42,
-                    planes: list[list[float]] | None = None) -> DataFrame:
+                    planes: list[list[float]] | None = None,
+                    max_bucket_rows: int | None = None) -> DataFrame:
     """Embedding cosine near-dup: bucket by sign-of-random-projection
     (n_planes hyperplanes -> 2^n buckets), then verify cosine INSIDE
     each bucket with one vectorized numpy gram matrix per bucket
@@ -340,33 +341,66 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      sign_buckets_udf([planes])(F.col(vec_col))[0]
                      .alias("bkt"))
-    verify, out_schema = _cosine_verify(df, id_col, threshold)
+    verify, out_schema = _cosine_verify(
+        df, id_col, threshold,
+        max_bucket_rows=max_bucket_rows or _MAX_BUCKET_ROWS)
     return base.groupBy("bkt").applyInPandas(verify, out_schema)
 
 
-def _cosine_verify(df: DataFrame, id_col: str, threshold: float):
-    """(pandas fn, schema) verifying all intra-group pairs with one
-    numpy gram matrix; expects columns (id, v) plus the group key(s)."""
+_VERIFY_BLOCK = 4096          # gram-matrix row block: O(block x n) mem
+_MAX_BUCKET_ROWS = 32_768     # loud-failure cap: beyond this the
+#                               O(bucket^2) verify COMPUTE is the
+#                               problem, not memory — raise n_planes
+
+
+def _cosine_verify(df: DataFrame, id_col: str, threshold: float,
+                   max_bucket_rows: int = _MAX_BUCKET_ROWS):
+    """(pandas fn, schema) verifying all intra-group pairs blockwise;
+    expects columns (id, v) plus the group key(s).
+
+    Hot-bucket guards: (1) the n x n similarity matrix is never
+    materialized — rows are processed in ``_VERIFY_BLOCK`` slabs, so
+    peak memory is O(block x n) float64 (~1 GB at the 32k cap), not
+    O(n^2); (2) a bucket larger than ``max_bucket_rows`` (a degenerate
+    pile-up, e.g. all-zero vectors) raises a loud ValueError telling
+    the caller to add hyperplanes instead of silently burning an
+    executor on n^2/2 pair computations."""
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cosine_sim double"
 
     def verify(pdf):
         import numpy as np
         import pandas as pd
-        if len(pdf) < 2:
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine_sim": []})
+        if n > max_bucket_rows:
+            raise ValueError(
+                f"embedding-dedup bucket holds {n} rows "
+                f"(cap {max_bucket_rows}): a degenerate hot bucket "
+                f"makes the O(n^2) verify intractable — raise n_planes "
+                f"(each plane roughly halves bucket size) or pre-filter "
+                f"the pile-up value (e.g. zero vectors)")
         pdf = pdf.sort_values("id")
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
         unit = mat / norms[:, None]
-        sims = np.round(unit @ unit.T, 4)
-        ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = sims[ia, ib] >= threshold
         ids = pdf["id"].to_numpy()
-        return pd.DataFrame({"id_a": ids[ia[keep]],
-                             "id_b": ids[ib[keep]],
-                             "cosine_sim": sims[ia[keep], ib[keep]]})
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n - 1, _VERIFY_BLOCK):
+            hi = min(lo + _VERIFY_BLOCK, n)
+            # rows lo..hi vs all columns; upper triangle only (j > i)
+            sims = np.round(unit[lo:hi] @ unit.T, 4)
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ib > ia + lo
+            ia, ib = ia[keep], ib[keep]
+            out_a.append(ids[ia + lo])
+            out_b.append(ids[ib])
+            out_s.append(sims[ia, ib])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine_sim": np.concatenate(out_s)})
 
     return verify, out_schema
 
@@ -374,7 +408,9 @@ def _cosine_verify(df: DataFrame, id_col: str, threshold: float):
 def embedding_dedup_multiprobe(df: DataFrame, vec_col: str = "embedding",
                                id_col: str = "vec_id", *,
                                threshold: float = 0.95, n_planes: int = 8,
-                               n_probes: int = 3, seed: int = 42) -> DataFrame:
+                               n_probes: int = 3, seed: int = 42,
+                               max_bucket_rows: int | None = None
+                               ) -> DataFrame:
     """Multi-probe random-projection near-dup: union verified pairs over
     ``n_probes`` independent hyperplane draws, then pair-dedup.
 
@@ -396,7 +432,9 @@ def embedding_dedup_multiprobe(df: DataFrame, vec_col: str = "embedding",
     probed = df.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("v"),
                        F.posexplode(buckets).alias("probe", "bkt"))
-    verify, out_schema = _cosine_verify(df, id_col, threshold)
+    verify, out_schema = _cosine_verify(
+        df, id_col, threshold,
+        max_bucket_rows=max_bucket_rows or _MAX_BUCKET_ROWS)
     return (probed.groupBy("probe", "bkt").applyInPandas(verify, out_schema)
             .dropDuplicates(["id_a", "id_b"]))
 

@@ -370,9 +370,10 @@ def q09(spark, cat):
 
 
 @q("q10_rowcount_profile",
-   "SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS nk, "
-   "SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls "
-   "FROM lineitem")
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nk, "
+   "CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS nulls FROM lineitem")
 def q10(spark, cat):
     return cat.lineitem.agg(
         F.count(F.lit(1)).alias("n"),
@@ -406,14 +407,16 @@ def q10d(spark, cat):
    "WITH g1 AS (SELECT o_orderkey a, COUNT(DISTINCT o_custkey) nb "
    "FROM orders GROUP BY a), "
    "r1 AS (SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent, "
-   "COUNT(*) AS n_det, SUM(nb) AS n_pair, "
+   "CAST(COUNT(*) AS BIGINT) AS n_det, CAST(SUM(nb) AS BIGINT) AS n_pair, "
    "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END)=0 AS holds, "
-   "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END) AS n_violations FROM g1), "
+   "CAST(SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_violations FROM g1), "
    "g2 AS (SELECT o_custkey a, COUNT(DISTINCT o_orderstatus) nb "
    "FROM orders GROUP BY a), "
-   "r2 AS (SELECT 'o_custkey', 'o_orderstatus', COUNT(*), SUM(nb), "
+   "r2 AS (SELECT 'o_custkey', 'o_orderstatus', CAST(COUNT(*) AS BIGINT), "
+   "CAST(SUM(nb) AS BIGINT), "
    "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END)=0, "
-   "SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END) FROM g2) "
+   "CAST(SUM(CASE WHEN nb>1 THEN 1 ELSE 0 END) AS BIGINT) FROM g2) "
    "SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY determinant")
 def q10c(spark, cat):
     """Functional-dependency profiling: o_orderkey→o_custkey must hold
@@ -2040,7 +2043,8 @@ def x13(spark, cat):
    "FROM documents), keep AS (SELECT * FROM tok WHERE nt >= 20), "
    "dedup AS (SELECT fp, MIN(doc_id) AS canonical_id, MAX(nt) AS nt "
    "FROM keep GROUP BY fp) "
-   "SELECT COUNT(*) AS n_docs, SUM(nt) AS total_tokens FROM dedup")
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   "CAST(SUM(nt) AS BIGINT) AS total_tokens FROM dedup")
 def x12(spark, cat):
     """Composed training-data pipeline: token-count quality filter ->
     exact dedup by content fingerprint -> corpus stats.  The shape every
@@ -2078,7 +2082,8 @@ def x12(spark, cat):
    "len(list_filter(string_split(text,' '), x -> x != '')) >= 20), "
    "dedup AS (SELECT fp, MIN(doc_id) AS canonical_id, MAX(nt) AS nt "
    "FROM keep GROUP BY fp) "
-   "SELECT COUNT(*) AS n_docs, SUM(nt) AS total_tokens FROM dedup")
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   "CAST(SUM(nt) AS BIGINT) AS total_tokens FROM dedup")
 def x12b(spark, cat):
     """The x12 pipeline with a language gate in front: language-ID ->
     keep English -> token-count quality filter -> exact content dedup ->

@@ -176,3 +176,42 @@ def test_uniq_states_merge_equals_direct(rows):
     assert merged == direct                  # lossless union
     assert abs(merged["a"] - 75) <= 4        # ~2% error at lg_k=12
     assert merged["b"] == 2
+
+
+def test_space_saving_state_is_hard_bounded():
+    """Cardinality >> m: the sketch never stores more than m counters,
+    every stored count is an upper bound on the true count, and the
+    heavy hitter survives with overestimate <= mass/m."""
+    import pandas as pd
+
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        _space_saving_update)
+
+    rng = __import__("random").Random(7)
+    m = 50
+    true = {}
+    state, floor = None, 0
+    for _ in range(40):  # 40 "batches" of a long-tailed stream
+        vals = (["hot"] * 30
+                + [f"v{rng.randrange(5000)}" for _ in range(200)])
+        for v in vals:
+            true[v] = true.get(v, 0) + 1
+        vc = pd.Series(vals).value_counts()
+        state, floor = _space_saving_update(state, floor, vc, m)
+        assert len(state) <= m
+    mass = sum(true.values())
+    assert "hot" in state.index  # freq 1200 >> mass/m = 184
+    for v, est in state.items():
+        assert est >= true.get(v, 0)  # overestimate invariant
+        assert est - true.get(v, 0) <= mass / m + 1
+
+
+def test_approx_top_k_high_cardinality_partition(rows):
+    """End-to-end: 4000 distinct values per partition with m=64 —
+    the old Counter held all 4000; space-saving holds 64 and still
+    surfaces the heavy value first."""
+    data = [("hot",)] * 500 + [(f"v{i}",) for i in range(4000)]
+    df = rows(data, "v string").coalesce(1)
+    got = agg.approx_top_k(df, "v", k=1, m=64).collect()
+    assert got[0]["value"] == "hot"
+    assert got[0]["est_count"] >= 500  # space-saving overestimates

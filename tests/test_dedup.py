@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bi_etl_and_integration_spark.operators import dedup as dd
@@ -130,3 +131,34 @@ def test_simhash_table_matches_column_variant(rows):
     via_col = {r["doc_id"]: r["sh"] for r in df.select(
         "doc_id", dd.simhash(F.col("text")).alias("sh")).collect()}
     assert via_table == via_col
+
+
+def test_embedding_dedup_hot_bucket_blockwise(rows):
+    """Degenerate pile-up: every vector identical -> one bucket holding
+    all rows.  With bucket size above _VERIFY_BLOCK the blockwise gram
+    path must still produce every n*(n-1)/2 pair without materializing
+    an n x n matrix (monkeypatched block keeps the test fast)."""
+    import bi_etl_and_integration_spark.operators.dedup as ddm
+    n = 300
+    df = rows([(i, [1.0, 0.0]) for i in range(n)],
+              "vec_id long, embedding array<float>").coalesce(1)
+    old = ddm._VERIFY_BLOCK
+    ddm._VERIFY_BLOCK = 64  # force multiple slabs
+    try:
+        out = dd.embedding_dedup(df, threshold=0.99, n_planes=2).collect()
+    finally:
+        ddm._VERIFY_BLOCK = old
+    assert len(out) == n * (n - 1) // 2
+    assert all(r["cosine_sim"] == 1.0 and r["id_a"] < r["id_b"]
+               for r in out)
+
+
+def test_embedding_dedup_hot_bucket_cap_raises(rows):
+    """A bucket beyond max_bucket_rows fails loudly (n_planes advice),
+    not by OOMing the executor on an intractable O(n^2) verify."""
+    df = rows([(i, [1.0, 0.0]) for i in range(40)],
+              "vec_id long, embedding array<float>").coalesce(1)
+    guarded = dd.embedding_dedup(df, threshold=0.9, n_planes=2,
+                                 max_bucket_rows=10)
+    with pytest.raises(Exception, match="n_planes"):
+        guarded.collect()
