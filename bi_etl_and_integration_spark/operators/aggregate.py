@@ -206,8 +206,21 @@ def share_of_total(df: DataFrame, keys: Sequence[str], value: Column, *,
     broadcast-joined back — NEVER ``SUM() OVER ()``, whose empty
     PARTITION BY funnels every row through a single window partition
     (the same cliff :func:`windows.ntile_buckets` documents).  The
-    total re-aggregates the group sums, so the input is scanned
-    once."""
+    total re-aggregates the group sums, so the input is scanned once.
+
+    Contract: ``value`` must be a SUM-re-aggregatable aggregate
+    (``sum``/``count``) — the grand total is the sum of the per-group
+    values, so for ``avg``/``max``/... the "share" would silently be
+    share-of-sum-of-averages, not share of the true total.  Known
+    non-re-aggregatable kinds are rejected up front."""
+    head = str(value).removeprefix("Column<'").lstrip().lower()
+    bad = ("avg(", "mean(", "stddev", "std(", "var", "median(",
+           "percentile", "min(", "max(", "first(", "last(", "any_value(")
+    if head.startswith(bad):
+        raise ValueError(
+            f"share_of_total needs a sum-re-aggregatable aggregate "
+            f"(sum/count); got {str(value)!r} — its per-group values "
+            f"cannot be re-summed into a meaningful grand total")
     grouped = df.groupBy(*keys).agg(value.alias(value_col))
     total = grouped.agg(F.sum(value_col).alias("__total"))
     return (grouped.join(F.broadcast(total))

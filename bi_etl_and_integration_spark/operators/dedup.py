@@ -128,6 +128,12 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     job waves; each candidate pair is verified once (dropDuplicates
     before the Jaccard join).  A pair at Jaccard s escapes all probes
     with (1-p(s))^k, p(s) = 1-(1-s^r)^bands.
+
+    .. versionchanged:: round 2
+       ``num_hashes`` not divisible by ``bands`` now raises ValueError
+       (previously the remainder hashes were silently unused, and with
+       multi-probe the band windows could straddle probe families);
+       callers with odd combinations must pick num_hashes = r x bands.
     """
     import random
     if num_hashes % bands != 0:

@@ -224,7 +224,10 @@ def recover_publish(path: str) -> bool:
     if os.path.exists(path):
         return False
     import glob
-    backups = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
+    # glob.escape: a publish path containing [ ? * must match itself
+    # literally or the backup is never found and the heal silently noops
+    backups = sorted(glob.glob(glob.escape(path) + "__old_*"),
+                     key=os.path.getmtime)
     if not backups:
         return False
     os.replace(backups[-1], path)

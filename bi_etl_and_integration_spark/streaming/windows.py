@@ -67,6 +67,13 @@ def interval_join(left: DataFrame, right: DataFrame,
     join as unbounded-state.  Same code path works on batch frames
     (the bound is then just a range predicate).  Outer variants emit
     unmatched rows only after watermark expiry."""
+    allowed = {"inner", "left", "left_outer", "right", "right_outer",
+               "full", "full_outer", "outer"}
+    if how not in allowed:
+        # semi/anti would drop the right side this projection selects;
+        # reject up front instead of a confusing AnalysisException
+        raise ValueError(f"interval_join: how={how!r} unsupported; "
+                         f"use one of {sorted(allowed)}")
     if dict(left.dtypes).get(left_ts) == "timestamp_ntz":
         left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
     if dict(right.dtypes).get(right_ts) == "timestamp_ntz":
@@ -123,8 +130,14 @@ def dedup_within_watermark(df: DataFrame, keys: Sequence[str],
     if not df.isStreaming:
         # deterministic batch twin of first-row-wins: earliest ts per
         # key (plain dropDuplicates keeps a partition-order-dependent
-        # row — reruns could surface different payloads)
-        w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+        # row — reruns could surface different payloads).  Remaining
+        # payload columns break equal-ts ties: two replays with the
+        # same key+ts but different payloads must also resolve to one
+        # stable winner, not partition order.
+        tiebreak = [F.col(c) for c, t in df.dtypes
+                    if c not in keys and c != ts_col
+                    and not t.startswith("map")]  # maps aren't orderable
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col), *tiebreak)
         return (df.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1).drop("__rn"))
     return (df.withWatermark(ts_col, watermark)

@@ -215,3 +215,9 @@ def test_approx_top_k_high_cardinality_partition(rows):
     got = agg.approx_top_k(df, "v", k=1, m=64).collect()
     assert got[0]["value"] == "hot"
     assert got[0]["est_count"] >= 500  # space-saving overestimates
+
+
+def test_share_of_total_rejects_non_reaggregatable(rows):
+    df = rows([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="re-aggregatable"):
+        agg.share_of_total(df, ["k"], F.avg("v"))

@@ -206,3 +206,34 @@ def test_interval_join_same_named_columns(rows):
                        watermark="1 hour", how="full_outer")
     assert fo.columns.count("uid") == 1
     assert fo.where(F.col("uid").isNull()).count() == 0
+
+
+def test_interval_join_rejects_semi_anti(rows):
+    import pytest
+
+    from bi_etl_and_integration_spark.streaming.windows import interval_join
+    a = rows([(1, "2024-01-01 00:00:00")], "uid long, ats string") \
+        .withColumn("ats", F.col("ats").cast("timestamp"))
+    b = rows([(1, "2024-01-01 00:00:01")], "uid long, bts string") \
+        .withColumn("bts", F.col("bts").cast("timestamp"))
+    with pytest.raises(ValueError, match="left_semi"):
+        interval_join(a, b, ["uid"], left_ts="ats", right_ts="bts",
+                      lower="5 seconds", upper="5 seconds",
+                      watermark="10 seconds", how="left_semi")
+
+
+def test_dedup_batch_equal_ts_deterministic(rows):
+    """Equal-ts replays with differing payloads resolve to one stable
+    winner (payload tiebreak), independent of partition order."""
+    from bi_etl_and_integration_spark.streaming.windows import (
+        dedup_within_watermark)
+    data = [(1, "2024-01-01 00:00:00", p) for p in ("b", "a", "c")]
+    outs = set()
+    for n_part in (1, 2, 3):
+        df = rows(data, "k long, ts string, payload string") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .repartition(n_part)
+        got = dedup_within_watermark(df, ["k"], "ts", "1 minute").collect()
+        assert len(got) == 1
+        outs.add(got[0]["payload"])
+    assert outs == {"a"}
