@@ -5,11 +5,12 @@ BASELINE.json north star).
 Design: media are opaque ``binary`` columns inside a struct-typed
 envelope; decode / feature-extract run as Arrow-batched ``mapInPandas``
 operators so bytes stream through in columnar batches without JVM<->
-Python per-row overhead.  The actual codec calls are STUBBED (image and
-audio libraries are not in this container): ``decode_stub=True`` swaps
-in a deterministic fake decoder so schema, batching, partitioning and
-tests are real end-to-end; a deployment replaces ``_decode_image_bytes``
-with Pillow/torchvision and deletes the stub flag.
+Python per-row overhead.  Codecs: PNG and WAV decode/encode are REAL, implemented on the
+stdlib alone (``operators.multimodal_codecs`` — zlib/struct/wave), so
+decode -> feature-extract -> resize round-trips genuinely execute here;
+``decode_stub=True`` remains available for payloads in formats the
+container can't decode (JPEG etc. need Pillow — that swap point is
+``_decode_image_bytes``).
 """
 
 from __future__ import annotations
@@ -39,10 +40,17 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def _decode_image_bytes(payload: bytes) -> dict:
-    """REAL decode goes here (Pillow etc.).  Not available in-container."""
+    """Real decode: PNG via the stdlib codec; other formats need
+    Pillow (not in-container) and raise so callers can quarantine."""
+    from bi_etl_and_integration_spark.operators import multimodal_codecs as mc
+    if mc.is_png(payload or b""):
+        img = mc.decode_png(payload)
+        mean, feat = mc.image_feature_vector(img)
+        return {"width": img.shape[1], "height": img.shape[0],
+                "mean_byte": mean, "feature": feat}
     raise NotImplementedError(
-        "image codecs not installed in this environment; "
-        "use decode_stub=True or install Pillow and replace this function")
+        "only PNG decodes without Pillow; use decode_stub=True for "
+        "synthetic payloads or install Pillow for JPEG and friends")
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -85,17 +93,22 @@ def image_features(df: DataFrame, *, payload_col: str = "payload",
 def resize_images(df: DataFrame, width: int, height: int, *,
                   payload_col: str = "payload",
                   decode_stub: bool = False) -> DataFrame:
-    """Resize stub: at deploy time the pandas op calls the codec; here
-    the stub passes payloads through and rewrites metadata — the plan
-    (projection + mapInPandas + schema) is the tested artifact."""
-    if not decode_stub:
-        raise NotImplementedError("image codecs not installed; "
-                                  "decode_stub=True exercises the plumbing")
+    """Resize: the real path decodes PNG payloads, nearest-neighbor
+    resizes and re-encodes (stdlib codec), rewriting width/height
+    metadata to match; ``decode_stub=True`` passes payloads through
+    and only rewrites metadata (for synthetic/non-PNG fixtures)."""
     out_schema = df.schema
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bi_etl_and_integration_spark.operators import (
+            multimodal_codecs as mc)
         for pdf in batches:
             pdf = pdf.copy()
+            if not decode_stub:
+                pdf[payload_col] = [
+                    mc.encode_png(mc.resize_nearest(
+                        mc.decode_png(p), width, height))
+                    for p in pdf[payload_col]]
             if "width" in pdf:
                 pdf["width"] = width
             if "height" in pdf:
@@ -103,6 +116,37 @@ def resize_images(df: DataFrame, width: int, height: int, *,
             yield pdf
 
     return df.mapInPandas(op, out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, duration_ms long, "
+    "rms double, zero_cross_rate double, feature array<float>"
+)
+
+
+def audio_features(df: DataFrame, *, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Decode WAV payloads (stdlib codec — real, not stubbed) and emit
+    per-clip features: rms, zero-crossing rate, |amplitude| histogram.
+    Same bounded-memory Arrow iterator contract as image_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bi_etl_and_integration_spark.operators import (
+            multimodal_codecs as mc)
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                d = mc.decode_wav(p)
+                f = mc.audio_feature_vector(d["samples"])
+                rows.append((mid, d["sample_rate"], d["n_channels"],
+                             d["duration_ms"], f["rms"],
+                             f["zero_cross_rate"], f["feature"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_channels", "duration_ms",
+                "rms", "zero_cross_rate", "feature"])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(op, AUDIO_FEATURES_SCHEMA))
 
 
 def frame_sample(df: DataFrame, every_ms: int, *,

@@ -241,6 +241,23 @@ def except_(left: DataFrame, right: DataFrame, all: bool = False) -> DataFrame:
 
 # --------------------------------------------------- sort/top-k/sample
 
+def ensure_min_parallelism(df: DataFrame,
+                           min_partitions: int | None = None) -> DataFrame:
+    """Small-input adapter for CPU-heavy downstream work (JSON parse,
+    regex, UDF): repartition ONLY when the scan yields fewer partitions
+    than cores.  A single-row-group parquet file (the small-SF fixture
+    shape) otherwise serializes a whole-stage parse on one thread.
+
+    100 TB no-op by construction: real inputs carry thousands of row
+    groups, getNumPartitions >= cores, and no shuffle is added — the
+    repartition branch only exists below ~one row group per core."""
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def sort(df: DataFrame, *cols) -> DataFrame:
     """Full sort (PRO/Глава 05:78) — range-partitioned total order."""
     return df.orderBy(*cols)

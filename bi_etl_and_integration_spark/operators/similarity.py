@@ -157,32 +157,64 @@ def sign_buckets_udf(planes_sets: list[list[list[float]]]):
     return buckets
 
 
+def _spherical_kmeans(x, nlist: int, n_iter: int, seed: int):
+    """Driver-side spherical k-means on a TRAINING SAMPLE (the
+    faiss-style IVF train step): rows of ``x`` are L2-normalized, so
+    nearest-by-cosine == argmax dot; each Lloyd iteration is one
+    sample x nlist BLAS matmul.  Deterministic for a fixed seed; an
+    emptied list is reseeded to the point farthest from its assigned
+    centroid so every list stays populated (balanced lists are the
+    whole point of training vs raw sampling)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    xu = x / norms
+    cents = xu[rng.choice(len(xu), size=nlist, replace=False)]
+    for _ in range(max(0, n_iter)):
+        sims = xu @ cents.T                      # sample × nlist
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            members = xu[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+            else:
+                worst = int(np.argmin(sims[np.arange(len(xu)), assign]))
+                cents[c] = xu[worst]
+                assign[worst] = c
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", nlist: int = 16,
-             n_probe: int = 4, seed: int = 42) -> DataFrame:
+             n_probe: int = 4, seed: int = 42,
+             train_iters: int = 5, train_size: int | None = None
+             ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus to ``nlist``
-    sampled centroids, probe the ``n_probe`` closest lists per query.
+    k-means-trained centroids, probe the ``n_probe`` closest lists per
+    query.  ``train_iters`` Lloyd iterations run driver-side on a
+    bounded training sample (``train_size``, default 64 x nlist rows
+    a la faiss) — at 100 TB the sample collect is the only data that
+    ever reaches the driver; set ``train_iters=0`` to fall back to raw
+    sampled seeds.
 
     At scale the assignment output is written partitioned by
     ``centroid_id`` so a probe reads only matching partitions
     (partition pruning does the fan-out reduction)."""
-    cents = (corpus.select(F.col(vec_col).alias("cvec"))
-             .sample(False, 1.0, seed).limit(nlist)
-             .withColumn("centroid_id",
-                         F.monotonically_increasing_id()).collect())
-
-    def _unit(vals: list[float]) -> list[float]:
-        n = max(sum(float(x) * float(x) for x in vals) ** 0.5, 1e-12)
-        return [float(x) / n for x in vals]
-
-    # centroids normalized driver-side: nearest-by-cosine == nearest-by-
-    # dot once BOTH sides are unit vectors; ranking against ALL
-    # centroids is one batch×dim @ dim×nlist BLAS matmul per Arrow
-    # batch (ranking ties broken by lower cid, deterministically)
     import numpy as np
-    cmat = np.asarray([_unit(row["cvec"]) for row in cents],
-                      dtype=np.float64).T  # dim × nlist
+    if train_size is None:
+        train_size = max(nlist * 64, 2048)
+    sample = (corpus.select(F.col(vec_col).alias("cvec"))
+              .limit(train_size).collect())
+    x = np.asarray([row["cvec"] for row in sample], dtype=np.float64)
+    if len(x) <= nlist:
+        norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cmat = (x / norms).T
+    else:
+        # trained centroids: balanced lists -> each probe reads ~1/nlist
+        # of the corpus instead of whatever a raw sample happened to cut
+        cmat = _spherical_kmeans(x, nlist, train_iters, seed).T
 
     def nearest_udf(n: int):
         @F.pandas_udf("array<long>")

@@ -72,3 +72,49 @@ def test_sign_buckets_udf_matches_expression_form(rows):
     got = {r["vec_id"]: tuple(r["ab"]) for r in udf.collect()}
     # fixture dots are far from zero, so BLAS order can't flip a sign
     assert got == want
+
+
+def test_spherical_kmeans_balances_and_converges():
+    """Clustered data: trained centroids land one-per-true-cluster
+    (raw seed sampling can drop a cluster entirely), every list stays
+    populated, and the result is deterministic for a fixed seed."""
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators.similarity import (
+        _spherical_kmeans)
+    rng = np.random.default_rng(3)
+    anchors = np.eye(4)  # 4 orthogonal cluster directions
+    x = np.vstack([a + rng.normal(0, 0.05, size=(50, 4))
+                   for a in anchors])
+    c1 = _spherical_kmeans(x.copy(), 4, 8, seed=9)
+    c2 = _spherical_kmeans(x.copy(), 4, 8, seed=9)
+    assert np.allclose(c1, c2)  # deterministic
+    # each anchor direction is captured by exactly one centroid
+    owners = {int(np.argmax(c1 @ a)) for a in anchors}
+    assert owners == set(range(4))
+
+
+def test_ivf_trained_recall_vs_brute_force(rows):
+    """recall@1 of trained IVF vs exact brute force on clustered
+    vectors: with k-means lists and n_probe=2 of 4 every query finds
+    its true nearest neighbor."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    anchors = np.eye(8)[:4]
+    corpus = []
+    i = 0
+    for a in anchors:
+        for _ in range(40):
+            v = a + rng.normal(0, 0.05, size=8)
+            corpus.append((i, [float(x) for x in v]))
+            i += 1
+    cdf = rows(corpus, "vec_id long, embedding array<double>")
+    qdf = rows([(j, [float(x) for x in anchors[j]]) for j in range(4)],
+               "query_id long, embedding array<double>")
+    exact = {r["query_id"]: r["vec_id"] for r in
+             sim.brute_force_topk(cdf, qdf, k=1).collect()}
+    approx = {r["query_id"]: r["vec_id"] for r in
+              sim.ivf_topk(cdf, qdf, k=1, nlist=4, n_probe=2,
+                           train_iters=8).collect()}
+    hits = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert hits == len(exact)

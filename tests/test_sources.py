@@ -97,3 +97,42 @@ def test_orc_roundtrip(rows, tmp_path):
     assert back.schema == df.schema
     assert sorted(tuple(r) for r in back.collect()) == \
         sorted(tuple(r) for r in df.collect())
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, rows, tmp_path):
+    """Executed JDBC round-trip against the Derby embedded database
+    that ships on Spark's own classpath (no network, same JVM):
+    write_jdbc batch insert -> read_jdbc dbtable / parameterized query
+    / partitioned parallel read all agree with the source frame.
+    Upgrades the reference's primary OLE DB source/Fast Load pair
+    (PRO/Глава 05:30-37, APRESS/004.md:5-23) from argument-validation
+    to an end-to-end test."""
+    from bi_etl_and_integration_spark.sources.writers import write_jdbc
+    url = f"jdbc:derby:{tmp_path}/testdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = rows([(i, f"name{i}", float(i) * 1.5) for i in range(100)],
+               "id int, name string, score double")
+    write_jdbc(src, url, "people", driver=drv)
+
+    back = readers.read_jdbc(spark, url, dbtable="people", driver=drv)
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in src.collect())
+
+    # Spark's JDBC writer creates quoted (case-exact) columns; Derby
+    # folds unquoted identifiers to uppercase, so queries quote them
+    q = readers.read_jdbc(
+        spark, url,
+        query='SELECT "id", "name" FROM people WHERE "id" < :hi',
+        params={"hi": 10}, driver=drv)
+    assert q.count() == 10 and set(q.columns) == {"id", "name"}
+
+    par = readers.read_jdbc(spark, url, dbtable="people", driver=drv,
+                            partition_column="id", num_partitions=4,
+                            lower_bound=0, upper_bound=100)
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == 100
+
+    # append mode accumulates (Fast Load batches are commit units)
+    write_jdbc(src.limit(5), url, "people", driver=drv, mode="append")
+    assert readers.read_jdbc(spark, url, dbtable="people",
+                             driver=drv).count() == 105
