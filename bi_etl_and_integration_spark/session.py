@@ -73,6 +73,14 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
     )
     if master:
         b = b.master(master)
+    # -- operator override hook: a cluster deploy tunes via
+    #    spark-defaults.conf; local harnesses (bench experiments, the
+    #    driver) can override any of the above via a JSON env var
+    env_conf = os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_conf:
+        import json
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b
