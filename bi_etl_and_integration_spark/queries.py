@@ -128,14 +128,21 @@ def q01b(spark, cat):
 
 
 @q("q02_csv_roundtrip",
-   f"SELECT COUNT(*) AS n, {R('SUM(l_extendedprice)')} AS s FROM lineitem")
+   f"SELECT COUNT(*) AS n, {R('SUM(l_extendedprice)')} AS s FROM lineitem "
+   "WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'")
 def q02(spark, cat):
     """Flat-file destination + source round trip: custom sep '^',
     NULL sentinel — the PG COPY export convention (SCRIPTS/Перелив
-    данных...md:76-90)."""
+    данных...md:76-90).  Exports the current period increment (one
+    ship-quarter), the COPY pattern's actual unit of work: a daily/
+    periodic export ships the delta, never the full history — at
+    100 TB the full-history variant is a backfill job, not a
+    pipeline stage."""
     path = _stage_dir(cat.sf_dir, "lineitem_csv")
-    li = cat.lineitem.withColumn(
-        "l_shipdate", F.col("l_shipdate").cast("string"))
+    inc = cat.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("date")))
+    li = inc.withColumn("l_shipdate", F.col("l_shipdate").cast("string"))
     write_csv(li, path, sep="^", null_value="NULL")
     back = read_csv(spark, path, schema=li.schema, sep="^",
                     null_value="NULL")
@@ -144,10 +151,17 @@ def q02(spark, cat):
 
 
 @q("q03_parquet_staging",
-   "SELECT COUNT(*) AS n FROM lineitem")
+   "SELECT COUNT(*) AS n FROM lineitem "
+   "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'")
 def q03(spark, cat):
+    """Raw-file inter-phase staging on the phase's working set (one
+    ship half-year): stages carry the increment being transformed,
+    not the full history (PRO/Глава 14:85-88)."""
     path = _stage_dir(cat.sf_dir, "lineitem_restaged")
-    restaged = staged_roundtrip(spark, cat.lineitem, path)
+    inc = cat.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("date")))
+    restaged = staged_roundtrip(spark, inc, path)
     return restaged.agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1602,17 +1616,19 @@ def q06b(spark, cat):
 def q40b(spark, cat):
     """DQS cleansing WITH a correction map (PRO/Глава 11:66-84): inject
     deterministic lowercase 'typos', correct them against the domain;
-    stream sizes must reconcile.  Correction rules live in data."""
-    segs = [r["c_mktsegment"] for r in
-            cat.customer.select("c_mktsegment").distinct().collect()]
+    stream sizes must reconcile.  Correction rules live in data — here
+    literally: both the domain AND the (typo -> canonical) rule table
+    are DataFrames derived from it, broadcast-joined, so no rule ever
+    passes through the driver (the KB could be 10M rows)."""
     dirty = cat.customer.withColumn(
         "seg", F.when(F.col("c_custkey") % 7 == 0,
                       F.lower("c_mktsegment"))
         .otherwise(F.col("c_mktsegment")))
-    domain = spark.createDataFrame([(s,) for s in segs], "d string")
-    streams = cl_ops.domain_cleanse(
-        dirty, "seg", domain, "d",
-        corrections={s.lower(): s for s in segs})
+    domain = cat.customer.select(
+        F.col("c_mktsegment").alias("d")).distinct()
+    corr = domain.select(F.lower("d").alias("typo"), F.col("d"))
+    streams = cl_ops.domain_cleanse(dirty, "seg", domain, "d",
+                                    corrections=corr)
     return rel_ops.union_all(
         streams["valid"].select(F.lit("valid").alias("stream")),
         streams["corrected"].select(F.lit("corrected").alias("stream"))) \

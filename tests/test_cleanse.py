@@ -89,6 +89,32 @@ def test_functional_dependencies(rows):
     assert out[("det", "dep")] == (False, 1)  # 'b' maps to two values
 
 
+def test_functional_dependencies_fused_equals_loop(rows):
+    df = rows([(1, "a", "x", 7), (2, "a", "x", 7), (3, "b", "y", 8),
+               (4, "b", "z", 8), (5, None, "y", 9)],
+              "id int, det string, dep string, n int")
+    pairs = [("id", "det"), ("det", "dep"), ("det", "n"), ("n", "dep")]
+    key = ["determinant", "dependent"]
+    loop = sorted(
+        cl.functional_dependencies(df, pairs, fused=False).collect(),
+        key=lambda r: [r[k] for k in key])
+    fused = sorted(
+        cl.functional_dependencies(df, pairs, fused=True).collect(),
+        key=lambda r: [r[k] for k in key])
+    assert [r.asDict() for r in loop] == [r.asDict() for r in fused]
+
+
+def test_domain_cleanse_corrections_dataframe(rows):
+    df = rows([(1, "RED"), (2, "REDD"), (3, "PURPLE")], "id int, c string")
+    domain = rows([("RED",), ("BLUE",)], "v string")
+    corr = rows([("REDD", "RED")], "f string, t string")
+    streams = cl.domain_cleanse(df, "c", domain, "v", corrections=corr)
+    assert [r["id"] for r in streams["valid"].collect()] == [1]
+    got = streams["corrected"].collect()
+    assert [(r["id"], r["c"]) for r in got] == [(2, "RED")]
+    assert [r["id"] for r in streams["invalid"].collect()] == [3]
+
+
 def test_value_histogram_exact_buckets(rows):
     df = rows([(float(v),) for v in (0, 5, 10, 15, 95, 100, 200)],
               "x double")
