@@ -142,9 +142,15 @@ def main() -> None:
         for name, sql in oracles.items():
             if only and name not in only:
                 continue
+            # same consume shape as the Spark side: engine-side full
+            # evaluation reduced to (count, row-hash digest) — a bare
+            # fetchall() would bill DuckDB for Python tuple
+            # materialization Spark never pays
+            wrapped = (f"SELECT count(*) AS n, bit_xor(hash(t)) AS digest "
+                       f"FROM ({sql}) t")
             t0 = time.monotonic()
             try:
-                con.execute(sql).fetchall()
+                con.execute(wrapped).fetchall()
                 duck[name] = round(time.monotonic() - t0, 3)
             except Exception:  # noqa: BLE001
                 duck[name] = -1.0
@@ -163,7 +169,7 @@ def main() -> None:
     # past that window).  Contract: the FINAL stdout line is a compact
     # parseable summary; the full per-query detail goes to a sidecar
     # file next to this script (BENCH_DETAIL.json) and to stderr.
-    detail_path = os.path.join(
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:

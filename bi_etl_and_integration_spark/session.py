@@ -30,6 +30,14 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
              extra_conf: dict | None) -> SparkSession.Builder:
     b = (
         SparkSession.builder.appName(app_name)
+        # -- heap: pyspark's local-mode default is 1 GB, absurd for a
+        #    32-thread driver==executor JVM (GC churn; 64 MB broadcast
+        #    threshold can't even build its table).  Must be set before
+        #    the JVM spawns, so it lives here, env-overridable.  On a
+        #    real cluster spark-submit owns this.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
         # -- adaptive execution: runtime re-plan replaces manual cache-mode
         #    / batch-size tuning documented by the reference
         .config("spark.sql.adaptive.enabled", "true")
@@ -53,9 +61,13 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- Arrow for pandas_udf / applyInPandas operators
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # -- broadcast threshold: 64 MB — dimension tables (region, nation,
-        #    customer at small SF, dictionaries) should broadcast
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- broadcast threshold: 32 MB — dimension tables (region, nation,
+        #    customer, dictionaries) broadcast; measured at sf1: 64 MB
+        #    let a 1.5M-row fact side through (3-6 s to build+ship the
+        #    hash table vs 0.8-1.2 s for the shuffle join it replaced),
+        #    10 MB pushed real dims into shuffles.  AQE still upgrades
+        #    shuffle joins to broadcast at runtime when actual sizes allow
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # -- runtime row-group pruning: a selective join side injects a
         #    bloom filter into the probe side's scan — at 100 TB this
         #    skips parquet row groups for fact rows whose join key

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Deterministic scale-up of a fixture sf directory for PERF evidence.
+
+Replicates every table K times with per-shard key shifts (shard i adds
+``i * (max_key + 1)`` to every key/id column), so referential joins
+behave like K independent shards: join fan-outs, group counts, and
+filter selectivities scale linearly, and no artificial cross-shard hot
+key appears.  Non-key columns are copied verbatim.
+
+This data is ONLY for the floor-amortization bench (BASELINE.md §4):
+correctness is still gated on the driver's own sf0.001/0.01/0.1
+fixtures.  Output goes inside the repo (gitignored), never to
+/root/testdata.
+
+Usage: python tools/make_scale.py [K] [src_dir] [dst_dir]
+Defaults: K=10, src=/root/testdata/sf0.1, dst=.bench_data/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# key/id columns per table -> shifted per shard; everything else verbatim
+KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# the stride for a foreign key must equal the stride of the table it
+# references, so shard i's facts point at shard i's dims
+FK_SOURCE: dict[tuple[str, str], tuple[str, str]] = {
+    ("nation", "n_regionkey"): ("region", "r_regionkey"),
+    ("customer", "c_nationkey"): ("nation", "n_nationkey"),
+    ("supplier", "s_nationkey"): ("nation", "n_nationkey"),
+    ("orders", "o_custkey"): ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"): ("orders", "o_orderkey"),
+    ("lineitem", "l_partkey"): ("part", "p_partkey"),
+    ("lineitem", "l_suppkey"): ("supplier", "s_suppkey"),
+}
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_data", "sf1")
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    strides: dict[tuple[str, str], int] = {}
+    for t, cols in KEYS.items():
+        for c in cols:
+            if (t, c) in FK_SOURCE:
+                continue
+            m = con.execute(
+                f"SELECT MAX({c}) FROM '{src}/{t}.parquet'").fetchone()[0]
+            strides[(t, c)] = int(m) + 1
+    for (t, c), (rt, rc) in FK_SOURCE.items():
+        strides[(t, c)] = strides[(rt, rc)]
+
+    for t, keycols in KEYS.items():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
+        sel = ", ".join(
+            f"{c} + shard.i * {strides[(t, c)]} AS {c}"
+            if c in keycols else c
+            for c in cols)
+        out = os.path.join(dst, f"{t}.parquet")
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
+            f"range({k}) AS shard(i) ORDER BY shard.i) "
+            f"TO '{out}' (FORMAT PARQUET, OVERWRITE_OR_IGNORE)")
+        n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
+        print(f"{t}: {n} rows -> {out}")
+
+
+if __name__ == "__main__":
+    main()
