@@ -34,10 +34,16 @@ def _normalized(text: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup on normalized content: canonical = min id per content
-    hash; emits (canonical id, n_dups, the ids collapsed)."""
-    keyed = df.withColumn("__k", F.xxhash64(_normalized(F.col(text_col))))
+                id_col: str = "doc_id", *,
+                normalize: bool = False) -> DataFrame:
+    """Exact dedup: canonical = min id per content hash; emits
+    (canonical id, n_dups, the ids collapsed).  ``normalize=True``
+    hashes the tokenized-rejoined text instead of the raw bytes
+    (catches whitespace/case-only dups at one extra string pass per
+    document); raw-byte hashing is the default exact-dedup contract."""
+    content = (_normalized(F.col(text_col)) if normalize
+               else F.col(text_col))
+    keyed = df.withColumn("__k", F.xxhash64(content))
     return (keyed.groupBy("__k")
             .agg(F.min(id_col).alias("canonical_id"),
                  F.count(F.lit(1)).alias("n_dups"),

@@ -31,7 +31,11 @@ def token_count(text: Column | str, mode: str = "whitespace") -> Column:
     (BPE-ish word/number/punct segmentation regex)."""
     c = F.col(text) if isinstance(text, str) else text
     if mode == "whitespace":
-        return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+        # trim + split stays whole-stage codegen; the equivalent
+        # F.filter(split, lambda) pays an interpreted call per token
+        t = F.trim(c)
+        return (F.when(t.isNull() | (t == ""), F.lit(0))
+                .otherwise(F.size(F.split(t, r"\s+"))))
     if mode == "bpe":
         return F.size(F.regexp_extract_all(
             c, F.lit(r"(\p{L}+|\p{N}+|[^\s\p{L}\p{N}])"), 0))
@@ -46,9 +50,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokenize(c)
     n_chars = F.length(c)
     n_tokens = F.size(toks)
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[\p{Punct}]"), 0))
+    # stopword hits: one anchored-alternation regexp_count over a
+    # double-space token join (same plan trick as language_id) — the
+    # per-token F.filter/array_contains HOF evaluates interpreted per
+    # token per stopword and regexp_extract_all materializes a match
+    # array just to count it; both measured multiples slower at corpus
+    # scale
+    padded = F.concat(F.lit(" "), F.array_join(toks, "  "), F.lit(" "))
+    n_stop = F.regexp_count(
+        padded, F.lit(" (" + "|".join(STOPWORDS) + ") "))
+    n_punct = F.regexp_count(c, F.lit(r"[\p{Punct}]"))
     out = (df
            .withColumn("q_n_chars", n_chars)
            .withColumn("q_n_tokens", n_tokens)

@@ -36,7 +36,7 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         #    the JVM spawns, so it lives here, env-overridable.  On a
         #    real cluster spark-submit owns this.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "4g")
         # -- adaptive execution: runtime re-plan replaces manual cache-mode
         #    / batch-size tuning documented by the reference

@@ -13,9 +13,12 @@ DOCS = "doc_id long, text string"
 def test_exact_dedup_normalizes_content(rows):
     df = rows([(1, "Hello,  World!"), (2, "hello world"),
                (3, "different")], DOCS)
-    out = dd.exact_dedup(df).collect()
+    # raw-byte default: whitespace/case variants do NOT collapse
+    raw = {r["canonical_id"]: r for r in dd.exact_dedup(df).collect()}
+    assert sorted(raw) == [1, 2, 3]
+    # normalize=True: 1 and 2 collapse (same tokens), canonical = min id
+    out = dd.exact_dedup(df, normalize=True).collect()
     by_canon = {r["canonical_id"]: r for r in out}
-    # 1 and 2 collapse (same normalized tokens), canonical = min id
     assert by_canon[1]["n_dups"] == 2
     assert by_canon[1]["member_ids"] == [1, 2]
     assert by_canon[3]["n_dups"] == 1
