@@ -86,14 +86,68 @@ class Pipeline:
                 raise ValueError(f"dependency cycle among stages: {cycle}")
         return out
 
+    def _execute(self, st: Stage, ctx: Context,
+                 status: dict) -> Exception | None:
+        """Run one stage with retries; fill results/metrics/status.
+        Returns the terminal error (after retries) or None."""
+        t0 = time.monotonic()
+        attempt, err = 0, None
+        while attempt <= st.retries:
+            try:
+                ctx.results[st.name] = st.fn(ctx)
+                status[st.name] = "ok"
+                err = None
+                break
+            except Exception as e:          # noqa: BLE001 — retry boundary
+                err = e
+                attempt += 1
+        if err is not None:
+            status[st.name] = "failed"
+        ctx.metrics[st.name] = {"seconds": time.monotonic() - t0,
+                                "attempts": attempt + (err is None),
+                                "status": status[st.name]}
+        return err
+
+    def _decide(self, st: Stage, status: dict) -> str | None:
+        """Precedence-constraint decision for a stage whose deps are all
+        terminal: 'run', 'not_run', or None (deps not yet terminal)."""
+        dep_states = [status.get(d, "missing") for d in st.depends_on]
+        if any(s in ("missing", "running") for s in dep_states):
+            return None
+        ok_deps = all(s in ("ok", "skipped") for s in dep_states)
+        failed_deps = any(s == "failed" for s in dep_states)
+        should_run = (
+            (st.run_on == "success" and ok_deps) or
+            (st.run_on == "failure" and failed_deps) or
+            (st.run_on == "completion" and True))
+        return "run" if (not st.depends_on or should_run) else "not_run"
+
+    def _has_failure_handler(self, name: str) -> bool:
+        return any(s.run_on == "failure" and name in s.depends_on
+                   for s in self.stages)
+
     def run(self, spark: SparkSession, params: dict | None = None,
-            resume_from: str | None = None) -> Context:
-        """Execute stages in declared order honoring dependencies.
+            resume_from: str | None = None,
+            max_parallel: int = 1) -> Context:
+        """Execute stages honoring dependencies.
 
         ``resume_from`` skips stages before the named one (phase-level
         restart — the only resumability the reference endorses; skipped
         stages must be idempotent producers whose outputs the resumed
         stages re-read from storage).
+
+        ``max_parallel > 1`` runs independent stages concurrently on a
+        thread pool — the reference's export pattern is exactly this
+        (``parallel -j 4`` over per-table dumps, SCRIPTS/Перелив данных
+        из PostgreSQL в ClickHouse.md:251) and SSIS control flow runs
+        unconstrained tasks concurrently (MaxConcurrentExecutables).
+        The SparkSession is thread-safe and the scheduler interleaves
+        the submitted jobs across executor slots; stage functions
+        sharing driver-side state must synchronize it themselves.
+        Failure semantics match serial mode: a failed stage without a
+        failure-handler dependant aborts the pipeline (after in-flight
+        stages drain), handlers with ``run_on='failure'`` fire, and
+        downstream ``run_on='success'`` stages are marked ``not_run``.
         """
         names = [s.name for s in self.stages]
         if resume_from is not None and resume_from not in names:
@@ -106,46 +160,66 @@ class Pipeline:
                              f"{sorted(unknown)}")
         ctx = Context(spark, dict(params or {}))
         status: dict[str, str] = {}
-        skipping = resume_from is not None
-        for st in self._ordered():
-            if skipping:
+        ordered = self._ordered()
+        if resume_from is not None:
+            for st in ordered:
                 if st.name == resume_from:
-                    skipping = False
-                else:
-                    status[st.name] = "skipped"
-                    continue
-            dep_states = [status.get(d, "missing") for d in st.depends_on]
-            ok_deps = all(s in ("ok", "skipped") for s in dep_states)
-            failed_deps = any(s == "failed" for s in dep_states)
-            should_run = (
-                (st.run_on == "success" and ok_deps) or
-                (st.run_on == "failure" and failed_deps) or
-                (st.run_on == "completion" and
-                 all(s != "missing" for s in dep_states)))
-            if st.depends_on and not should_run:
-                status[st.name] = "not_run"
-                continue
-            t0 = time.monotonic()
-            attempt, err = 0, None
-            while attempt <= st.retries:
-                try:
-                    ctx.results[st.name] = st.fn(ctx)
-                    status[st.name] = "ok"
-                    err = None
                     break
-                except Exception as e:      # noqa: BLE001 — retry boundary
-                    err = e
-                    attempt += 1
-            ctx.metrics[st.name] = {"seconds": time.monotonic() - t0,
-                                    "attempts": attempt + (err is None),
-                                    "status": status.get(st.name, "failed")}
-            if err is not None:
-                status[st.name] = "failed"
-                ctx.metrics[st.name]["status"] = "failed"
-                if not any(s.run_on == "failure" and st.name in s.depends_on
-                           for s in self.stages):
+                status[st.name] = "skipped"
+        todo = [st for st in ordered if st.name not in status]
+
+        if max_parallel <= 1:
+            first_err: Exception | None = None
+            for st in todo:
+                decision = self._decide(st, status)
+                if decision == "not_run":
+                    status[st.name] = "not_run"
+                    continue
+                err = self._execute(st, ctx, status)
+                if err is not None and not self._has_failure_handler(st.name):
                     raise err
+            ctx.metrics["__status"] = status
+            return ctx
+
+        from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
+                                        wait)
+        first_err: Exception | None = None
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            running: dict = {}
+            while todo or running:
+                progressed = False
+                for st in list(todo):
+                    decision = self._decide(st, status)
+                    if decision == "not_run":
+                        status[st.name] = "not_run"
+                        todo.remove(st)
+                        progressed = True
+                    elif decision == "run" and first_err is None:
+                        status[st.name] = "running"
+                        todo.remove(st)
+                        running[pool.submit(
+                            self._execute, st, ctx, status)] = st
+                        progressed = True
+                if not running:
+                    if first_err is not None:
+                        break
+                    if not progressed and todo:
+                        # only reachable if _ordered missed a cycle
+                        raise RuntimeError(
+                            f"stalled stages: {[s.name for s in todo]}")
+                    continue
+                done, _ = wait(running, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    st = running.pop(fut)
+                    err = fut.result()
+                    if (err is not None and first_err is None
+                            and not self._has_failure_handler(st.name)):
+                        first_err = err
+            for st in todo:                 # drained early on failure
+                status.setdefault(st.name, "not_run")
         ctx.metrics["__status"] = status
+        if first_err is not None:
+            raise first_err
         return ctx
 
 

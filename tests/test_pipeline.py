@@ -214,3 +214,99 @@ def test_recover_publish_heals_missing_path(spark, tmp_path):
     os.replace(path, path + "__old_deadbeef")
     assert recover_publish(path) is True
     assert spark.read.parquet(path).count() == 3
+
+
+def test_parallel_run_matches_serial_statuses(spark):
+    import threading
+    seen = []
+    lock = threading.Lock()
+
+    def make(name, dur=0.0):
+        def fn(ctx):
+            with lock:
+                seen.append(name)
+            return name
+        return fn
+
+    def build():
+        p = Pipeline("par")
+        p.stage("a")(make("a"))
+        p.stage("b")(make("b"))
+        p.stage("c", depends_on=["a", "b"])(make("c"))
+        p.stage("d", depends_on=["c"])(make("d"))
+        return p
+
+    serial = build().run(spark)
+    seen.clear()
+    par = build().run(spark, max_parallel=4)
+    assert par.metrics["__status"] == serial.metrics["__status"]
+    assert par.results["d"] == "d"
+    # c ran after both roots, d last
+    assert seen.index("c") > max(seen.index("a"), seen.index("b"))
+    assert seen[-1] == "d"
+
+
+def test_parallel_run_overlaps_independent_stages(spark):
+    import threading
+    gate_a, gate_b = threading.Event(), threading.Event()
+
+    p = Pipeline("overlap")
+
+    @p.stage("a")
+    def a(ctx):
+        gate_a.set()                       # prove b runs while a waits
+        assert gate_b.wait(timeout=30)
+        return 1
+
+    @p.stage("b")
+    def b(ctx):
+        assert gate_a.wait(timeout=30)
+        gate_b.set()
+        return 2
+
+    ctx = p.run(spark, max_parallel=2)     # serial would deadlock
+    assert ctx.metrics["__status"] == {"a": "ok", "b": "ok"}
+
+
+def test_parallel_failure_semantics(spark):
+    calls = []
+
+    def build(with_handler):
+        p = Pipeline("fail")
+        p.stage("ok1")(lambda ctx: calls.append("ok1"))
+
+        @p.stage("boom")
+        def boom(ctx):
+            raise RuntimeError("kaput")
+
+        if with_handler:
+            p.stage("heal", depends_on=["boom"], run_on="failure")(
+                lambda ctx: calls.append("heal"))
+        p.stage("down", depends_on=["boom"])(
+            lambda ctx: calls.append("down"))
+        return p
+
+    with pytest.raises(RuntimeError, match="kaput"):
+        build(False).run(spark, max_parallel=3)
+    assert "down" not in calls
+
+    calls.clear()
+    ctx = build(True).run(spark, max_parallel=3)
+    st = ctx.metrics["__status"]
+    assert st["boom"] == "failed" and st["heal"] == "ok"
+    assert st["down"] == "not_run" and "down" not in calls
+
+
+def test_parallel_resume_from(spark):
+    calls = []
+
+    def build():
+        p = Pipeline("resume")
+        p.stage("early")(lambda ctx: calls.append("early"))
+        p.stage("late", depends_on=["early"])(
+            lambda ctx: calls.append("late"))
+        return p
+
+    ctx = build().run(spark, resume_from="late", max_parallel=2)
+    assert calls == ["late"]
+    assert ctx.metrics["__status"] == {"early": "skipped", "late": "ok"}

@@ -136,3 +136,71 @@ def test_jdbc_roundtrip_embedded_derby(spark, rows, tmp_path):
     write_jdbc(src.limit(5), url, "people", driver=drv, mode="append")
     assert readers.read_jdbc(spark, url, dbtable="people",
                              driver=drv).count() == 105
+
+
+def test_zorder_write_clusters_row_groups(spark, tmp_path):
+    """Mechanical data-skipping assertion: after a Z-order write, a box
+    predicate on EITHER dimension must be answerable from a small
+    fraction of row groups (footer min/max), while the same data sorted
+    by only x leaves y unclustered."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bi_etl_and_integration_spark.sources.writers import (
+        write_parquet, write_parquet_zordered)
+
+    n = 200_000
+    # x and y independent -> a plain x-sort cannot cluster y
+    wide = (spark.range(n)
+            .withColumn("x", (F.hash("id") % 1000 + 1000) % 1000)
+            .withColumn("y", (F.hash("id", F.lit(7)) % 1000 + 1000) % 1000)
+            .withColumn("__pad", F.lit("x" * 32)))  # widen -> more groups
+
+    zpath = str(tmp_path / "zord")
+    xpath = str(tmp_path / "xsort")
+    # tiny row groups so footer stats have granularity to skip with
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        write_parquet_zordered(wide, zpath, zorder_by=["x", "y"], bits=8)
+        write_parquet(wide.repartition(1), xpath, sort_by=["x"])
+    finally:
+        if old is not None:
+            hconf.set("parquet.block.size", old)
+        else:
+            hconf.unset("parquet.block.size")
+
+    def matching_fraction(path, col, lo, hi):
+        total = match = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ix = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ix).statistics
+                total += 1
+                if st is None or (st.min <= hi and st.max >= lo):
+                    match += 1
+        assert total >= 8, f"need several row groups, got {total}"
+        return match / total
+
+    box = (450, 550)  # ~10% selectivity per dimension
+    zx = matching_fraction(zpath, "x", *box)
+    zy = matching_fraction(zpath, "y", *box)
+    sy = matching_fraction(xpath, "y", *box)
+    # z-order serves BOTH dimensions; x-sort leaves y unclustered
+    assert zx < 0.7 and zy < 0.7, (zx, zy)
+    assert sy > 0.9, sy
+    # and the z write loses no rows
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_rejects_non_numeric(spark, rows):
+    import pytest as _pytest
+
+    from bi_etl_and_integration_spark.sources.writers import zorder_column
+    df = rows([(1, "a")], "x int, s string")
+    with _pytest.raises(ValueError, match="must be numeric"):
+        zorder_column(df, ["s"])
