@@ -165,6 +165,36 @@ def q03(spark, cat):
     return restaged.agg(F.count(F.lit(1)).alias("n"))
 
 
+@q("q03b_zorder_staging",
+   f"SELECT COUNT(*) AS n, {R('SUM(l_quantity)')} AS sq FROM lineitem "
+   "WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'"
+   " AND l_partkey BETWEEN 500 AND 700 "
+   "AND l_suppkey BETWEEN 40 AND 60")
+def q03b(spark, cat):
+    """Z-order clustered staging (write_parquet_zordered): restage one
+    ship-year of lineitem morton-clustered on (l_partkey, l_suppkey),
+    then answer a two-dimensional box predicate from the clustered
+    copy — the multi-dim data-skipping layout a lakehouse OPTIMIZE
+    ZORDER BY produces, applied the way it runs in production (cluster
+    the partition being compacted, not the full history per job);
+    row-group min/max skipping is asserted mechanically in
+    tests/test_sources.py, this query certifies the write loses and
+    mutates nothing."""
+    from bi_etl_and_integration_spark.sources.writers import (
+        write_parquet_zordered)
+    path = _stage_dir(cat.sf_dir, "lineitem_zorder")
+    year = cat.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date")))
+    write_parquet_zordered(year, path,
+                           zorder_by=["l_partkey", "l_suppkey"], bits=8)
+    back = spark.read.parquet(path)
+    box = (back.where(F.col("l_partkey").between(500, 700)
+                      & F.col("l_suppkey").between(40, 60)))
+    return box.agg(F.count(F.lit(1)).alias("n"),
+                   dec_round(F.sum("l_quantity")).alias("sq"))
+
+
 @q("q04_json_extract",
    "SELECT event_id, json_extract_string(props,'$.k') AS k "
    "FROM events ORDER BY event_id")
