@@ -172,13 +172,20 @@ def main() -> None:
     # past that window).  Contract: the FINAL stdout line is a compact
     # parseable summary; the full per-query detail goes to a sidecar
     # file next to this script (BENCH_DETAIL.json) and to stderr.
-    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(out, fh, indent=1, sort_keys=True)
-    except OSError as e:
-        print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
+    detail_path = os.environ.get("BENCH_DETAIL_PATH")
+    if detail_path is None and not only:
+        # only a FULL run may refresh the committed corpus sidecar —
+        # a filtered tuning run must not clobber it (update_baseline.py
+        # regenerates BASELINE.md table 3 from this file)
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    if detail_path:
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+        except OSError as e:
+            print(f"bench: could not write {detail_path}: {e}",
+                  file=sys.stderr)
     print(json.dumps(out), file=sys.stderr)
 
     summary = {

@@ -215,7 +215,10 @@ def share_of_total(df: DataFrame, keys: Sequence[str], value: Column, *,
     non-re-aggregatable kinds are rejected up front."""
     head = str(value).removeprefix("Column<'").lstrip().lower()
     bad = ("avg(", "mean(", "stddev", "std(", "var", "median(",
-           "percentile", "min(", "max(", "first(", "last(", "any_value(")
+           "percentile", "min(", "max(", "first(", "last(", "any_value(",
+           # per-group distinct counts over-count values appearing in
+           # several groups when re-summed
+           "count(distinct", "count( distinct")
     if head.startswith(bad):
         raise ValueError(
             f"share_of_total needs a sum-re-aggregatable aggregate "

@@ -236,9 +236,22 @@ def domain_cleanse(df: DataFrame, col: str, domain: DataFrame,
             raise ValueError(
                 "corrections DataFrame must have exactly two columns "
                 f"(from, to); got {corrections.columns}")
-        corr = F.broadcast(corrections.toDF("__from", "__fix").distinct())
-        fixed = rest.join(corr, rest[col] == F.col("__from"), "left") \
-            .drop("__from")
+        # a 'from' key mapping to two targets would FAN OUT every
+        # matching row through the left join (streams stop reconciling
+        # with the input), so collapse rules per key and raise AT
+        # EXECUTION on ambiguity — no extra validation job, still loud
+        corr = F.broadcast(
+            corrections.toDF("__from", "__f").distinct()
+            .groupBy("__from").agg(F.collect_set("__f").alias("__fixes")))
+        fixed = (rest.join(corr, rest[col] == F.col("__from"), "left")
+                 .withColumn(
+                     "__fix",
+                     F.when(F.size("__fixes") > 1, F.raise_error(F.concat(
+                         F.lit("corrections map "), F.col("__from"),
+                         F.lit(" to multiple targets; correction keys "
+                               "must be unique"))).cast("string"))
+                     .otherwise(F.col("__fixes")[0]))
+                 .drop("__from", "__fixes"))
         corrected = (fixed.where(F.col("__fix").isNotNull())
                      .withColumn(col, F.col("__fix")).drop("__fix"))
         invalid = fixed.where(F.col("__fix").isNull()).drop("__fix")

@@ -173,15 +173,20 @@ def _spherical_kmeans(x, nlist: int, n_iter: int, seed: int):
     for _ in range(max(0, n_iter)):
         sims = xu @ cents.T                      # sample × nlist
         assign = np.argmax(sims, axis=1)
+        own = sims[np.arange(len(xu)), assign]
         for c in range(nlist):
             members = xu[assign == c]
             if len(members):
                 m = members.sum(axis=0)
                 cents[c] = m / max(np.linalg.norm(m), 1e-12)
             else:
-                worst = int(np.argmin(sims[np.arange(len(xu)), assign]))
+                # reseed to the worst-fit point; mark it taken (+inf)
+                # so a second empty list in the SAME iteration can't
+                # pick the same point and duplicate the centroid
+                worst = int(np.argmin(own))
                 cents[c] = xu[worst]
                 assign[worst] = c
+                own[worst] = np.inf
     return cents
 
 

@@ -120,10 +120,14 @@ def q01b(spark, cat):
         # recreate from scratch once
         shutil.rmtree(db, ignore_errors=True)
         write_jdbc(dim, url, "customer_dim", driver=drv, mode="overwrite")
-    n = dim.count()
+    # min/max of the ACTUAL key range: count() is both an extra job
+    # shape (scan all columns? no — but a separate full count) and the
+    # wrong bound for sparse keys (everything would land in the last
+    # JDBC partition, serializing the 'parallel' extract)
+    lo, hi = dim.agg(F.min("c_custkey"), F.max("c_custkey")).first()
     back = read_jdbc(spark, url, dbtable="customer_dim", driver=drv,
                      partition_column="c_custkey", num_partitions=4,
-                     lower_bound=1, upper_bound=max(n, 2))
+                     lower_bound=int(lo or 0), upper_bound=max(int(hi or 1), int(lo or 0) + 1))
     return back.orderBy("c_custkey")
 
 
@@ -393,6 +397,9 @@ def q06c(spark, cat):
    "COUNT(CASE WHEN TRY_CAST(event_type AS INT) IS NULL THEN 1 END) "
    "AS n_quarantined FROM events")
 def q07(spark, cat):
+    # free the cache a previous q07 run left (bench reruns the query;
+    # an unreleased multicast would accumulate in executor storage)
+    rel_ops.release_multicasts(spark)
     # from_json parses props ONCE (get_json_object re-parses the whole
     # string per call) and the small-input adapter keeps the parse off
     # a single thread when the fixture is one row group

@@ -42,6 +42,12 @@ def zorder_column(df: DataFrame, cols: list[str],
     from pyspark.sql import types as T
     if not 1 <= bits <= 16 or not 1 <= len(cols) <= 4:
         raise ValueError("zorder: 1..4 columns, 1..16 bits per column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder: {bits} bits x {len(cols)} columns needs bit "
+            f"position {bits * len(cols) - 1} — the top bit would land "
+            f"in long's sign bit and negative keys sort first; keep "
+            f"bits*len(cols) <= 63")
     kinds = {f.name: f.dataType for f in df.schema.fields}
     for c in cols:
         if not isinstance(kinds.get(c), T.NumericType):

@@ -136,7 +136,9 @@ def dedup_within_watermark(df: DataFrame, keys: Sequence[str],
         # stable winner, not partition order.
         tiebreak = [F.col(c) for c, t in df.dtypes
                     if c not in keys and c != ts_col
-                    and not t.startswith("map")]  # maps aren't orderable
+                    # maps aren't orderable at ANY nesting depth
+                    # (array<map<...>>, struct<...map...>)
+                    and "map<" not in t]
         w = Window.partitionBy(*keys).orderBy(F.col(ts_col), *tiebreak)
         return (df.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1).drop("__rn"))

@@ -47,6 +47,11 @@ FK_SOURCE: dict[tuple[str, str], tuple[str, str]] = {
     ("lineitem", "l_orderkey"): ("orders", "o_orderkey"),
     ("lineitem", "l_partkey"): ("part", "p_partkey"),
     ("lineitem", "l_suppkey"): ("supplier", "s_suppkey"),
+    # events.user_id joins customer/order keys (q17b/q17c asof+interval
+    # joins); its stride must match customer's or shard i's events land
+    # on shard 0's customers — the cross-shard hot key this tool exists
+    # to avoid
+    ("events", "user_id"): ("customer", "c_custkey"),
 }
 
 

@@ -22,15 +22,19 @@ def table(det: dict) -> str:
     for name in q:
         s = q[name]
         d = duck.get(name)
-        if d is not None and d > 0 and s > 0:
+        if s < 0:
+            lines.append(f"| {name} | — | ERROR | — |")
+        elif d is not None and d > 0 and s > 0:
             lines.append(f"| {name} | {d:.3f} | {s:.3f} | {s / d:.1f}x |")
         else:
             lines.append(f"| {name} | — | {s:.3f} | — |")
     sd = sum(v for v in q.values() if v > 0)
     dd = sum(v for v in duck.values() if v > 0)
     oracled_s = sum(q[k] for k, v in duck.items() if v > 0 and q.get(k, 0) > 0)
+    total_ratio = (f"**{oracled_s / dd:.2f}x (oracled set)**" if dd > 0
+                   else "— (run with BENCH_DUCKDB=1)")
     lines.append(f"| **TOTAL** | **{dd:.2f}** | **{sd:.2f}** | "
-                 f"**{oracled_s / dd:.2f}x (oracled set)** |")
+                 f"{total_ratio} |")
     return "\n".join(lines)
 
 
