@@ -60,7 +60,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # materializing a regexp_extract_all match array just to size it.
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n_punct = F.regexp_count(c, F.lit(r"[\p{Punct}]"))
+    # punct count as a translate() char-map pass: strictly cheaper than
+    # a regex scan, same ASCII set as \p{Punct}
+    punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+    n_punct = n_chars - F.length(F.translate(c, punct, ""))
     out = (df
            .withColumn("q_n_chars", n_chars)
            .withColumn("q_n_tokens", n_tokens)

@@ -310,3 +310,26 @@ def test_parallel_resume_from(spark):
     ctx = build().run(spark, resume_from="late", max_parallel=2)
     assert calls == ["late"]
     assert ctx.metrics["__status"] == {"early": "skipped", "late": "ok"}
+
+
+def test_parallel_spark_stages_produce_correct_results(spark):
+    """Two independent stages each running real Spark jobs concurrently
+    on the shared session — the parallel -j4 export pattern."""
+    p = Pipeline("spark-par")
+
+    @p.stage("sum_even")
+    def sum_even(ctx):
+        return (ctx.spark.range(10_000)
+                .where("id % 2 = 0").agg({"id": "sum"}).first()[0])
+
+    @p.stage("sum_odd")
+    def sum_odd(ctx):
+        return (ctx.spark.range(10_000)
+                .where("id % 2 = 1").agg({"id": "sum"}).first()[0])
+
+    @p.stage("total", depends_on=["sum_even", "sum_odd"])
+    def total(ctx):
+        return ctx["sum_even"] + ctx["sum_odd"]
+
+    ctx = p.run(spark, max_parallel=2)
+    assert ctx.results["total"] == sum(range(10_000))

@@ -64,13 +64,17 @@ full-history backfill.
 The 2× gate at sf0.1 is dominated by Spark's per-query floor, not plan shape (VERDICT r1
 concurs).  This table re-runs a 24-query headline set — every family with real work:
 scans, multi-join marts, window funcs, percentiles, top-k, similarity, dedup, text
-features — at sf1 (6M-row lineitem) on identical parquet for both engines, same digest
-consume.  Where both engines do ≥0.1 s of work the ratio lands near or below par for
-shuffle/window/join-bound queries; the residual >2× entries are Spark's per-row
-string-expression overhead (x01/x08: regex/tokenize) and mid-size hash-join gap
-(q43-q45), not scale hazards — their plans are single-shuffle with pruned scans
-(PLANS.md).  q15's DuckDB time is its own quadratic theta-join plan; the Spark side is
-the blocked fuzzy join.
+features — at sf1 (6M-row lineitem; referential strides preserved per shard,
+regression-tested in tests/test_tools.py) on identical parquet for both engines, same
+digest consume.  Absolute numbers swing ±30% run to run with co-tenant machine load
+(both engines inflate together; compare the ratio column, and note sub-0.1 s DuckDB
+entries make their ratios noise-dominated).  Where both engines do ≥0.1 s of work the
+ratio lands near or below par for shuffle/window/join-bound queries (q09/q12/q27/q28);
+the residual >2× entries are Spark's per-row string-expression overhead (x07/x08:
+tokenize) and the mid-size single-node hash-join gap (q43-q45) — not scale hazards;
+their plans are single-shuffle with pruned scans (PLANS.md).  q15's DuckDB time is its
+own quadratic theta-join plan executing the oracle's *specification* SQL; the Spark side
+runs the blocked rewrite — the per-operator scale argument, in one number.
 
 {table(sf1)}
 """
