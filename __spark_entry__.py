@@ -50,6 +50,9 @@ _VERIFY_FIRST = [
     "x08_text_quality", "x09_text_langid", "x10_text_fingerprint",
     "x14_chunking", "x13_heavy_hitters", "x12_training_pipeline",
     "x12b_training_pipeline_langid", "x11_multimodal_features",
+    # corpus-curation block (new in round 2; the remaining x17+ entries
+    # rotate into the window in round 3)
+    "x17_pii_redaction",
 ]
 
 

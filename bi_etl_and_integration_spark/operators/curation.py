@@ -1,0 +1,357 @@
+"""Corpus-curation operators for large-scale training-data pipelines
+(beyond-reference surface; the published C4 / Gopher / RefinedWeb
+heuristics re-expressed as Spark plans).
+
+Everything here is a JVM-side column expression or a narrow
+projection + at most the documented shuffles — no Python UDFs:
+
+- :func:`redact_pii` — regex PII scrubbing (email/phone/IP/SSN/card),
+  one chained ``regexp_replace`` pass, zero shuffle.
+- :func:`quality_filter` — rule-based document filtering with a
+  per-document machine-readable reasons array (C4-style).
+- :func:`repetition_features` — duplicate-line and top-n-gram
+  repetition ratios (Gopher repetition rules), per-row HOFs.
+- :func:`contamination_check` — benchmark n-gram overlap flagging
+  (decontamination), one broadcast-able equi-join on n-gram hashes.
+- :func:`mix_domains` / :func:`assign_split` — deterministic
+  hash-gated domain reweighting and train/val/test splitting.
+- :func:`dedup_segments` — order-preserving intra-document segment
+  dedup, pure HOF.
+- :func:`remove_boilerplate` — cross-document frequent-segment
+  removal (the "same footer on every page" filter), two shuffles.
+
+Scale notes are on each function; none exceeds O(doc_length²) per row
+or two shuffles per job.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- PII
+
+#: (name, pattern, replacement) — RE2-compatible (no lookaround, no
+#: backrefs) so the same pattern strings run on any regex engine a
+#: downstream oracle uses.  Order matters: structured long patterns
+#: (card/SSN/phone) before the generic IP/number forms so a card is
+#: not half-eaten as two shorter matches.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{2,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}\b",
+     "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", *,
+               out_col: str | None = None,
+               kinds: Sequence[str] | None = None) -> DataFrame:
+    """Scrub PII spans with typed placeholder tokens.
+
+    One chained ``regexp_replace`` projection — fully codegen'd, zero
+    shuffle, linear per row; at 100 TB this is a map-only pass that
+    pipelines with whatever scan feeds it.  ``kinds`` selects a subset
+    of :data:`PII_PATTERNS` (default: all, in order)."""
+    sel = PII_PATTERNS if kinds is None else [
+        p for p in PII_PATTERNS if p[0] in set(kinds)]
+    if kinds is not None and len(sel) != len(set(kinds)):
+        known = {p[0] for p in PII_PATTERNS}
+        raise ValueError(f"unknown PII kinds: {set(kinds) - known}")
+    c: Column = F.col(text_col)
+    for _, pat, repl in sel:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or text_col, c)
+
+
+# ------------------------------------------------------ quality rules
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", *,
+                   min_tokens: int = 5, max_tokens: int = 100_000,
+                   min_mean_word_len: float = 2.0,
+                   max_mean_word_len: float = 12.0,
+                   max_punct_ratio: float = 0.2,
+                   min_stopword_ratio: float = 0.0,
+                   reasons_col: str = "qf_reasons",
+                   keep_col: str = "qf_keep") -> DataFrame:
+    """C4-style rule filter: annotate every document with the list of
+    rules it VIOLATES (``reasons_col``, empty array = clean) and a
+    boolean ``keep_col``.  Returning annotations instead of dropping
+    rows keeps the operator composable — the caller filters, quarantines
+    or samples the rejects (the reference's error-output discipline,
+    PRO/Глава 05: error outputs on every transform).
+
+    All rules are single-pass string expressions (token split is
+    materialized once and shared); zero shuffle, codegen throughout."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+    n_punct = n_chars - F.length(F.translate(c, punct, ""))
+    mean_wl = F.when(n_tokens > 0,
+                     (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    from bi_etl_and_integration_spark.operators.fuzzy import STOPWORDS
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tokens
+    ).otherwise(0.0)
+
+    def _violation(cond: Column, tag: str) -> Column:
+        return F.when(cond, F.array(F.lit(tag))).otherwise(
+            F.array().cast("array<string>"))
+
+    reasons = F.concat(
+        _violation(n_tokens < min_tokens, "too_few_tokens"),
+        _violation(n_tokens > max_tokens, "too_many_tokens"),
+        _violation((n_tokens > 0) & (mean_wl < min_mean_word_len),
+                   "mean_word_too_short"),
+        _violation(mean_wl > max_mean_word_len, "mean_word_too_long"),
+        _violation(punct_ratio > max_punct_ratio, "too_much_punct"),
+        _violation((n_tokens > 0) & (stop_ratio < min_stopword_ratio),
+                   "too_few_stopwords"),
+    )
+    return (df.withColumn(reasons_col, reasons)
+            .withColumn(keep_col, F.size(F.col(reasons_col)) == 0))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", *,
+                        line_sep: str = "\n",
+                        ngram: int = 2) -> DataFrame:
+    """Gopher-style repetition ratios, one narrow projection per doc:
+
+    - ``rep_dup_line_frac``   — 1 − distinct lines / lines
+    - ``rep_dup_line_char_frac`` — chars inside lines occurring > once
+      / total line chars
+    - ``rep_top_ngram_frac``  — occurrences of the most frequent token
+      ``ngram``-gram / number of n-grams
+
+    The within-array frequency counts are O(L²) HOFs over ONE row's
+    lines/n-grams — bounded by document length, independent of corpus
+    size, so the operator stays a zero-shuffle map at 100 TB (a 10k-line
+    pathological doc costs 10⁸ comparisons; cap upstream with
+    :func:`quality_filter` ``max_tokens`` if the corpus allows such
+    rows)."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, line_sep), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines).otherwise(0.0)
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        lines, F.lit(0),
+        lambda acc, l: acc + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) > 1,
+            F.length(l)).otherwise(0))
+    dup_char_frac = F.when(line_chars > 0,
+                           dup_chars / line_chars).otherwise(0.0)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n_grams = F.size(toks) - (ngram - 1)
+    grams = F.when(n_grams > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, ngram), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    top_frac = F.when(
+        n_grams > 0,
+        F.array_max(F.transform(
+            grams, lambda g: F.size(F.filter(grams, lambda x: x == g))))
+        / n_grams).otherwise(0.0)
+    return (df.withColumn("rep_dup_line_frac", dup_line_frac)
+            .withColumn("rep_dup_line_char_frac", dup_char_frac)
+            .withColumn("rep_top_ngram_frac", top_frac))
+
+
+# -------------------------------------------------- decontamination
+
+
+def _ngram_col(text: Column, n: int) -> Column:
+    """Distinct lowercase token ``n``-grams of one document as an
+    array<string> (shared by both sides of the contamination join)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    cnt = F.size(toks) - (n - 1)
+    return F.when(cnt > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, *,
+                        n: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    token ``n``-gram with a held-out benchmark set (the published
+    GPT-3/PaLM 13-gram-overlap procedure; ``n`` is the dial).
+
+    Plan: each side explodes to DISTINCT n-grams (fan-out bounded by
+    document length), the benchmark side deduplicates globally (it is
+    the small side — eval sets are thousands of rows, so Spark/AQE
+    broadcasts it), and one left equi-join + groupBy counts matched
+    n-grams per doc.  The corpus is never self-joined and never
+    collected; 2 shuffles worst-case at 100 TB, 1 when the benchmark
+    broadcast kicks in.
+
+    Output: ``id_col, n_matched (bigint), contaminated (boolean)``."""
+    d = docs.select(F.col(id_col),
+                    F.explode(_ngram_col(F.col(text_col), n))
+                    .alias("_cg"))
+    b = (benchmark.select(
+        F.explode(_ngram_col(F.col(bench_text_col), n)).alias("_cg"))
+        .distinct())
+    hits = (d.join(b, "_cg", "inner")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched")))
+    return (docs.select(id_col).distinct()
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_matched", F.lit(0)).cast("bigint")
+                    .alias("n_matched"))
+            .withColumn("contaminated", F.col("n_matched") > 0))
+
+
+# ------------------------------------------- mixing / deterministic split
+
+#: Knuth multiplicative constant — the deterministic per-key uniform
+#: driver for mixing/splitting.  Keys are folded mod 1e6+3 first so the
+#: product stays far inside int64 for arbitrarily large ids.
+_MIX_MOD = 1_000_003
+_MIX_MULT = 2_654_435_761
+_MIX_DENOM = 1_000_000
+
+
+def det_rate(key: Column) -> Column:
+    """Deterministic pseudo-uniform value in [0, 1) from an integer key.
+
+    Engine-portable integer arithmetic (no engine hash builtin), so an
+    external system — or a SQL oracle — reproduces the exact sample:
+    ``((key mod 1000003) * 2654435761 mod 1000000) / 1000000``."""
+    folded = F.pmod(key.cast("bigint"), F.lit(_MIX_MOD))
+    return (F.pmod(folded * F.lit(_MIX_MULT), F.lit(_MIX_DENOM))
+            / F.lit(float(_MIX_DENOM)))
+
+
+def det_rate_sql(key_expr: str) -> str:
+    """The ANSI-SQL twin of :func:`det_rate` (for oracles / handoff)."""
+    return (f"((({key_expr}) % {_MIX_MOD}) * {_MIX_MULT}) "
+            f"% {_MIX_DENOM} / {_MIX_DENOM}.0")
+
+
+def mix_domains(df: DataFrame, weights: Mapping[str, float], *,
+                domain_col: str = "source",
+                key_col: str = "doc_id",
+                default_rate: float = 0.0) -> DataFrame:
+    """Domain reweighting: keep each row with its domain's sampling
+    rate, gated on :func:`det_rate` of the row key — the training-mix
+    step (DoReMi/The-Pile-style domain weights) made reproducible:
+    the same (key, weights) always select the same rows, so reruns,
+    backfills and the SQL oracle agree row-for-row.
+
+    Zero shuffle: the gate is a scalar predicate pushed at the scan.
+    Rates are keep-probabilities in [0, 1]; domains absent from
+    ``weights`` fall back to ``default_rate`` (0 = drop)."""
+    for dom, r in weights.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {dom!r} outside [0,1]: {r}")
+    rate = F.lit(float(default_rate))
+    for dom, r in sorted(weights.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(r))) \
+            .otherwise(rate)
+    return df.where(det_rate(F.col(key_col)) < rate)
+
+
+def assign_split(df: DataFrame, *, key_col: str = "doc_id",
+                 val_frac: float = 0.1, test_frac: float = 0.0,
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by row key: the val set
+    is ``det_rate(key) < val_frac``, test the next band, train the rest.
+    Stable under corpus growth — a document's split never changes when
+    other documents arrive (the property random ``rand()`` splits lack),
+    which is what makes held-out contamination checks meaningful."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac > 1:
+        raise ValueError("fractions must be ≥0 and sum ≤1")
+    r = det_rate(F.col(key_col))
+    return df.withColumn(
+        out_col,
+        F.when(r < val_frac, F.lit("val"))
+        .when(r < val_frac + test_frac, F.lit("test"))
+        .otherwise(F.lit("train")))
+
+
+# ------------------------------------------------- segment-level dedup
+
+
+def dedup_segments(df: DataFrame, text_col: str = "text", *,
+                   sep: str = "\n\n", out_sep: str | None = None,
+                   out_col: str | None = None) -> DataFrame:
+    """Order-preserving INTRA-document segment dedup: drop every repeat
+    of a segment (paragraph by default) after its first occurrence and
+    reassemble the text — the self-repetition scrub that precedes
+    corpus-level dedup.
+
+    Pure HOF: ``array_position`` inside a filter keeps exactly the
+    first occurrence (O(S²) per row in segment count, corpus-size
+    independent); zero shuffle."""
+    c = F.col(text_col)
+    segs = F.filter(F.split(c, sep), lambda s: F.trim(s) != "")
+    kept = F.filter(segs,
+                    lambda s, i: F.array_position(segs, s) == i + 1)
+    return df.withColumn(out_col or text_col,
+                         F.array_join(kept, out_sep or sep))
+
+
+def remove_boilerplate(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, sep: str = "\n\n",
+                       out_sep: str | None = None,
+                       max_doc_count: int = 10) -> DataFrame:
+    """CROSS-document frequent-segment removal: a segment (paragraph)
+    appearing in more than ``max_doc_count`` distinct documents is
+    boilerplate (footers, cookie banners, license blocks) and is
+    dropped from every document; remaining segments are reassembled in
+    their original order.
+
+    Plan (the scale path, no per-row quadratic work):
+      1. ``posexplode`` segments — fan-out bounded by doc length;
+      2. per-segment distinct-doc counts: ONE hash aggregation on the
+         64-bit segment hash (map-side partial, no raw-text shuffle —
+         only (hash, count) pairs move);
+      3. equi-join exploded rows against the over-threshold hash set —
+         at 100 TB the frequent-segment set is tiny (that is what
+         "frequent" means), so AQE broadcasts it;
+      4. one groupBy(doc) to reassemble via position-sorted
+         ``array_agg``.
+    Two real shuffles (count, reassemble) + a broadcast-able join.
+    Collisions: xxhash64 false positives (~2⁻⁶⁴·pairs) delete a
+    unique segment; acceptable for corpus curation (same contract as
+    fingerprint dedup)."""
+    segs = F.filter(F.split(F.col(text_col), sep),
+                    lambda s: F.trim(s) != "")
+    exploded = (df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_pos", "seg"))
+        .withColumn("seg_h", F.xxhash64("seg")))
+    frequent = (exploded.select("seg_h", id_col).distinct()
+                .groupBy("seg_h")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .where(F.col("n_docs") > max_doc_count)
+                .select("seg_h"))
+    kept = exploded.join(frequent, "seg_h", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.array_sort(F.collect_list(
+                       F.struct("seg_pos", "seg"))).seg,
+                   out_sep or sep).alias(text_col)))
+    # docs whose every segment was boilerplate (or empty docs) survive
+    # with empty text — row count is preserved, mirroring dedup_segments
+    return (df.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(text_col, F.lit("")).alias(text_col)))

@@ -23,6 +23,7 @@ from bi_etl_and_integration_spark.operators import (
     aggregate as agg_ops,
     arrays as arr_ops,
     cleanse as cl_ops,
+    curation as cu_ops,
     dedup as dd_ops,
     fuzzy as fz_ops,
     relational as rel_ops,
@@ -2242,3 +2243,231 @@ def x11(spark, cat):
     feats = image_features(media, decode_stub=True)
     return (feats.select("media_id", "width", "height", "n_bytes")
             .orderBy("media_id"))
+
+
+# ===================================================== corpus curation
+
+#: the 49-word stopword lexicon restated as a SQL IN-list (x09 pattern)
+_SW_SQL = ",".join(f"'{w}'" for w in fz_ops.STOPWORDS)
+
+#: translate() punctuation char-map as a SQL string literal ('' = ')
+_PUNCT_SQL = "!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
+@q("x17_pii_redaction",
+   "WITH c AS (SELECT c_custkey, c_name, "
+   "CAST(10 + c_nationkey AS VARCHAR) || '-' || "
+   "substr(lpad(CAST(c_custkey AS VARCHAR), 10, '5'), 1, 3) || '-' || "
+   "substr(lpad(CAST(c_custkey AS VARCHAR), 10, '5'), 4, 3) || '-' || "
+   "substr(lpad(CAST(c_custkey AS VARCHAR), 10, '5'), 7, 4) AS phone "
+   "FROM customer) "
+   "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace("
+   "regexp_replace(regexp_replace("
+   "'reach ' || c_name || ' at ' || phone || ' or ' || "
+   "lower(translate(c_name, '#', '.')) || '@example.com', "
+   r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+   r"'\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g'), "
+   r"'\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), "
+   r"'\b\d{2,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}\b', '<PHONE>', 'g'), "
+   r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS contact "
+   "FROM c ORDER BY c_custkey")
+def x17(spark, cat):
+    """PII scrubbing on a synthesized contact card (name + TPC-H-style
+    phone derived from the keys + derived email): the oracle restates
+    the exact RE2-portable pattern chain, certifying replacement ORDER
+    as well as the patterns (email is consumed before the numeric
+    patterns can half-eat it).  Zero-shuffle codegen projection."""
+    digits = F.lpad(F.col("c_custkey").cast("string"), 10, "5")
+    phone = F.concat_ws(
+        "-", (F.col("c_nationkey") + 10).cast("string"),
+        F.substring(digits, 1, 3), F.substring(digits, 4, 3),
+        F.substring(digits, 7, 4))
+    contact = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at "),
+        phone, F.lit(" or "),
+        F.lower(F.translate(F.col("c_name"), "#", ".")),
+        F.lit("@example.com"))
+    df = cat.customer.select("c_custkey", contact.alias("contact"))
+    return cu_ops.redact_pii(df, "contact").orderBy("c_custkey")
+
+
+@q("x18_quality_filter",
+   "WITH t AS (SELECT doc_id, text, length(text) AS nc, "
+   "list_filter(string_split(text,' '), x -> x != '') AS tk "
+   "FROM documents), "
+   "f AS (SELECT doc_id, len(tk) AS nt, nc, "
+   "CASE WHEN len(tk) > 0 THEN (nc - (len(tk)-1)) / CAST(len(tk) AS DOUBLE) "
+   "ELSE 0.0 END AS mwl, "
+   f"CASE WHEN nc > 0 THEN (nc - length(translate(text, '{_PUNCT_SQL}', "
+   "''))) / CAST(nc AS DOUBLE) ELSE 0.0 END AS pr, "
+   f"CASE WHEN len(tk) > 0 THEN len(list_filter(tk, t -> t IN ({_SW_SQL})))"
+   " / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sr FROM t), "
+   "r AS (SELECT doc_id, "
+   "CASE WHEN nt < 40 THEN ['too_few_tokens'] ELSE [] END || "
+   "CASE WHEN nt > 100000 THEN ['too_many_tokens'] ELSE [] END || "
+   "CASE WHEN nt > 0 AND mwl < 3.8 THEN ['mean_word_too_short'] "
+   "ELSE [] END || "
+   "CASE WHEN mwl > 4.4 THEN ['mean_word_too_long'] ELSE [] END || "
+   "CASE WHEN pr > 0.2 THEN ['too_much_punct'] ELSE [] END || "
+   "CASE WHEN nt > 0 AND sr < 0.05 THEN ['too_few_stopwords'] "
+   "ELSE [] END AS reasons FROM f) "
+   "SELECT doc_id, COALESCE(array_to_string(reasons, ','), '') "
+   "AS qf_reasons, len(reasons) = 0 AS qf_keep FROM r ORDER BY doc_id")
+def x18(spark, cat):
+    """C4-style rule filter with machine-readable violation reasons;
+    the oracle restates every rule (incl. the 49-word stopword lexicon
+    and the translate() punctuation map) so thresholds, guard clauses
+    and rule ORDER are all certified."""
+    out = cu_ops.quality_filter(
+        cat.documents, "text", min_tokens=40,
+        min_mean_word_len=3.8, max_mean_word_len=4.4,
+        max_punct_ratio=0.2, min_stopword_ratio=0.05)
+    return (out.select("doc_id",
+                       F.array_join("qf_reasons", ",").alias("qf_reasons"),
+                       "qf_keep")
+            .orderBy("doc_id"))
+
+
+@q("x19_repetition_features",
+   "WITH t AS (SELECT doc_id, "
+   "list_filter(string_split(text,' '), x -> x != '') AS ls "
+   "FROM documents), "
+   "d AS (SELECT doc_id, ls, len(ls) AS nl, "
+   "COALESCE(list_sum(list_transform(ls, l -> length(l))), 0) AS lc, "
+   "COALESCE(list_sum(list_transform(ls, l -> CASE WHEN "
+   "len(list_filter(ls, x -> x = l)) > 1 THEN length(l) ELSE 0 END)), 0) "
+   "AS dc, CASE WHEN len(ls) - 1 > 0 THEN list_transform("
+   "generate_series(1, len(ls) - 1), i -> array_to_string(ls[i:i+1], ' ')) "
+   "ELSE [] END AS grams FROM t) "
+   "SELECT doc_id, "
+   + R("CASE WHEN nl > 0 THEN 1.0 - len(list_distinct(ls)) / "
+       "CAST(nl AS DOUBLE) ELSE 0.0 END", 4) + " AS dup_seg_frac, "
+   + R("CASE WHEN lc > 0 THEN dc / CAST(lc AS DOUBLE) ELSE 0.0 END", 4)
+   + " AS dup_seg_char_frac, "
+   + R("CASE WHEN len(grams) > 0 THEN list_max(list_transform(grams, "
+       "g -> len(list_filter(grams, x -> x = g)))) / "
+       "CAST(len(grams) AS DOUBLE) ELSE 0.0 END", 4)
+   + " AS top_ngram_frac FROM d ORDER BY doc_id")
+def x19(spark, cat):
+    """Gopher repetition ratios at token granularity (the fixture docs
+    are single-line, so 'lines' = tokens exercises the same per-row
+    HOF frequency machinery on real data): duplicate-token fraction,
+    duplicated-token char fraction, top-bigram fraction."""
+    rep = cu_ops.repetition_features(
+        rel_ops.ensure_min_parallelism(cat.documents), "text",
+        line_sep=" ", ngram=2)
+    return (rep.select(
+        "doc_id",
+        dec_round("rep_dup_line_frac", 4).alias("dup_seg_frac"),
+        dec_round("rep_dup_line_char_frac", 4).alias("dup_seg_char_frac"),
+        dec_round("rep_top_ngram_frac", 4).alias("top_ngram_frac"))
+        .orderBy("doc_id"))
+
+
+@q("x20_contamination_check",
+   "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text),' '),"
+   " x -> x != '') AS tk FROM documents), "
+   "g AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN list_distinct("
+   "list_transform(generate_series(1, len(tk) - 7), "
+   "i -> array_to_string(tk[i:i+7], ' '))) ELSE [] END AS grams FROM toks), "
+   "d AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+   "b AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram "
+   "FROM g WHERE doc_id < 20)), "
+   "hits AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched "
+   "FROM d JOIN b USING (gram) GROUP BY d.doc_id) "
+   "SELECT t.doc_id, CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,"
+   " COALESCE(h.n_matched, 0) > 0 AS contaminated "
+   "FROM (SELECT DISTINCT doc_id FROM documents) t "
+   "LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id")
+def x20(spark, cat):
+    """Benchmark decontamination: docs sharing any lowercase token
+    8-gram with the 'benchmark' slice (doc_id < 20 stands in for a
+    held-out eval set) are flagged; per-doc distinct matched-gram
+    counts certified against the oracle join."""
+    docs = rel_ops.ensure_min_parallelism(cat.documents)
+    bench = cat.documents.where(F.col("doc_id") < 20)
+    return (cu_ops.contamination_check(docs, bench, n=8)
+            .orderBy("doc_id"))
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5,
+                "src3": 0.25, "src4": 0.1}
+
+
+@q("x21_domain_mix",
+   "SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+   f"WHERE {cu_ops.det_rate_sql('doc_id')} < CASE source "
+   + " ".join(f"WHEN '{d}' THEN {r}"
+              for d, r in sorted(_MIX_WEIGHTS.items()))
+   + " ELSE 0.05 END GROUP BY source ORDER BY source")
+def x21(spark, cat):
+    """Deterministic domain reweighting (training-mix step): keep rates
+    per source gated on the engine-portable det_rate hash — the oracle
+    reproduces the exact per-row selection, not just the counts'
+    distribution, because the gate is pure integer arithmetic."""
+    mixed = cu_ops.mix_domains(cat.documents, _MIX_WEIGHTS,
+                               domain_col="source", key_col="doc_id",
+                               default_rate=0.05)
+    return (mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("source"))
+
+
+@q("x22_split_assignment",
+   f"SELECT CASE WHEN {cu_ops.det_rate_sql('doc_id')} < 0.1 THEN 'val' "
+   f"WHEN {cu_ops.det_rate_sql('doc_id')} < 0.2 THEN 'test' "
+   "ELSE 'train' END AS split, CAST(COUNT(*) AS BIGINT) AS n "
+   "FROM documents GROUP BY split ORDER BY split")
+def x22(spark, cat):
+    """Growth-stable train/val/test assignment: a document's split
+    never changes as the corpus grows (det_rate over the key, not
+    rand()); oracle reproduces the exact assignment."""
+    out = cu_ops.assign_split(cat.documents, key_col="doc_id",
+                              val_frac=0.1, test_frac=0.1)
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("split"))
+
+
+@q("x23_segment_dedup",
+   "SELECT doc_id, array_to_string(list_filter(tk, (x, i) -> "
+   "list_position(tk, x) = i), ' ') AS text FROM "
+   "(SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') "
+   "AS tk FROM documents) ORDER BY doc_id")
+def x23(spark, cat):
+    """Order-preserving intra-document segment dedup at token
+    granularity (fixture docs are single-line): every repeat after the
+    first occurrence is dropped, text reassembled in original order —
+    certified segment-for-segment against the indexed-lambda oracle."""
+    out = cu_ops.dedup_segments(
+        rel_ops.ensure_min_parallelism(cat.documents), "text", sep=" ")
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+@q("x24_boilerplate_removal",
+   "WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), "
+   "x -> x != '') AS toks FROM documents), "
+   "e AS (SELECT doc_id, unnest(toks) AS seg, "
+   "unnest(generate_series(1, len(toks))) AS pos FROM tk), "
+   "freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY seg),"
+   " bad AS (SELECT seg FROM freq WHERE nd > FLOOR(0.7 * "
+   "(SELECT COUNT(*) FROM documents))), "
+   "keep AS (SELECT e.doc_id, e.seg, e.pos FROM e ANTI JOIN bad "
+   "USING (seg)), "
+   "reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text "
+   "FROM keep GROUP BY doc_id) "
+   "SELECT d.doc_id, COALESCE(reb.text, '') AS text "
+   "FROM (SELECT doc_id FROM documents) d LEFT JOIN reb USING (doc_id) "
+   "ORDER BY d.doc_id")
+def x24(spark, cat):
+    """Cross-document boilerplate removal: a segment (token here —
+    single-line fixtures) present in > 70% of documents is dropped
+    everywhere, remaining text reassembled in order; row count
+    preserved (all-boilerplate docs survive empty).  The 70% threshold
+    resolves to the same integer doc count on both engines (floor on
+    both sides)."""
+    docs = rel_ops.ensure_min_parallelism(cat.documents)
+    n_docs = cat.documents.count()
+    out = cu_ops.remove_boilerplate(docs, "text", "doc_id", sep=" ",
+                                    max_doc_count=int(0.7 * n_docs))
+    return out.orderBy("doc_id")

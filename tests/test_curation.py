@@ -1,0 +1,160 @@
+"""Unit tests: corpus-curation operators (PII, quality rules,
+repetition, decontamination, mixing/splitting, segment dedup,
+boilerplate removal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators import curation as cu
+
+DOCS = "doc_id long, text string"
+
+
+def test_redact_pii_all_kinds(rows):
+    df = rows([
+        (1, "mail bob.smith+x@example.co.uk now"),
+        (2, "card 1234-5678-9012-3456 and ssn 123-45-6789"),
+        (3, "call 25-989-741-2988 from 10.0.255.1"),
+        (4, "clean text stays put"),
+        (5, None),
+    ], DOCS)
+    out = {r["doc_id"]: r["text"]
+           for r in cu.redact_pii(df).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "card <CARD> and ssn <SSN>"
+    assert out[3] == "call <PHONE> from <IP>"
+    assert out[4] == "clean text stays put"
+    assert out[5] is None
+
+
+def test_redact_pii_kind_subset_and_out_col(rows):
+    df = rows([(1, "a@b.io at 1.2.3.4")], DOCS)
+    out = cu.redact_pii(df, kinds=["email"], out_col="clean").first()
+    assert out["clean"] == "<EMAIL> at 1.2.3.4"
+    assert out["text"] == "a@b.io at 1.2.3.4"  # original kept
+    with pytest.raises(ValueError):
+        cu.redact_pii(df, kinds=["email", "nope"])
+
+
+def test_quality_filter_reasons(rows):
+    df = rows([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "hi"),                       # too few tokens
+        (3, "!!!! ???? ,,,, ....1 ....2"),  # punct-heavy
+        (4, ""),
+    ], DOCS)
+    out = {r["doc_id"]: r for r in cu.quality_filter(
+        df, min_tokens=3, max_punct_ratio=0.2).collect()}
+    assert out[1]["qf_keep"] and out[1]["qf_reasons"] == []
+    assert "too_few_tokens" in out[2]["qf_reasons"]
+    assert "too_much_punct" in out[3]["qf_reasons"]
+    assert not out[4]["qf_keep"]
+
+
+def test_quality_filter_mean_word_len_excludes_separators(rows):
+    # 2 tokens of 4 chars + 1 space: mean = (9-1)/2 = 4.0
+    df = rows([(1, "abcd efgh")], DOCS)
+    out = cu.quality_filter(df, min_tokens=1,
+                            min_mean_word_len=4.0,
+                            max_mean_word_len=4.0).first()
+    assert out["qf_keep"], out["qf_reasons"]
+
+
+def test_repetition_features(rows):
+    df = rows([
+        (1, "a b\na b\nc d"),       # dup line "a b" ×2
+        (2, "x y\nz w"),            # no dups
+        (3, "t t t t"),             # top 2-gram "t t" = 3/3
+        (4, ""),
+    ], DOCS)
+    out = {r["doc_id"]: r for r in
+           cu.repetition_features(df).collect()}
+    assert out[1]["rep_dup_line_frac"] == pytest.approx(1 / 3)
+    # 6 of 9 line-chars sit in duplicated lines
+    assert out[1]["rep_dup_line_char_frac"] == pytest.approx(6 / 9)
+    assert out[2]["rep_dup_line_frac"] == 0.0
+    assert out[3]["rep_top_ngram_frac"] == pytest.approx(1.0)
+    assert out[4]["rep_top_ngram_frac"] == 0.0
+
+
+def test_contamination_check(rows):
+    docs = rows([
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+        (3, "ALPHA BETA something else"),   # case-insensitive hit
+    ], DOCS)
+    bench = rows([(100, "alpha beta overlap here")], DOCS)
+    out = {r["doc_id"]: r for r in cu.contamination_check(
+        docs, bench, n=2).collect()}
+    assert out[1]["contaminated"] and out[1]["n_matched"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_matched"] == 0
+    assert out[3]["contaminated"]
+
+
+def test_mix_domains_deterministic_and_weighted(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("code")
+        .alias("source"))
+    mixed = cu.mix_domains(df, {"web": 0.25, "code": 1.0})
+    counts = {r["source"]: r["n"] for r in mixed.groupBy("source")
+              .agg(F.count("*").alias("n")).collect()}
+    assert counts["code"] == 1000                 # rate 1.0 keeps all
+    assert 150 < counts["web"] < 350              # ~25% of 1000
+    # deterministic: same selection both runs
+    a = sorted(r["doc_id"] for r in mixed.collect())
+    b = sorted(r["doc_id"] for r in
+               cu.mix_domains(df, {"web": 0.25, "code": 1.0}).collect())
+    assert a == b
+    # unknown domain dropped by default
+    assert cu.mix_domains(df, {"web": 0.5}).where(
+        F.col("source") == "code").count() == 0
+    with pytest.raises(ValueError):
+        cu.mix_domains(df, {"web": 1.5})
+
+
+def test_assign_split_stable_under_growth(spark):
+    small = spark.range(500).select(F.col("id").alias("doc_id"))
+    big = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["split"] for r in cu.assign_split(
+        small, val_frac=0.2, test_frac=0.1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in cu.assign_split(
+        big, val_frac=0.2, test_frac=0.1).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # growth-stable
+    frac_val = sum(v == "val" for v in s2.values()) / 1000
+    assert 0.1 < frac_val < 0.3
+    assert {"train", "val", "test"} >= set(s2.values())
+    with pytest.raises(ValueError):
+        cu.assign_split(small, val_frac=0.8, test_frac=0.3)
+
+
+def test_dedup_segments_order_preserving(rows):
+    df = rows([
+        (1, "p1\n\np2\n\np1\n\np3"),
+        (2, "only"),
+        (3, ""),
+    ], DOCS)
+    out = {r["doc_id"]: r["text"] for r in
+           cu.dedup_segments(df, sep="\n\n").collect()}
+    assert out[1] == "p1\n\np2\n\np3"
+    assert out[2] == "only"
+    assert out[3] == ""
+
+
+def test_remove_boilerplate(rows):
+    footer = "(c) corp all rights reserved"
+    data = [(i, f"unique {i}\n\n{footer}") for i in range(6)]
+    data.append((100, footer))           # doc that is ONLY boilerplate
+    df = rows(data, DOCS)
+    out = {r["doc_id"]: r["text"] for r in cu.remove_boilerplate(
+        df, sep="\n\n", max_doc_count=3).collect()}
+    assert len(out) == 7                 # row count preserved
+    for i in range(6):
+        assert out[i] == f"unique {i}"
+    assert out[100] == ""
+    # below threshold: nothing removed
+    out2 = {r["doc_id"]: r["text"] for r in cu.remove_boilerplate(
+        df, sep="\n\n", max_doc_count=10).collect()}
+    assert out2[0] == f"unique 0\n\n{footer}"
