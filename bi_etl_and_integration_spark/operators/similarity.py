@@ -82,22 +82,91 @@ def with_l2_normalized(df: DataFrame, vec_col: str,
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     arrow: bool = True) -> DataFrame:
     """Exact cosine top-k per query.
 
-    ``queries`` (small) is broadcast against the full corpus; ranking
-    uses a per-query window.  Output: (query_id, vec_id, cosine_sim),
-    deterministic tie-break on neighbor id.
-    """
-    q = F.broadcast(queries.select(F.col(query_id_col),
-                                   F.col(vec_col).alias("__qv")))
-    scored = (corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-              .crossJoin(q)
-              .withColumn("cosine_sim",
-                          cosine_similarity(F.col("__cv"), F.col("__qv"))))
+    ``arrow=True`` (default, the scale path): the query set — small by
+    contract, it is the ANN probe batch — ships to every task in the
+    plan; ONE Arrow ``mapInPandas`` pass scores each corpus batch with
+    a single BLAS matmul and keeps a per-PARTITION top-k per query, so
+    only ``k × partitions`` candidate rows (not corpus × queries) reach
+    the final per-query ranking window.  The corpus itself never
+    shuffles — the old plan's Exchange of every scored row to one
+    reducer per query was the hidden 100 TB cliff.
+
+    ``arrow=False`` keeps the pure-expression form (interpreted HOF
+    dot per pair + full scored-row window): summation order matches
+    the sequential-fold oracle bit for bit — the audit path.
+
+    Output: (query_id, vec_id, cosine_sim, rank), deterministic
+    tie-break on neighbor id (both paths)."""
+    if not arrow:
+        q = F.broadcast(queries.select(F.col(query_id_col),
+                                       F.col(vec_col).alias("__qv")))
+        scored = (corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+                  .crossJoin(q)
+                  .withColumn("cosine_sim",
+                              cosine_similarity(F.col("__cv"),
+                                                F.col("__qv"))))
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cosine_sim").desc(), F.col(id_col))
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k)
+                .select(query_id_col, id_col, "cosine_sim",
+                        F.col("__rn").alias("rank")))
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+    # output keeps the INPUT id dtypes (schema parity with the old plan)
+    out_schema = StructType([
+        queries.schema[query_id_col],
+        corpus.schema[id_col],
+        StructField("cosine_sim", DoubleType(), True)])
+
+    def local_topk(batches):
+        # per-batch top-k kept, folded to per-partition top-k at the end
+        parts_s = [[] for _ in qids]
+        parts_i = [[] for _ in qids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            den = np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None] \
+                * qnorm[None, :]
+            sims = (c @ qmat.T) / den            # batch × nq
+            for j in range(len(qids)):
+                # sort by (-sim, id): deterministic k-boundary ties
+                order = np.lexsort((ids, -sims[:, j]))[:k]
+                parts_s[j].append(sims[order, j])
+                parts_i[j].append(ids[order])
+        import pandas as pd_
+        out_q, out_i, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            if parts_s[j]:
+                s = np.concatenate(parts_s[j])
+                i = np.concatenate(parts_i[j])
+                order = np.lexsort((i, -s))[:k]
+                out_s.append(s[order])
+                out_i.append(i[order])
+                out_q.extend([qid] * len(order))
+        if out_s:                      # empty partition: yield nothing
+            yield pd_.DataFrame({query_id_col: out_q,
+                                 id_col: np.concatenate(out_i),
+                                 "cosine_sim": np.concatenate(out_s)})
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        local_topk, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col))
-    return (scored.withColumn("__rn", F.row_number().over(w))
+    return (cand.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "cosine_sim",
                     F.col("__rn").alias("rank")))

@@ -2471,3 +2471,28 @@ def x24(spark, cat):
     out = cu_ops.remove_boilerplate(docs, "text", "doc_id", sep=" ",
                                     max_doc_count=int(0.7 * n_docs))
     return out.orderBy("doc_id")
+
+
+@q("x25_quality_classifier")  # rows-only: learned scores are
+def x25(spark, cat):          # optimizer/fp-order specific
+    """Learned quality scorer, the published bootstrap: label documents
+    with the RULE filter (x18's thresholds), fit a distributed MLlib
+    logistic regression on the numeric quality features, score the
+    whole corpus, report per-source acceptance.  Training is L-BFGS
+    over partial gradients (driver holds only coefficients); scoring
+    is a zero-shuffle narrow map."""
+    feats = tx_ops.quality_features(cat.documents)
+    labeled = cu_ops.quality_filter(
+        feats, "text", min_tokens=40, min_mean_word_len=3.8,
+        max_mean_word_len=4.4, max_punct_ratio=0.2,
+        min_stopword_ratio=0.05)
+    fcols = ["q_n_tokens", "q_mean_word_len", "q_punct_ratio",
+             "q_stopword_ratio"]
+    model = cu_ops.train_quality_scorer(labeled, "qf_keep", fcols,
+                                        max_iter=5)
+    scored = cu_ops.score_quality(labeled, model)
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("quality_score") >= 0.5, 1))
+                 .alias("n_keep"))
+            .orderBy("source"))

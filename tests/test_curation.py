@@ -158,3 +158,28 @@ def test_remove_boilerplate(rows):
     out2 = {r["doc_id"]: r["text"] for r in cu.remove_boilerplate(
         df, sep="\n\n", max_doc_count=10).collect()}
     assert out2[0] == f"unique 0\n\n{footer}"
+
+
+def test_quality_scorer_learns_rule_labels(spark):
+    from pyspark.sql import functions as F
+    # separable toy: long docs keep=1, short docs keep=0
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).alias("is_long"),
+        (F.when(F.col("id") % 2 == 1, 80.0).otherwise(3.0)
+         + (F.col("id") % 7).cast("double")).alias("q_n_tokens"),
+        F.lit(4.0).alias("q_mean_word_len"))
+    labeled = df.withColumn("keep", F.col("is_long") == 1)
+    model = cu.train_quality_scorer(
+        labeled, "keep", ["q_n_tokens", "q_mean_word_len"])
+    scored = cu.score_quality(labeled, model)
+    assert "quality_score" in scored.columns
+    rows = scored.select("is_long", "quality_score").collect()
+    for r in rows:   # separable by a wide margin -> confident scores
+        if r["is_long"] == 1:
+            assert r["quality_score"] > 0.8
+        else:
+            assert r["quality_score"] < 0.2
+    # scoring drops the ml intermediates
+    assert not {"__features", "probability", "rawPrediction",
+                "prediction"} & set(scored.columns)
