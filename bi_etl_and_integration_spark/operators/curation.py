@@ -405,11 +405,24 @@ def train_quality_scorer(df: DataFrame, label_col: str,
 def score_quality(df: DataFrame, model, *,
                   out_col: str = "quality_score") -> DataFrame:
     """Apply a :func:`train_quality_scorer` model: adds ``out_col`` =
-    P(keep) in [0,1].  Scoring is a narrow map (coefficients ship in
-    the plan via the model broadcast) — zero shuffle at any corpus
-    size; threshold/stratify downstream."""
-    from pyspark.ml.functions import vector_to_array
-    scored = model.transform(df)
-    return (scored.withColumn(
-        out_col, vector_to_array(F.col("probability"))[1])
-        .drop("__features", "rawPrediction", "probability", "prediction"))
+    P(keep) in [0,1].
+
+    The fitted coefficients are inlined into the plan as LITERALS and
+    the sigmoid is built from native expressions — the whole scoring
+    pass stays inside whole-stage codegen.  Deliberately NOT
+    ``model.transform``: MLlib's transform routes through a ScalaUDF
+    (interpreted vector assembly per row), and on this Spark build a
+    ScalaUDF planned after any ``Observation`` has been used on the
+    session captures the non-serializable ``ObservationManager`` in its
+    closure and the job dies with "Task not serializable" — the literal
+    plan is both immune and faster.  Zero shuffle at any corpus size.
+
+    NULL handling differs from VectorAssembler (which throws): a NULL
+    in any feature yields a NULL score — filter or impute upstream."""
+    asm, lrm = model.stages[0], model.stages[-1]
+    cols = list(asm.getInputCols())
+    coef = lrm.coefficients.toArray()
+    margin: Column = F.lit(float(lrm.intercept))
+    for c, w in zip(cols, coef):
+        margin = margin + F.col(c).cast("double") * float(w)
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))

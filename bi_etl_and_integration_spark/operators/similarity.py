@@ -10,6 +10,15 @@ BASELINE.json north star).
                       nearest centroid once (pre-partitionable), queries
                       probe the ``n_probe`` nearest centroid partitions
                       only — the 100 TB path (scan 1/nlist of corpus).
+  pq_encode/pq_topk   product quantization (Jégou et al., "Product
+                      Quantization for Nearest Neighbor Search", TPAMI
+                      2011): the corpus compresses to ``m`` one-byte
+                      codes per vector (dim·4 bytes → m bytes, 32× at
+                      dim 64 / m 8) and queries scan the CODES with a
+                      per-query lookup table — at 100 TB the scan reads
+                      the compressed column only, which is the
+                      difference between an IO-bound and a cache-
+                      resident ranking pass.
 """
 
 from __future__ import annotations
@@ -315,4 +324,158 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "cosine_sim",
+                    F.col("__rn").alias("rank")))
+
+
+def _pq_train(x, m: int, nbits: int, n_iter: int, seed: int):
+    """Driver-side PQ codebook training on a bounded sample: split the
+    dim into ``m`` contiguous subspaces, run Lloyd k-means with
+    ``2**nbits`` centroids in each.  Returns (m, ksub, dsub) float64.
+    Rows of ``x`` must already be L2-normalized when the downstream
+    metric is cosine (pq_topk does this)."""
+    import numpy as np
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ksub = 1 << nbits
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        if n <= ksub:
+            # degenerate sample: pad with repeats so argmin still works
+            cents = sub[rng.choice(n, size=ksub, replace=True)].copy()
+        else:
+            cents = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(max(0, n_iter)):
+            # nearest centroid by L2: argmax(2x·c - |c|²) — one BLAS gemm
+            d2 = 2.0 * (sub @ cents.T) - (cents * cents).sum(1)[None, :]
+            assign = np.argmax(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:                     # empty cell: reseed randomly
+                    cents[c] = sub[rng.integers(n)]
+        books[j] = cents
+    return books
+
+
+def pq_encode(corpus: DataFrame, books, *, vec_col: str = "embedding",
+              out_col: str = "pq_code", normalize: bool = True
+              ) -> DataFrame:
+    """Add the PQ code column: ``array<smallint>`` of ``m`` centroid
+    ids.  One Arrow batch = one gemm per subspace; narrow map, zero
+    shuffle.  ``normalize`` must match how the books were trained."""
+    import numpy as np
+    books = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    cc = [(books[j] * books[j]).sum(1) for j in range(m)]
+
+    @F.pandas_udf("array<smallint>")
+    def encode(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype="object")
+        x = np.stack(s.to_numpy()).astype(np.float64)
+        if normalize:
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-12)
+        codes = np.empty((len(x), m), dtype=np.int16)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            codes[:, j] = np.argmax(
+                2.0 * (sub @ books[j].T) - cc[j][None, :], axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", m: int = 8, nbits: int = 8,
+            seed: int = 42, train_iters: int = 8,
+            train_size: int | None = None) -> DataFrame:
+    """PQ approximate cosine top-k via asymmetric distance computation
+    (ADC): corpus vectors are L2-normalized and quantized to ``m``
+    byte codes; each query builds an (m × 2^nbits) table of
+    subspace dot products ONCE, and scoring a corpus row is ``m``
+    table lookups summed — no float vector is ever read in the scan.
+
+    Shape mirrors ``brute_force_topk``'s scale contract: the query set
+    is the small probe batch (ships to every task), the corpus never
+    shuffles, per-partition top-k bounds what reaches the final
+    ranking window to k × partitions rows.  At 100 TB the codes column
+    (m bytes/row) is what the scan reads — persist it once via
+    ``pq_encode`` and reuse across query batches.
+
+    Output: (query_id, vec_id, adc_score, rank) — adc_score
+    approximates the cosine; ties break on neighbor id."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    if train_size is None:
+        train_size = max((1 << nbits) * 32, 4096)
+    sample = (corpus.select(F.col(vec_col).alias("v"))
+              .limit(train_size).collect())
+    x = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    books = _pq_train(x, m, nbits, train_iters, seed)
+
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    dsub = qmat.shape[1] // m
+    # luts[q] : m × ksub — the whole ADC trick is that this is computed
+    # per QUERY, not per corpus row
+    luts = np.stack([
+        np.stack([qmat[qi, j * dsub:(j + 1) * dsub] @ books[j].T
+                  for j in range(m)])
+        for qi in range(len(qids))])
+
+    encoded = pq_encode(corpus, books, vec_col=vec_col)
+    out_schema = StructType([
+        queries.schema[query_id_col],
+        corpus.schema[id_col],
+        StructField("adc_score", DoubleType(), True)])
+    nq = len(qids)
+
+    def scan(batches):
+        import pandas as pd_
+        parts_s = [[] for _ in range(nq)]
+        parts_i = [[] for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            j_idx = np.arange(m)
+            for qi in range(nq):
+                scores = luts[qi][j_idx[None, :], codes].sum(axis=1)
+                order = np.lexsort((ids, -scores))[:k]
+                parts_s[qi].append(scores[order])
+                parts_i[qi].append(ids[order])
+        out_q, out_i, out_s = [], [], []
+        for qi in range(nq):
+            if parts_s[qi]:
+                s = np.concatenate(parts_s[qi])
+                i = np.concatenate(parts_i[qi])
+                order = np.lexsort((i, -s))[:k]
+                out_s.append(s[order])
+                out_i.append(i[order])
+                out_q.extend([qids[qi]] * len(order))
+        if out_s:
+            yield pd_.DataFrame({query_id_col: out_q,
+                                 id_col: np.concatenate(out_i),
+                                 "adc_score": np.concatenate(out_s)})
+
+    cand = encoded.select(F.col(id_col), "pq_code").mapInPandas(
+        scan, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "adc_score",
                     F.col("__rn").alias("rank")))

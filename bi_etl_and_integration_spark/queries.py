@@ -200,6 +200,30 @@ def q03b(spark, cat):
                    dec_round(F.sum("l_quantity")).alias("sq"))
 
 
+@q("q03c_excel_roundtrip",
+   "SELECT c_custkey, c_name, c_acctbal FROM customer "
+   "WHERE c_custkey <= 500 ORDER BY c_custkey")
+def q03c(spark, cat):
+    """Excel Source/Destination (PRO/Глава 05:31, Глава 13:30-36):
+    export the partner slice to one workbook — driver-side by design,
+    xlsx is a ≤1,048,576-row format — then read it back DISTRIBUTED
+    (binaryFile listing + stdlib zip/XML parse inside mapInPandas)
+    with explicit casts: the reference's documented Excel hazard is
+    the driver's first-rows type guessing, so every column parses as
+    string and the schema cast is an explicit step.  Bulk data takes
+    the convert-to-CSV path the reference itself prescribes (q02)."""
+    from bi_etl_and_integration_spark.sources.excel import (
+        read_excel, write_excel)
+    path = os.path.join(_stage_dir(cat.sf_dir, "excel"), "customer.xlsx")
+    dim = (cat.customer.where(F.col("c_custkey") <= 500)
+           .select("c_custkey", "c_name", "c_acctbal"))
+    write_excel(dim.orderBy("c_custkey"), path)
+    back = read_excel(
+        spark, path,
+        schema="c_custkey bigint, c_name string, c_acctbal double")
+    return back.orderBy("c_custkey")
+
+
 @q("q04_json_extract",
    "SELECT event_id, json_extract_string(props,'$.k') AS k "
    "FROM events ORDER BY event_id")
@@ -2028,6 +2052,18 @@ def x06(spark, cat):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return sim_ops.ivf_topk(cat.embeddings, queries, k=5, nlist=8,
                             n_probe=3)
+
+
+@q("x06b_ann_pq")  # rows-only (quantized, approximate by construction)
+def x06b(spark, cat):
+    """Product-quantization ANN (Jégou et al. 2011): corpus compressed
+    to 8 one-byte codes per 64-dim vector (32×), queries rank via ADC
+    lookup tables over the codes column only — the IO shape that makes
+    a 100 TB embedding scan cache-resident.  Exactness is checked
+    against brute_force_topk in tests/test_similarity.py."""
+    queries = (cat.embeddings.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim_ops.pq_topk(cat.embeddings, queries, k=5, m=8, nbits=6)
 
 
 @q("x07_text_tokens",

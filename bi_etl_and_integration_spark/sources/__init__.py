@@ -1,3 +1,7 @@
+from bi_etl_and_integration_spark.sources.excel import (
+    read_excel,
+    write_excel,
+)
 from bi_etl_and_integration_spark.sources.readers import (
     Catalog,
     read_csv,
@@ -21,6 +25,8 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_jdbc",
+    "read_excel",
+    "write_excel",
     "write_csv",
     "write_parquet",
     "staged_roundtrip",

@@ -183,3 +183,24 @@ def test_quality_scorer_learns_rule_labels(spark):
     # scoring drops the ml intermediates
     assert not {"__features", "probability", "rawPrediction",
                 "prediction"} & set(scored.columns)
+
+
+def test_score_quality_survives_prior_observation(spark):
+    """Regression: on this Spark build, a ScalaUDF planned after any
+    Observation has been used captures the session's non-serializable
+    ObservationManager ("Task not serializable").  score_quality must
+    stay UDF-free so scoring works in sessions that already ran
+    observe-based row counts (cleanse.row_count)."""
+    from pyspark.sql import functions as F
+
+    from bi_etl_and_integration_spark.operators import cleanse as cl
+    base = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("double").alias("keep"),
+        (F.col("id") % 2 * 100 + 1).cast("double").alias("f1"))
+    observed, obs = cl.row_count(base, "n_seen")
+    observed.collect()
+    assert obs.get["n_seen"] == 50
+    model = cu.train_quality_scorer(base, "keep", ["f1"])
+    scored = cu.score_quality(base, model)
+    assert scored.where(F.col("quality_score").isNull()).count() == 0

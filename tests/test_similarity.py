@@ -118,3 +118,75 @@ def test_ivf_trained_recall_vs_brute_force(rows):
                            train_iters=8).collect()}
     hits = sum(1 for q in exact if approx.get(q) == exact[q])
     assert hits == len(exact)
+
+
+def test_pq_encode_shape_and_range(rows):
+    import random as rnd
+    r = rnd.Random(7)
+    corpus = rows([(i, [r.gauss(0, 1) for _ in range(16)])
+                   for i in range(64)], EMB)
+    import numpy as np
+    x = np.asarray([row["embedding"] for row in corpus.collect()],
+                   dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    books = sim._pq_train(x, m=4, nbits=4, n_iter=3, seed=1)
+    assert books.shape == (4, 16, 4)
+    out = sim.pq_encode(corpus, books).collect()
+    for row in out:
+        code = row["pq_code"]
+        assert len(code) == 4
+        assert all(0 <= c < 16 for c in code)
+
+
+def test_pq_train_rejects_bad_m():
+    import numpy as np
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        sim._pq_train(np.zeros((10, 10)), m=3, nbits=2, n_iter=1, seed=0)
+
+
+def test_pq_topk_recovers_clusters(rows):
+    """Four well-separated clusters: every PQ neighbor of a query must
+    come from the query's own cluster, and the planted exact twin must
+    rank first (deterministic for the fixed seed)."""
+    import random as rnd
+    r = rnd.Random(3)
+    dim, per = 16, 25
+    centers = []
+    for c in range(4):
+        v = [0.0] * dim
+        v[c * 4] = 10.0
+        centers.append(v)
+    data = []
+    for c, ctr in enumerate(centers):
+        for i in range(per):
+            data.append((c * per + i,
+                         [x + r.gauss(0, 0.05) for x in ctr]))
+    corpus = rows(data, EMB)
+    queries = rows([(c, centers[c]) for c in range(4)],
+                   "query_id long, embedding array<float>")
+    out = sim.pq_topk(corpus, queries, k=5, m=4, nbits=4,
+                      train_size=100).collect()
+    assert len(out) == 20
+    for row in out:
+        assert row["vec_id"] // per == row["query_id"], row
+
+
+def test_pq_topk_recall_vs_brute_force(rows):
+    """Recall@5 against the exact ranking on smooth structured data —
+    deterministic given the fixed seeds; PQ with 8 bits/subspace on a
+    curve this smooth should be near-exact."""
+    import math as m_
+    corpus = rows([(i, [m_.cos(i / 7.0 + j) for j in range(16)])
+                   for i in range(120)], EMB)
+    queries = rows([(q, [m_.cos(q * 13 / 7.0 + j) for j in range(16)])
+                    for q in range(3)],
+                   "query_id long, embedding array<float>")
+    exact = sim.brute_force_topk(corpus, queries, k=5).collect()
+    approx = sim.pq_topk(corpus, queries, k=5, m=4, nbits=8,
+                         train_size=120).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = sum(1 for r in approx if r["vec_id"] in exact_sets[r["query_id"]])
+    assert hit / len(approx) >= 0.6, hit
