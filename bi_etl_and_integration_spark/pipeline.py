@@ -273,6 +273,15 @@ def from_spec(spec: Mapping) -> Pipeline:
                 return ctx.spark.sql(_re.sub(r"\{(\w+)\}", view, _q))
         elif "write" in st:
             def fn(ctx, _c=dict(st["write"]), _in=st["input"]):
+                if _c.get("format") == "snapshot":
+                    # transactional manifest commit (multi-writer-safe
+                    # where exclusive create is atomic) instead of the
+                    # single-writer dir swap
+                    from bi_etl_and_integration_spark.sources.snapshots \
+                        import snapshot_write
+                    return snapshot_write(
+                        ctx.spark, ctx[_in], _c["path"],
+                        mode=_c.get("mode", "overwrite"))
                 return checkpointed_write(ctx[_in], _c["path"],
                                           fmt=_c.get("format", "parquet"))
         else:

@@ -2,6 +2,11 @@ from bi_etl_and_integration_spark.sources.excel import (
     read_excel,
     write_excel,
 )
+from bi_etl_and_integration_spark.sources.snapshots import (
+    SnapshotTable,
+    snapshot_read,
+    snapshot_write,
+)
 from bi_etl_and_integration_spark.sources.readers import (
     Catalog,
     read_csv,
@@ -27,6 +32,9 @@ __all__ = [
     "read_jdbc",
     "read_excel",
     "write_excel",
+    "SnapshotTable",
+    "snapshot_read",
+    "snapshot_write",
     "write_csv",
     "write_parquet",
     "staged_roundtrip",

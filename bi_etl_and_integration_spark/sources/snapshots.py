@@ -1,0 +1,236 @@
+"""Snapshot table: a minimal transactional table format on plain
+parquet — the lakehouse-lite replacement for the temp-dir-swap publish
+protocol (``pipeline.checkpointed_write``), built because no
+Delta/Iceberg package exists in this environment (ROADMAP round-2
+re-check) and the pattern itself is public (Delta's _delta_log /
+Iceberg's metadata tree reduced to essentials).
+
+Layout::
+
+    table/
+      data/<commit-uuid>/part-*.parquet    immutable, write-once
+      _manifests/v0000000001.json          the commit log
+
+A *manifest* lists the exact data files of one table version plus the
+schema DDL.  The COMMIT is the atomic exclusive creation of the next
+``v{N}.json`` (``O_CREAT|O_EXCL``): exactly one writer can create a
+given version, so concurrent writers serialize by retrying against the
+new latest — optimistic concurrency, no lock server.  Readers list the
+manifest dir, pick the highest version, and read exactly the files it
+names — they never see a half-written commit because data files are
+written BEFORE the manifest that references them and are never
+modified after.
+
+Guarantees and their boundaries (stated, not implied):
+  - Atomic visibility + snapshot isolation: yes, on any filesystem
+    with atomic exclusive create (POSIX local, NFSv4, HDFS).  S3 has
+    no atomic create-if-absent — same boundary Delta has without a
+    coordinating LogStore; front it with one writer or a lock there.
+  - Appends from concurrent writers: both survive (retry re-reads the
+    latest parent).  Concurrent overwrite+append: last committed wins
+    deterministically by version order — the append retries onto the
+    overwrite's files.
+  - Time travel: any retained version is readable; ``rollback`` is a
+    NEW commit pointing at the old file list (history is never
+    rewritten).  ``vacuum`` deletes data unreferenced by the retained
+    tail, after which older versions are gone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_DIR = "_manifests"
+_PAD = 10
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version we raced for (surfaced only
+    after ``max_retries`` exhausted)."""
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFEST_DIR,
+                        f"v{version:0{_PAD}d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    d = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as fh:
+        return json.load(fh)
+
+
+class SnapshotTable:
+    """Handle on one snapshot table directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------ read
+
+    def versions(self) -> list[int]:
+        return _list_versions(self.path)
+
+    def latest_version(self) -> int | None:
+        v = _list_versions(self.path)
+        return v[-1] if v else None
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version/operation/ts/n_files."""
+        out = []
+        for v in _list_versions(self.path):
+            m = _read_manifest(self.path, v)
+            out.append({"version": v, "operation": m["operation"],
+                        "ts": m["ts"], "n_files": len(m["files"])})
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read.  ``version=None`` → latest.  The file list is
+        pinned at manifest-read time: a commit that lands after this
+        call does not change what this DataFrame scans (snapshot
+        isolation) — except that ``vacuum`` may delete files of
+        versions older than its retention tail."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(
+                    f"{self.path} has no committed version")
+        m = _read_manifest(self.path, version)
+        schema = T.StructType.fromDDL(m["schema"])
+        files = [os.path.join(self.path, f) for f in m["files"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema: the manifest is the source of truth, not
+        # whichever file's footer gets sampled first
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # ----------------------------------------------------------- write
+
+    def write(self, df: DataFrame, mode: str = "overwrite", *,
+              max_retries: int = 20) -> int:
+        """Commit ``df`` as the next version.  ``mode``: ``overwrite``
+        replaces the file list, ``append`` extends the parent's.
+        Returns the committed version number.
+
+        Data files land under an unborn commit-uuid dir first; the
+        manifest create is the only visibility switch, so a crash
+        before it leaves invisible garbage (reclaimed by ``vacuum``),
+        never a torn table."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite/append, got {mode!r}")
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.path, "data", commit_id)
+        df.write.mode("errorifexists").parquet(data_dir)
+        new_files = [
+            os.path.join("data", commit_id, f)
+            for f in sorted(os.listdir(data_dir))
+            if f.endswith(".parquet")]
+        ddl = ",".join(f.name + " " + f.dataType.simpleString()
+                       for f in df.schema.fields)
+        os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
+
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            files = list(new_files)
+            if mode == "append" and parent is not None:
+                pm = _read_manifest(self.path, parent)
+                if pm["schema"] != ddl:
+                    raise ValueError(
+                        "append schema mismatch: table has "
+                        f"[{pm['schema']}], appending [{ddl}] — "
+                        "overwrite to change schema")
+                files = pm["files"] + files
+            version = (parent or 0) + 1
+            manifest = {"version": version, "parent": parent,
+                        "operation": mode, "files": files,
+                        "schema": ddl, "ts": time.time(),
+                        "commit_id": commit_id}
+            target = _manifest_path(self.path, version)
+            try:
+                # O_EXCL create IS the commit: exactly one writer wins v
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue                     # lost the race: re-parent
+            with os.fdopen(fd, "w") as fh:
+                json.dump(manifest, fh)
+            return version
+        raise CommitConflict(
+            f"{self.path}: lost the commit race {max_retries} times")
+
+    def rollback(self, to_version: int) -> int:
+        """Restore an old version's file list as a NEW commit (history
+        stays append-only, like Delta RESTORE)."""
+        m = _read_manifest(self.path, to_version)
+        latest = self.latest_version()
+        version = (latest or 0) + 1
+        manifest = {"version": version, "parent": latest,
+                    "operation": f"rollback({to_version})",
+                    "files": m["files"], "schema": m["schema"],
+                    "ts": time.time(), "commit_id": m.get("commit_id")}
+        target = _manifest_path(self.path, version)
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return version
+
+    # --------------------------------------------------------- vacuum
+
+    def vacuum(self, *, keep_last: int = 2) -> list[str]:
+        """Delete data files referenced ONLY by versions older than the
+        ``keep_last`` newest (plus orphans from crashed writes).
+        Returns deleted paths.  After vacuum, ``read(version=old)``
+        fails for pruned versions — retention is the time-travel
+        horizon, exactly the Delta VACUUM contract."""
+        versions = _list_versions(self.path)
+        if not versions:
+            return []
+        keep = set()
+        for v in versions[-keep_last:]:
+            keep.update(_read_manifest(self.path, v)["files"])
+        keep_dirs = {f.split(os.sep)[1] for f in keep}
+        data_root = os.path.join(self.path, "data")
+        deleted = []
+        import shutil
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                if d not in keep_dirs:
+                    full = os.path.join(data_root, d)
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(full)
+        for v in versions[:-keep_last] if keep_last else versions:
+            m = _read_manifest(self.path, v)
+            if any(f.split(os.sep)[1] not in keep_dirs
+                   for f in m["files"]):
+                os.remove(_manifest_path(self.path, v))
+        return deleted
+
+
+def snapshot_write(spark: SparkSession, df: DataFrame, path: str, *,
+                   mode: str = "overwrite") -> int:
+    """One-shot convenience over :class:`SnapshotTable`."""
+    return SnapshotTable(spark, path).write(df, mode)
+
+
+def snapshot_read(spark: SparkSession, path: str,
+                  version: int | None = None) -> DataFrame:
+    return SnapshotTable(spark, path).read(version)

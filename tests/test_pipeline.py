@@ -333,3 +333,24 @@ def test_parallel_spark_stages_produce_correct_results(spark):
 
     ctx = p.run(spark, max_parallel=2)
     assert ctx.results["total"] == sum(range(10_000))
+
+
+def test_from_spec_snapshot_write(spark, tmp_path):
+    """write stage with format: snapshot commits through SnapshotTable
+    (append mode accumulates versions)."""
+    from bi_etl_and_integration_spark.pipeline import from_spec
+    from bi_etl_and_integration_spark.sources.snapshots import (
+        SnapshotTable)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,), (2,)], "k int").write.parquet(src)
+    dst = str(tmp_path / "snap")
+    spec = {"name": "p", "stages": [
+        {"name": "load", "read": {"format": "parquet", "path": src}},
+        {"name": "out", "input": "load", "depends_on": ["load"],
+         "write": {"path": dst, "format": "snapshot", "mode": "append"}}]}
+    from_spec(spec).run(spark)
+    from_spec(spec).run(spark)
+    t = SnapshotTable(spark, dst)
+    assert t.latest_version() == 2
+    assert t.read().count() == 4          # two appended commits
+    assert t.read(1).count() == 2         # time travel to the first
