@@ -207,3 +207,32 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
               for c in compare_cols]
     return (j.where(old_key.isNull() | new_key.isNull() | differs)
             .select(*out_keys, op.alias(op_col), *images))
+
+
+def apply_changes_transactional(table, changes: DataFrame,
+                                keys: Sequence[str], offset_col: str,
+                                op_col: str = "op",
+                                payload_cols: Sequence[str] | None = None,
+                                tiebreak: Sequence[Column] | None = None
+                                ) -> int:
+    """:func:`apply_changes` committed into a ``SnapshotTable``: one
+    CDC batch == one table version.  Readers of the previous version
+    are never disturbed mid-apply (the manifest create is the only
+    visibility switch), each batch is auditable in ``history()``, and
+    a bad batch reverts with ``rollback`` — the transactional target
+    the reference's staged-apply pattern assumes the warehouse
+    provides (PRACT/004:342-362), built on the engine's own commit
+    log.  Returns the committed version.
+
+    An empty table (no committed version yet) bootstraps from the
+    change stream's insert images alone."""
+    try:
+        target = table.read()
+    except FileNotFoundError:
+        payload = list(payload_cols or
+                       [c for c in changes.columns
+                        if c not in (*keys, op_col, offset_col)])
+        target = changes.select(*keys, *payload).limit(0)
+    merged = apply_changes(target, changes, keys, offset_col,
+                           op_col, payload_cols, tiebreak)
+    return table.write(merged, "overwrite")

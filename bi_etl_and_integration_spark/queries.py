@@ -1534,6 +1534,45 @@ def q38b(spark, cat):
 
 
 
+@q("q38d_cdc_transactional",
+   "WITH ch AS (SELECT user_id AS c_custkey, value, "
+   "CASE WHEN event_id % 10 = 0 THEN 1 WHEN event_id % 2 = 0 THEN 2 "
+   "ELSE 4 END AS op, ROW_NUMBER() OVER (PARTITION BY user_id "
+   "ORDER BY event_id DESC) AS rn FROM events), "
+   "net AS (SELECT c_custkey, value, op FROM ch WHERE rn = 1) "
+   f"SELECT c.c_custkey, {R('c.c_acctbal')} AS bal FROM customer c "
+   "WHERE NOT EXISTS (SELECT 1 FROM net n WHERE n.c_custkey = c.c_custkey) "
+   f"UNION ALL SELECT n.c_custkey, {R('n.value')} AS bal FROM net n "
+   "WHERE n.op <> 1 ORDER BY c_custkey")
+def q38d(spark, cat):
+    """q38b's CDC apply committed TRANSACTIONALLY: bootstrap the
+    snapshot table from the customer dim (overwrite commit), apply the
+    event-derived change batch as a second commit
+    (apply_changes_transactional), and answer from the committed
+    latest version — the read goes through the manifest, so a
+    concurrent reader mid-apply would still see the bootstrap
+    version.  Result must equal the plain in-plan apply (same oracle
+    as q38b)."""
+    from bi_etl_and_integration_spark.operators.cdc import (
+        apply_changes_transactional)
+    from bi_etl_and_integration_spark.sources.snapshots import (
+        SnapshotTable)
+    t = SnapshotTable(spark, _stage_dir(cat.sf_dir, "cdc_snap"))
+    target = cat.customer.select("c_custkey",
+                                 dec_round("c_acctbal").alias("bal"))
+    t.write(target, "overwrite")
+    op = (F.when(F.col("event_id") % 10 == 0, F.lit(1))
+          .when(F.col("event_id") % 2 == 0, F.lit(2))
+          .otherwise(F.lit(4)))
+    changes = cat.events.select(
+        F.col("user_id").alias("c_custkey"),
+        dec_round("value").alias("bal"),
+        F.col("event_id").alias("lsn"), op.alias("op"))
+    apply_changes_transactional(t, changes, ["c_custkey"], "lsn")
+    t.vacuum(keep_last=4)
+    return t.read().orderBy("c_custkey")
+
+
 #: q48/q38c shared fixture: the "migrated copy with defects" —
 #: every 13th key dropped, every 7th acctbal perturbed, every 31st
 #: re-keyed.  ONE definition each for the DataFrame build and the

@@ -87,3 +87,29 @@ def incremental_cdc_run(spark: SparkSession, *, changes: DataFrame,
     apply_fn(applied)
     state_store.commit(state_name, end)
     return applied
+
+
+def foreach_batch_upsert_snapshot(stream_df: DataFrame, *,
+                                  table_path: str, keys: Sequence[str],
+                                  offset_col: str, checkpoint_dir: str,
+                                  op_col: str = "op"):
+    """``foreach_batch_upsert`` with a transactional target: each
+    micro-batch MERGE lands as one SnapshotTable commit instead of the
+    rmtree+rename swap — concurrent readers keep the previous version
+    (no visibility gap, which the plain-parquet sink cannot avoid),
+    a crash mid-batch leaves only invisible data files (the streaming
+    checkpoint replays the batch; the apply is idempotent so the
+    retry converges), and the batch history is auditable per epoch."""
+    from bi_etl_and_integration_spark.operators.cdc import (
+        apply_changes_transactional)
+    from bi_etl_and_integration_spark.sources.snapshots import (
+        SnapshotTable)
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        table = SnapshotTable(batch.sparkSession, table_path)
+        apply_changes_transactional(table, batch, keys, offset_col,
+                                    op_col)
+
+    return (stream_df.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update"))
