@@ -426,3 +426,55 @@ def score_quality(df: DataFrame, model, *,
     for c, w in zip(cols, coef):
         margin = margin + F.col(c).cast("double") * float(w)
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+
+
+#: query params that identify a CLICK, not a resource — the strip list
+#: every published web-corpus pipeline applies before URL dedup
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid",
+                   "ref", "igshid")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL form for web-corpus deduplication — pure
+    expressions (codegen, zero shuffle):
+
+      - scheme + host lowercased; default ports (:80 http, :443 https)
+        dropped, explicit others kept;
+      - fragment dropped (never reaches the server);
+      - tracking params (``TRACKING_PARAMS`` prefixes) removed, the
+        surviving params SORTED (param order is transport noise);
+      - empty path → ``/``, trailing slash trimmed elsewhere.
+
+    Malformed URLs (no ``scheme://host``) canonicalize to NULL so the
+    dedup groupBy quarantines them in one bucket rather than
+    fabricating false matches."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^(\w+)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^\w+://([^/:?#]+)", 1))
+    port = F.regexp_extract(u, r"^\w+://[^/:?#]+:(\d+)", 1)
+    default = ((scheme == "http") & (port == "80")) | \
+        ((scheme == "https") & (port == "443"))
+    port_part = F.when((port == "") | default, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(u, r"^\w+://[^/?#]+([^?#]*)", 1)
+    # trim trailing slashes, then restore the bare root form
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~_is_tracking(p)))
+    qpart = F.when(F.size(keep) > 0,
+                   F.concat(F.lit("?"), F.array_join(keep, "&"))) \
+        .otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
+    return F.when((scheme == "") | (host == ""), F.lit(None)) \
+        .otherwise(canon)
+
+
+def _is_tracking(p: Column) -> Column:
+    cond = None
+    for t in TRACKING_PARAMS:
+        c = p.startswith(t)
+        cond = c if cond is None else (cond | c)
+    return cond

@@ -208,3 +208,61 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     hash; content-identical docs collide by construction."""
     normalized = F.array_join(tokenize(text_col), " ")
     return df.withColumn(out_col, F.xxhash64(normalized))
+
+
+def bm25_rank(docs: DataFrame, query_terms: list[str], *,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75,
+              topk: int | None = None) -> DataFrame:
+    """BM25 full-text relevance ranking (Robertson/Spärck Jones; the
+    Okapi formula as published), as one declarative plan:
+
+      1. per-doc token length — narrow projection (size of the split
+         array, no explode);
+      2. corpus stats (N, avg doclen) — one tiny aggregate,
+         cross-joined back as a broadcast scalar row;
+      3. explode ONLY rows that can match (pre-filter: text contains
+         any query term) and keep exploded terms ∈ query — at 100 TB
+         the explode's row blow-up is bounded by matches × terms, not
+         corpus × doclen;
+      4. tf per (doc, term) and df per term (broadcast — at most
+         |query| rows), then the BM25 sum per doc.
+
+    IDF uses the +1 smoothing form ``ln(1 + (N-df+.5)/(df+.5))`` so
+    scores stay positive.  Returns (id, bm25_score) — ``topk`` caps
+    output via TakeOrdered; ties at the boundary break on id."""
+    if not query_terms:
+        raise ValueError("query_terms is empty")
+    terms = [t.lower() for t in query_terms]
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    with_len = docs.select(F.col(id_col), F.col(text_col),
+                           F.size(toks).alias("__dl"))
+    stats = with_len.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"))
+    any_term = None
+    for t in terms:
+        c = F.array_contains(F.split(F.lower(F.col(text_col)), " "), t)
+        any_term = c if any_term is None else (any_term | c)
+    exploded = (with_len.where(any_term)
+                .select(F.col(id_col), F.col("__dl"),
+                        F.explode(toks).alias("__term"))
+                .where(F.col("__term").isin(terms)))
+    tf = (exploded.groupBy(id_col, "__dl", "__term")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    dfreq = (tf.groupBy("__term")
+             .agg(F.count(F.lit(1)).alias("__df")))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    denom = (F.col("__tf")
+             + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    contrib = idf * F.col("__tf") * (k1 + 1.0) / denom
+    scored = (tf.join(F.broadcast(dfreq), "__term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(F.sum(contrib).alias("bm25_score")))
+    if topk is not None:
+        return scored.orderBy(F.col("bm25_score").desc(),
+                              F.col(id_col)).limit(topk)
+    return scored

@@ -2138,6 +2138,65 @@ def x06b(spark, cat):
     return sim_ops.pq_topk(cat.embeddings, queries, k=5, m=8, nbits=6)
 
 
+@q("x26_bm25_search",
+   "WITH dl AS (SELECT doc_id, len(list_filter(string_split(lower(text)"
+   ",' '), x -> x != '')) AS dl FROM documents), "
+   "ex AS (SELECT doc_id, unnest(list_filter(string_split(lower(text)"
+   ",' '), x -> x != '')) AS term FROM documents), "
+   "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex "
+   "WHERE term IN ('spark','merge','window') GROUP BY 1, 2), "
+   "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl), "
+   "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) "
+   "SELECT t.doc_id, "
+   f"""{R("SUM(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * t.tf * 2.2 /"
+          " (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))")} """
+   "AS bm25_score FROM tf t JOIN dfq d USING(term) "
+   "JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s "
+   "GROUP BY t.doc_id ORDER BY t.doc_id")
+def x26(spark, cat):
+    """BM25 full-text relevance (Okapi formula) as one declarative
+    plan: pre-filtered explode (only docs containing a query term),
+    tf groupBy, |query|-row broadcast df join, corpus stats as a
+    broadcast scalar — the oracle recomputes the published formula
+    independently in SQL.  Scores for every matching doc, doc order
+    (top-k ordering at 2-dp rounding is oracle-hostile; topk= is the
+    production path)."""
+    out = tx_ops.bm25_rank(cat.documents, ["spark", "merge", "window"])
+    return (out.select("doc_id",
+                       dec_round("bm25_score").alias("bm25_score"))
+            .orderBy("doc_id"))
+
+
+@q("x27_url_dedup",
+   "SELECT 'https://' || source || '.example.com/docs/' || "
+   "CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR)"
+   " AS curl, CAST(COUNT(*) AS BIGINT) AS n_docs "
+   "FROM documents GROUP BY 1 ORDER BY 1")
+def x27(spark, cat):
+    """Canonical-URL grouping for web-corpus dedup: documents are given
+    synthetic click-tracked URLs (mixed case, default port, utm params,
+    fragments — the transport noise real crawls carry), canonicalized
+    with the pure-expression normalizer, and grouped.  The oracle
+    derives the expected canonical form INDEPENDENTLY from the
+    construction rule, so a normalizer regression (dropped param sort,
+    kept fragment, ...) hash-fails rather than agreeing with itself."""
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper("source"),
+        F.lit(".Example.com:443/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=x&id="),
+                        (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.concat(F.lit("?id="),
+                            (F.col("doc_id") % 7).cast("string"))),
+        F.lit("#sec"))
+    return (cat.documents.select(
+        cu_ops.canonicalize_url(messy).alias("curl"))
+        .groupBy("curl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("curl"))
+
+
 @q("x07_text_tokens",
    "SELECT doc_id, len(list_filter(STRING_SPLIT(text,' '), x -> x != '')) "
    "AS n_tokens FROM documents ORDER BY doc_id")

@@ -204,3 +204,36 @@ def test_score_quality_survives_prior_observation(spark):
     model = cu.train_quality_scorer(base, "keep", ["f1"])
     scored = cu.score_quality(base, model)
     assert scored.where(F.col("quality_score").isNull()).count() == 0
+
+
+def test_canonicalize_url(rows):
+    from pyspark.sql import functions as F
+    cases = [
+        ("HTTPS://Example.COM:443/a/b/?utm_source=x&id=2&ref=t#frag",
+         "https://example.com/a/b?id=2"),
+        ("http://Host.org:8080/x", "http://host.org:8080/x"),
+        ("http://host.org:80/", "http://host.org/"),
+        ("https://h.io", "https://h.io/"),
+        ("https://h.io/p?b=2&a=1", "https://h.io/p?a=1&b=2"),
+        ("not a url", None),
+    ]
+    df = rows([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(
+        cu.canonicalize_url("url").alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_url_dedup_composition(rows):
+    """Canonical-URL dedup: the same resource under click-tracking
+    variants collapses to one group."""
+    from pyspark.sql import functions as F
+    df = rows([
+        (1, "https://a.com/p?utm_source=tw"),
+        (2, "https://A.com:443/p"),
+        (3, "https://a.com/p/"),
+        (4, "https://a.com/q"),
+    ], "doc_id int, url string")
+    canon = df.withColumn("curl", cu.canonicalize_url("url"))
+    groups = canon.groupBy("curl").count().collect()
+    got = {r["curl"]: r["count"] for r in groups}
+    assert got == {"https://a.com/p": 3, "https://a.com/q": 1}

@@ -99,3 +99,37 @@ def test_pack_sequences_budget_invariants(rows):
     assert len(big) == n_chunks
     with pytest.raises(ValueError):
         tx.pack_sequences(chunks, "n_tokens", budget=0)
+
+
+def test_bm25_rank_orders_by_relevance(rows):
+    from bi_etl_and_integration_spark.operators import text as tx
+    docs = rows([
+        (1, "spark spark spark join"),          # tf=3, short
+        (2, "spark join merge sort filter agg window scan row batch"),
+        (3, "merge sort filter"),               # no query term
+        (4, "spark"),                           # tf=1 but shortest
+    ], "doc_id int, text string")
+    out = tx.bm25_rank(docs, ["spark"]).collect()
+    scores = {r["doc_id"]: r["bm25_score"] for r in out}
+    assert set(scores) == {1, 2, 4}             # doc 3 never matches
+    assert scores[1] > scores[4] > scores[2]    # tf dominates, len norm
+    top1 = tx.bm25_rank(docs, ["spark"], topk=1).collect()
+    assert [r["doc_id"] for r in top1] == [1]
+
+
+def test_bm25_multi_term_and_idf(rows):
+    from bi_etl_and_integration_spark.operators import text as tx
+    # 'rare' appears in 1 of 4 docs, 'common' in 3 of 4 — idf must
+    # weight the rare term higher at equal tf
+    docs = rows([
+        (1, "rare alpha beta"),
+        (2, "common alpha beta"),
+        (3, "common gamma delta"),
+        (4, "common epsilon zeta"),
+    ], "doc_id int, text string")
+    out = {r["doc_id"]: r["bm25_score"]
+           for r in tx.bm25_rank(docs, ["rare", "common"]).collect()}
+    assert out[1] > max(out[2], out[3], out[4])
+    import pytest
+    with pytest.raises(ValueError, match="empty"):
+        tx.bm25_rank(docs, [])
