@@ -79,6 +79,91 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _entry_path(entry) -> str:
+    """Manifest file entry -> relative path (v1 manifests stored bare
+    strings; v2 stores {path, rows, stats})."""
+    return entry if isinstance(entry, str) else entry["path"]
+
+
+def _stat_value(v):
+    """Normalize a parquet footer min/max to a JSON-stable, ordered
+    value.  Dates/timestamps become ISO strings — lexicographic order
+    == chronological order for ISO-8601, so pruning stays correct."""
+    import datetime
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(full_path: str) -> tuple[int, dict]:
+    """(row_count, {col: [min, max]}) from the parquet footer — only
+    top-level columns whose every row group carries min/max stats.
+    Cost: one footer read per NEW file of this commit (bounded by one
+    write's output, never the whole table)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(full_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            col = rgm.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                dead.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    stats = {c: [mins[c], maxs[c]] for c in mins if c not in dead}
+    return md.num_rows, stats
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _may_match(entry, predicates) -> bool:
+    """False only when the file's stats PROVE no row satisfies every
+    predicate — missing stats always read (pruning is an optimization,
+    never a correctness gate)."""
+    if not predicates or isinstance(entry, str):
+        return True
+    stats = entry.get("stats") or {}
+    for col, op, val in predicates:
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        # only same-kind comparisons are meaningful; mixed types read
+        num = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if num != isinstance(lo, (int, float)):
+            continue
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op == ">" and not hi > val:
+            return False
+        if op == ">=" and not hi >= val:
+            return False
+        if op == "<" and not lo < val:
+            return False
+        if op == "<=" and not lo <= val:
+            return False
+    return True
+
+
 class SnapshotTable:
     """Handle on one snapshot table directory."""
 
@@ -104,25 +189,55 @@ class SnapshotTable:
                         "ts": m["ts"], "n_files": len(m["files"])})
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, *,
+             prune: list[tuple] | None = None) -> DataFrame:
         """Snapshot read.  ``version=None`` → latest.  The file list is
         pinned at manifest-read time: a commit that lands after this
         call does not change what this DataFrame scans (snapshot
         isolation) — except that ``vacuum`` may delete files of
-        versions older than its retention tail."""
+        versions older than its retention tail.
+
+        ``prune``: manifest-level data skipping — ``[(col, op, value)]``
+        with op ∈ =,<,<=,>,>= drops every file whose footer min/max
+        PROVES no row matches, before Spark lists a single file.  This
+        is an optimization contract, not a filter: the caller still
+        applies the real ``where()`` (files lacking stats are always
+        read).  At 100 TB this removes the per-file footer round trip
+        row-group pruning would otherwise pay."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(
                     f"{self.path} has no committed version")
+        if prune:
+            for col, op, _ in prune:
+                if op not in _PRUNE_OPS:
+                    raise ValueError(f"prune op {op!r} not in "
+                                     f"{_PRUNE_OPS}")
         m = _read_manifest(self.path, version)
         schema = T.StructType.fromDDL(m["schema"])
-        files = [os.path.join(self.path, f) for f in m["files"]]
+        files = [os.path.join(self.path, _entry_path(e))
+                 for e in m["files"] if _may_match(e, prune)]
         if not files:
             return self.spark.createDataFrame([], schema)
         # explicit schema: the manifest is the source of truth, not
         # whichever file's footer gets sampled first
         return self.spark.read.schema(schema).parquet(*files)
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """Exact row count from manifest metadata — no scan.  None if
+        any entry predates stats capture (v1 manifests)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(
+                    f"{self.path} has no committed version")
+        total = 0
+        for e in _read_manifest(self.path, version)["files"]:
+            if isinstance(e, str) or "rows" not in e:
+                return None
+            total += e["rows"]
+        return total
 
     # ----------------------------------------------------------- write
 
@@ -141,10 +256,13 @@ class SnapshotTable:
         commit_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", commit_id)
         df.write.mode("errorifexists").parquet(data_dir)
-        new_files = [
-            os.path.join("data", commit_id, f)
-            for f in sorted(os.listdir(data_dir))
-            if f.endswith(".parquet")]
+        new_files = []
+        for f in sorted(os.listdir(data_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.join("data", commit_id, f)
+            rows, stats = _file_stats(os.path.join(data_dir, f))
+            new_files.append({"path": rel, "rows": rows, "stats": stats})
         ddl = ",".join(f.name + " " + f.dataType.simpleString()
                        for f in df.schema.fields)
         os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
@@ -206,8 +324,9 @@ class SnapshotTable:
             return []
         keep = set()
         for v in versions[-keep_last:]:
-            keep.update(_read_manifest(self.path, v)["files"])
-        keep_dirs = {f.split(os.sep)[1] for f in keep}
+            keep.update(_entry_path(e) for e in
+                        _read_manifest(self.path, v)["files"])
+        keep_dirs = {p.split(os.sep)[1] for p in keep}
         data_root = os.path.join(self.path, "data")
         deleted = []
         import shutil
@@ -219,8 +338,8 @@ class SnapshotTable:
                     deleted.append(full)
         for v in versions[:-keep_last] if keep_last else versions:
             m = _read_manifest(self.path, v)
-            if any(f.split(os.sep)[1] not in keep_dirs
-                   for f in m["files"]):
+            if any(_entry_path(e).split(os.sep)[1] not in keep_dirs
+                   for e in m["files"]):
                 os.remove(_manifest_path(self.path, v))
         return deleted
 

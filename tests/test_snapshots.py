@@ -129,3 +129,66 @@ def test_convenience_wrappers(spark, tmp_path):
     p = str(tmp_path / "t")
     snapshot_write(spark, spark.createDataFrame([(5,)], "k int"), p)
     assert [r["k"] for r in snapshot_read(spark, p).collect()] == [5]
+
+
+def test_manifest_stats_and_row_count(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                                  "k int, s string"), "overwrite")
+    assert t.row_count() == 10
+    import json
+    from bi_etl_and_integration_spark.sources import snapshots as sn
+    m = sn._read_manifest(t.path, 1)
+    entry = m["files"][0]
+    assert entry["rows"] > 0
+    assert entry["stats"]["k"][0] is not None   # min captured
+
+
+def test_prune_skips_disjoint_files(spark, tmp_path):
+    """Two commits with disjoint key ranges: a pruned read must scan
+    only the matching commit's files (checked via inputFiles)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    low = spark.createDataFrame([(i,) for i in range(100)], "k int") \
+        .coalesce(1)
+    high = spark.createDataFrame([(i,) for i in range(1000, 1100)],
+                                 "k int").coalesce(1)
+    t.write(low, "overwrite")
+    t.write(high, "append")
+    full = t.read()
+    pruned = t.read(prune=[("k", ">=", 1000)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # pruning never drops qualifying rows
+    assert pruned.where("k >= 1000").count() == 100
+    # a predicate matching nothing prunes every file -> empty frame
+    none = t.read(prune=[("k", ">", 5000)])
+    assert none.count() == 0
+    assert none.columns == ["k"]
+
+
+def test_prune_is_conservative_not_a_filter(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1,), (50,)], "k int").coalesce(1),
+            "overwrite")
+    # file range [1,50] intersects k>=10: the file is read, and rows
+    # BELOW the predicate are still present (caller applies the filter)
+    df = t.read(prune=[("k", ">=", 10)])
+    assert sorted(r["k"] for r in df.collect()) == [1, 50]
+    with pytest.raises(ValueError, match="prune op"):
+        t.read(prune=[("k", "!=", 1)])
+
+
+def test_string_and_date_stats_prune(spark, tmp_path):
+    from pyspark.sql import functions as F
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    a = spark.createDataFrame([("2024-01-05", "alpha")],
+                              "d string, s string") \
+        .select(F.col("d").cast("date").alias("d"), "s").coalesce(1)
+    b = spark.createDataFrame([("2024-06-05", "zeta")],
+                              "d string, s string") \
+        .select(F.col("d").cast("date").alias("d"), "s").coalesce(1)
+    t.write(a, "overwrite")
+    t.write(b, "append")
+    # ISO date strings order lexicographically == chronologically
+    pruned = t.read(prune=[("d", ">=", "2024-03-01")])
+    assert len(pruned.inputFiles()) == 1
+    assert [r["s"] for r in pruned.collect()] == ["zeta"]
