@@ -311,6 +311,28 @@ class SnapshotTable:
             json.dump(manifest, fh)
         return version
 
+    def compact(self, *, target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the current version's data as
+        ``target_files`` files and commit the result — small-file
+        compaction after many streaming/CDC appends (each append is
+        ≥1 file; a thousand micro-batches = a thousand tiny scans).
+        Old versions still read the old files until ``vacuum``."""
+        df = self.read().coalesce(max(1, target_files))
+        return self._commit_like(df, "compact")
+
+    def _commit_like(self, df: DataFrame, operation: str) -> int:
+        v = self.write(df, "overwrite")
+        # annotate the operation (write() stamps "overwrite"); the
+        # manifest is ours until someone reads it — rewrite in place is
+        # safe because the version number is already claimed
+        p = _manifest_path(self.path, v)
+        with open(p) as fh:
+            m = json.load(fh)
+        m["operation"] = operation
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+        return v
+
     # --------------------------------------------------------- vacuum
 
     def vacuum(self, *, keep_last: int = 2) -> list[str]:

@@ -192,3 +192,17 @@ def test_string_and_date_stats_prune(spark, tmp_path):
     pruned = t.read(prune=[("d", ">=", "2024-03-01")])
     assert len(pruned.inputFiles()) == 1
     assert [r["s"] for r in pruned.collect()] == ["zeta"]
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(0,)], "k int"), "overwrite")
+    for i in range(1, 5):                  # 4 tiny append commits
+        t.write(spark.createDataFrame([(i,)], "k int"), "append")
+    before = len(t.read().inputFiles())
+    v = t.compact(target_files=1)
+    assert len(t.read().inputFiles()) == 1 < before
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(5))
+    assert t.history()[-1]["operation"] == "compact"
+    # pre-compaction version is still intact until vacuum
+    assert len(t.read(v - 1).inputFiles()) == before
