@@ -151,10 +151,26 @@ def main() -> None:
             # materialization Spark never pays
             wrapped = (f"SELECT count(*) AS n, bit_xor(hash(t)) AS digest "
                        f"FROM ({sql}) t")
-            t0 = time.monotonic()
             try:
-                con.execute(wrapped).fetchall()
-                duck[name] = round(time.monotonic() - t0, 3)
+                # symmetric methodology: DuckDB gets the same warm-up +
+                # min-of-n treatment as Spark — a single co-tenant-noise
+                # sample on either side would corrupt the ratio.  A
+                # query whose FIRST run exceeds 5 s keeps that single
+                # sample (noise is ±30%, not 3×; repeating a 465 s
+                # theta-join to shave noise would dominate the bench).
+                t0 = time.monotonic()
+                con.execute(wrapped).fetchall()          # warm / probe
+                first = time.monotonic() - t0
+                if first > 5.0:
+                    duck[name] = round(first, 3)
+                else:
+                    best = None
+                    for _ in range(n_runs):
+                        t0 = time.monotonic()
+                        con.execute(wrapped).fetchall()
+                        dt = time.monotonic() - t0
+                        best = dt if best is None else min(best, dt)
+                    duck[name] = round(best, 3)
             except Exception:  # noqa: BLE001
                 duck[name] = -1.0
         out["duckdb"] = duck
