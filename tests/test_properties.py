@@ -183,3 +183,78 @@ def test_chunking_covers_every_token_and_packing_conserves(spark, texts,
     for r in packed:
         sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
     assert all(v <= chunk for v in sums.values())
+
+
+# Excel round-trip: arbitrary text survives write->parse (XML escaping,
+# unicode, sparse Nones).  Driver-side only — no Spark jobs per example.
+xlsx_cell = st.one_of(
+    st.none(),
+    st.integers(-10**9, 10**9),
+    st.text(min_size=0, max_size=20).filter(
+        # xlsx cannot represent control chars or lone surrogates in
+        # inline strings without numeric-entity escaping (out of scope)
+        lambda s: all(ch >= " " or ch in "\t\n" for ch in s)))
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=st.lists(st.lists(xlsx_cell, min_size=1, max_size=5),
+                     min_size=0, max_size=8))
+def test_xlsx_bytes_parse_roundtrip(rows):
+    from bi_etl_and_integration_spark.sources.excel import (
+        parse_xlsx, xlsx_bytes)
+    width = max((len(r) for r in rows), default=1)
+    norm = [list(r) + [None] * (width - len(r)) for r in rows]
+    cols = [f"c{i}" for i in range(width)]
+    data = xlsx_bytes(norm, columns=cols)
+    parsed = parse_xlsx(data)
+    assert parsed[0] == cols
+    for orig, got in zip(norm, parsed[1:]):
+        padded = list(got) + [None] * (width - len(got))
+        for o, g in zip(orig, padded):
+            if o is None:
+                assert g is None
+            else:
+                assert g == str(o)
+    assert len(parsed) == len(norm) + 1
+
+
+@SETTINGS
+@given(commits=st.lists(
+    st.tuples(st.sampled_from(["overwrite", "append"]),
+              st.lists(st.integers(0, 99), min_size=0, max_size=5)),
+    min_size=1, max_size=5))
+def test_snapshot_table_matches_reference_model(spark, commits, tmp_path_factory):
+    """The table's latest content must equal a trivial in-memory model
+    of the same overwrite/append sequence, whatever the mix."""
+    import uuid as _uuid
+    from bi_etl_and_integration_spark.sources.snapshots import (
+        SnapshotTable)
+    base = tmp_path_factory.mktemp("snapprop")
+    t = SnapshotTable(spark, str(base / _uuid.uuid4().hex[:8]))
+    model: list[int] = []
+    for mode, vals in commits:
+        df = (spark.createDataFrame([(v,) for v in vals], "k int")
+              if vals else spark.createDataFrame([], "k int"))
+        t.write(df, mode)
+        model = (model + vals) if mode == "append" else list(vals)
+    assert sorted(r["k"] for r in t.read().collect()) == sorted(model)
+    assert t.row_count() == len(model)
+
+
+@SETTINGS
+@given(terms=st.lists(st.sampled_from(["alpha", "beta", "gamma"]),
+                      min_size=1, max_size=3, unique=True),
+       docs=st.lists(st.lists(
+           st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]),
+           min_size=1, max_size=8), min_size=1, max_size=6))
+def test_bm25_scores_positive_and_only_for_matches(spark, terms, docs):
+    from bi_etl_and_integration_spark.operators.text import bm25_rank
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(df, list(terms)).collect()}
+    expect = {i for i, toks in enumerate(docs)
+              if set(toks) & set(terms)}
+    assert set(out) == expect
+    assert all(s > 0 for s in out.values())

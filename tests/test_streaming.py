@@ -300,3 +300,24 @@ def test_apply_changes_transactional_bootstrap_and_rollback(spark, rows,
     t.rollback(v1)                       # bad batch: revert
     assert {r["k"] for r in t.read().collect()} == {1}
     assert v2 == 2
+
+
+def test_snapshot_upsert_replay_is_idempotent(spark, rows, tmp_path):
+    """Crash-replay contract: re-applying the SAME micro-batch (what a
+    restarted stream does for an uncommitted epoch) must converge to
+    the same table content — apply_changes is a deterministic function
+    of (target, changes), so the second commit is a no-op in value."""
+    from bi_etl_and_integration_spark.operators.cdc import (
+        OP_INSERT, OP_UPDATE, apply_changes_transactional)
+    from bi_etl_and_integration_spark.sources.snapshots import (
+        SnapshotTable)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    batch = rows([(1, "a", 1, OP_INSERT), (2, "b", 2, OP_INSERT),
+                  (1, "a2", 3, OP_UPDATE)],
+                 "k int, v string, lsn int, op int")
+    apply_changes_transactional(t, batch, ["k"], "lsn")
+    first = sorted((r["k"], r["v"]) for r in t.read().collect())
+    apply_changes_transactional(t, batch, ["k"], "lsn")   # replay
+    second = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert first == second == [(1, "a2"), (2, "b")]
+    assert t.latest_version() == 2        # replay is a new (equal) version
