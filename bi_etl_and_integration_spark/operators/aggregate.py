@@ -376,3 +376,44 @@ def pre_aggregate_then_join(base: DataFrame, base_key: str,
             *[c.alias(n) for n, c in aggs.items()])
         out = out.join(shrunk, base_key, "left")
     return out
+
+
+def cohort_retention(events: DataFrame, *, user_col: str = "user_id",
+                     ts_col: str = "ts", grain: str = "week",
+                     ) -> DataFrame:
+    """Cohort retention mart (the datamart idiom behind every
+    "пользовательская активность" dashboard the reference's DM chapter
+    builds): bucket each user into the cohort of their FIRST event
+    period, then count distinct users active at each period offset.
+
+    Output: (cohort, period_offset, n_users) — cohort as DATE
+    (truncated period start), offset in whole periods (floor of
+    day-difference / period length, engine-portable integer math —
+    DATE_DIFF('week', ...) counts boundary crossings differently
+    across engines and is avoided deliberately).
+
+    Plan shape: first-event agg (one shuffle on user), join back to
+    events on user (AQE broadcasts the first-event side when small;
+    at 100 TB both sides hash-shuffle on user_col once), then the
+    count-distinct agg on (cohort, offset).  Distinct-user counting
+    is exact here (audit grain); swap approx_count_distinct at
+    petabyte grain.
+    """
+    days = {"week": 7, "month": None, "day": 1}
+    if grain not in days:
+        raise ValueError(f"cohort_retention: grain {grain!r} not in "
+                         f"{sorted(days)}")
+    first = (events.groupBy(user_col)
+             .agg(F.date_trunc(grain, F.min(ts_col)).alias("__cohort")))
+    j = events.join(first, user_col)
+    period = F.date_trunc(grain, F.col(ts_col))
+    if grain == "month":
+        off = ((F.year(period) - F.year("__cohort")) * 12
+               + F.month(period) - F.month("__cohort"))
+    else:
+        off = F.floor(F.datediff(period, F.col("__cohort"))
+                      / days[grain])
+    return (j.groupBy(F.col("__cohort").cast("date").alias("cohort"),
+                      off.cast("bigint").alias("period_offset"))
+            .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+            .orderBy("cohort", "period_offset"))

@@ -326,3 +326,101 @@ def reconcile(source: DataFrame, target: DataFrame, keys: Sequence[str],
     return j.select(*out_keys, status.alias(status_col),
                     F.when(status == "changed", changed)
                     .alias(changed_col))
+
+
+def flag_outliers(df: DataFrame, value_col: str,
+                  by: Sequence[str] | None = None, *,
+                  method: str = "zscore", k: float = 3.0,
+                  flag_col: str = "is_outlier") -> DataFrame:
+    """Group-wise statistical outlier detection — the data-profiling
+    follow-through the reference's DQ chapter stops short of
+    (PRO/Глава 10:18-30 profiles columns; this flags the rows): mark
+    each row whose ``value_col`` is anomalous within its ``by`` group.
+
+    method='zscore': |x - mean| > k * stddev_samp  (k defaults to 3).
+    method='iqr':    x outside [q1 - k*iqr, q3 + k*iqr] with exact
+                     interpolated quartiles (k defaults to 1.5 — pass
+                     it explicitly).
+
+    Plan shape: one hash aggregate over ``by`` producing the per-group
+    statistics (a few rows per group), then ONE join back — AQE
+    broadcasts the stats side (group count ≪ row count), so the wide
+    input never shuffles.  A window over ``by`` would shuffle every
+    row instead; percentiles also aren't window-able.  At 100 TB the
+    agg does map-side partial aggregation and the join is a broadcast:
+    the only full-data cost is the scan.
+
+    Groups with NULL/zero spread (single row, constant value) flag
+    nothing.  NULL values are never outliers.
+    """
+    by = list(by or [])
+    v = F.col(value_col)
+    if method == "zscore":
+        stats = [F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sd")]
+        is_out = (F.col("__sd").isNotNull() & (F.col("__sd") > 0)
+                  & (F.abs(v - F.col("__mu")) > k * F.col("__sd")))
+        drop = ["__mu", "__sd"]
+    elif method == "iqr":
+        stats = [F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
+                 F.expr(f"percentile({value_col}, 0.75)").alias("__q3")]
+        iqr = F.col("__q3") - F.col("__q1")
+        is_out = (iqr.isNotNull()
+                  & ((v < F.col("__q1") - k * iqr)
+                     | (v > F.col("__q3") + k * iqr)))
+        drop = ["__q1", "__q3"]
+    else:
+        raise ValueError(f"flag_outliers: unknown method {method!r}")
+    if by:
+        grp = df.groupBy(*by).agg(*stats)
+        joined = df.join(F.broadcast(grp), by, "left")
+    else:
+        grp = df.agg(*stats)
+        joined = df.crossJoin(F.broadcast(grp))
+    return joined.withColumn(
+        flag_col, F.coalesce(is_out, F.lit(False))).drop(*drop)
+
+
+def mask_columns(df: DataFrame, rules: Mapping[str, object],
+                 ) -> DataFrame:
+    """Deterministic data masking / pseudonymization — the outbound
+    twin of DQS cleansing (PRO/Глава 11's domain rules are data; so
+    are these masking rules): ship warehouse extracts without shipping
+    PII, while preserving joinability and format where required.
+
+    rules maps column -> spec:
+      'hash'            sha256 hex token: deterministic, so the same
+                        input masks to the same token everywhere —
+                        cross-table joins on the masked value still
+                        work (pseudonymization, not anonymization);
+      ('partial', n)    keep the LAST n characters, star the rest
+                        ('4111111111111111' -> '************1111');
+                        values with length <= n are FULLY starred —
+                        a short value must not leak whole;
+      'redact'          NULL out the value (type-preserving);
+      ('fixed', v)      constant replacement value.
+
+    All specs compile to plan literals — pure whole-stage-codegen
+    expressions, no UDF, no shuffle; at 100 TB this is scan-speed.
+    """
+    out = df
+    for col, spec in rules.items():
+        c = F.col(col)
+        if spec == "hash":
+            m = F.when(c.isNull(), F.lit(None).cast("string")) \
+                .otherwise(F.sha2(c.cast("string"), 256))
+        elif spec == "redact":
+            m = F.lit(None).cast(df.schema[col].dataType)
+        elif isinstance(spec, tuple) and spec[0] == "partial":
+            n = int(spec[1])
+            s = c.cast("string")
+            m = F.when(c.isNull(), F.lit(None).cast("string")) \
+                .when(F.length(s) <= n, F.repeat(F.lit("*"), F.length(s))) \
+                .otherwise(F.concat(F.repeat(F.lit("*"), F.length(s) - n),
+                                    F.substring(s, -n, n)))
+        elif isinstance(spec, tuple) and spec[0] == "fixed":
+            m = F.lit(spec[1]).cast(df.schema[col].dataType)
+        else:
+            raise ValueError(f"mask_columns: unknown spec {spec!r} "
+                             f"for column {col!r}")
+        out = out.withColumn(col, m)
+    return out

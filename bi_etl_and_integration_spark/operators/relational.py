@@ -317,6 +317,36 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def exact_stratified_sample(df: DataFrame, strata_col: str, k: int,
+                            id_col: str, *,
+                            salt: int = 2654435761) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample — the reproducible
+    twin of ``stratified_sample``: rate-based Bernoulli gives ±√n
+    per-stratum counts and changes membership whenever the row order
+    or seed plumbing changes; training-data curation wants "the same
+    k documents per language, every run, on every engine".
+
+    Rows are ranked within each stratum by a multiplicative Knuth
+    hash of their id (``(id * salt) mod 2^32`` — plain 64-bit integer
+    arithmetic, so ANY engine reproduces the identical membership:
+    the same trick as ``curation.det_rate``) and the k smallest win.
+    Adding rows never evicts more than it must; deleting a sampled
+    row promotes exactly the next-ranked one (bounded churn — the
+    growth-stable property ``curation.assign_split`` documents).
+
+    Plan shape: one shuffle on ``strata_col`` for the row_number
+    window.  At 100 TB prefer ids over wide rows downstream of this
+    (project first); the window itself holds only a counter per
+    stratum, no buffering.
+    """
+    h = F.pmod(F.col(id_col).cast("bigint") * F.lit(salt),
+               F.lit(4294967296))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(),
+                                               F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
+
+
 # ------------------------------------------------------ pivot/unpivot
 
 def pivot(df: DataFrame, group_cols: Sequence[str], pivot_col: str,

@@ -479,3 +479,77 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "adc_score",
                     F.col("__rn").alias("rank")))
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, double-precision sequential fold (the
+    engine-portable form: any oracle that folds left-to-right in
+    double reproduces it bit for bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                  *, vec_col: str = "embedding",
+                  out_col: str = "cluster") -> DataFrame:
+    """Assign every row to its nearest centroid (squared-L2; ties break
+    on the lower centroid id).  The centroid list is a PLAN LITERAL —
+    k·dim doubles inlined into one codegen'd expression, no join, no
+    shuffle, no UDF: at 100 TB this is a narrow map over the corpus,
+    exactly how the IVF coarse quantizer assigns lists.
+
+    Implementation: an array of (distance, centroid_id) structs +
+    ``array_min`` — struct ordering compares distance first, id second,
+    which is the deterministic argmin.
+    """
+    if not centroids:
+        raise ValueError("kmeans_assign: empty centroid list")
+    v = F.col(vec_col)
+    cands = F.array(*[
+        F.struct(
+            sq_l2(v, F.array(*[F.lit(float(x)) for x in vec])).alias("d"),
+            F.lit(int(cid)).alias("c"))
+        for cid, vec in centroids])
+    return df.withColumn(out_col, F.array_min(cands)["c"])
+
+
+def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",
+               id_col: str = "vec_id", n_iter: int = 5,
+               ) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means over an embedding column — the
+    semantic-clustering primitive (topic bucketing for corpus mixing,
+    true IVF list training).  Deterministic: seeds are the k rows with
+    the smallest ``id_col`` (reproducible across runs and engines —
+    no RNG), assignment ties break on centroid id.
+
+    Per iteration: one narrow assignment pass (``kmeans_assign`` plan
+    literal) + ONE shuffle for the per-dimension means — posexplode
+    to (cluster, dim_pos, value) then hash aggregate: avg is
+    algebraic, so map-side partial aggregation reduces the shuffle to
+    tasks × k × dim rows regardless of corpus size.  Only the k·dim
+    centroid matrix ever reaches the driver (same contract as the IVF
+    trainer).  Empty clusters keep their previous centroid.
+    """
+    seeds = (df.orderBy(F.col(id_col).asc()).limit(k)
+             .select(vec_col).collect())
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
+    for _ in range(n_iter):
+        assigned = kmeans_assign(df, cents, vec_col=vec_col,
+                                 out_col="__c")
+        means = (assigned
+                 .select("__c", F.posexplode(F.col(vec_col))
+                         .alias("__p", "__x"))
+                 .groupBy("__c", "__p")
+                 .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+                 .collect())
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["__c"], {})[r["__p"]] = r["__m"]
+        cents = [
+            (cid, [by_c[cid][p] for p in range(len(vec))]
+             if cid in by_c else vec)
+            for cid, vec in cents]
+    return cents

@@ -266,3 +266,48 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *,
         return scored.orderBy(F.col("bm25_score").desc(),
                               F.col(id_col)).limit(topk)
     return scored
+
+
+def unigram_lm_score(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     model: DataFrame | None = None) -> DataFrame:
+    """Unigram language-model scoring — the classic corpus-quality
+    signal (KenLM-perplexity's dependency-free stand-in): train token
+    unigram probabilities over the corpus itself (or score against a
+    ``model`` trained elsewhere via this same function's token
+    aggregate), then score each document by its mean token
+    log-probability.  Low ``avg_logprob`` (high perplexity) = rare-
+    token gibberish; the standard filter threshold then drops the tail.
+
+    Two shuffles total, both on compact keys:
+      1. token model: explode → groupBy(token) count — map-side
+         partial aggregation makes the shuffle |vocab|-bounded;
+      2. per-doc score: exploded tokens join the model on token
+         (AQE broadcasts the model when the vocab is small), then
+         groupBy(doc) — the join never moves the documents table,
+         only (doc_id, token) pairs.
+
+    Tokens are lowercased single-space splits (the engine-portable
+    convention shared with ``bm25_rank``); add-one smoothing is
+    unnecessary when self-scoring (every token is in the model) and a
+    foreign ``model`` scores unseen tokens as NULL → excluded from the
+    mean, with ``n_unseen`` reporting the miss count.
+
+    Output: (id_col, n_tokens, avg_logprob, n_unseen).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    if model is None:
+        model = exploded.groupBy("__tok") \
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+    total = model.agg(F.sum("__cnt").cast("double").alias("__n"))
+    logp = F.log(F.col("__cnt") / F.col("__n"))
+    return (exploded
+            .join(model, "__tok", "left")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.avg(logp).alias("avg_logprob"),
+                 F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_unseen")))

@@ -149,3 +149,88 @@ def ntile_buckets(df: DataFrame, keys: Sequence[str],
                          "global NTILE is a single-reducer plan at scale")
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn(out_col, F.ntile(n).over(w))
+
+
+def window_funnel(events: DataFrame, steps: Sequence[str], *,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  window: str | None = None,
+                  out_col: str = "funnel_level") -> DataFrame:
+    """ClickHouse ``windowFunnel`` parity (the reference's datamart
+    dialect; public semantics): per user, the deepest step k such that
+    events matching ``steps[0..k-1]`` occur at NON-DECREASING
+    timestamps with ``t_k - t_1 <= window`` (no window = unbounded).
+    Returns one row per user appearing in any step event:
+    ``(user_col, out_col)`` with level ∈ 1..len(steps); users with no
+    step events simply don't appear (level 0 by absence).
+
+    Plan shape: filter to step events only, ONE shuffle to
+    collect+sort each user's (ts, step) pairs, then a sequential
+    array fold — the exact max-start dynamic program: state[j] = the
+    LATEST chain-start time among chains reaching step j+1 (a later
+    start strictly dominates: more window slack for the remaining
+    steps, and processing in ts order guarantees step order).  Equal
+    timestamps sort by step index, so same-ts chains resolve
+    deterministically.  Per-user memory is its event list — the same
+    bound every sessionization holds — and the fold is O(events ×
+    k) with k plan-literal branches, all JVM-side.
+
+    The DP is exact, not heuristic: any chain certifying level k
+    implies state[k-1] non-null (induction on fold steps), and
+    conversely state entries are only ever copied from real event
+    chains."""
+    steps = list(steps)
+    k = len(steps)
+    if k < 2:
+        raise ValueError("window_funnel needs >= 2 steps")
+    if len(set(steps)) != k:
+        raise ValueError("window_funnel steps must be distinct")
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps)
+          for x in (F.lit(s), F.lit(i))])[F.col(type_col)]
+    win_us = None
+    if window is not None:
+        import re
+        m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?",
+                         window.strip())
+        if not m:
+            raise ValueError(f"window_funnel: bad window {window!r} "
+                             "(use e.g. '24 hours')")
+        mult = {"second": 1, "minute": 60, "hour": 3600,
+                "day": 86400}[m.group(2)]
+        win_us = int(m.group(1)) * mult * 1_000_000
+    evs = (events.where(F.col(type_col).isin(steps))
+           .select(F.col(user_col),
+                   F.struct(
+                       # session runs NTZ end-to-end; unix_micros wants
+                       # LTZ and the UTC session zone makes the hop
+                       # value-preserving (matches DuckDB epoch_us)
+                       F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+                       .alias("t"),
+                       step_idx.cast("int").alias("j")).alias("__ev")))
+    per_user = evs.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("__ev")).alias("__evs"))
+    init = F.array_repeat(F.lit(None).cast("bigint"), k)
+
+    def fold_step(st, ev):
+        def upd(s, i):
+            # i is 0-based level; element_at is 1-based, so
+            # element_at(st, i) reads state[i-1] — the previous level.
+            # The greatest(i, 1) guard keeps ANSI mode from rejecting
+            # index 0 (the branch is dead for i == 0 anyway).
+            first = (ev["j"] == 0) & (i == 0)
+            prev = F.element_at(st, F.greatest(i, F.lit(1)))
+            chain = (ev["j"] == i) & (i > 0) & prev.isNotNull()
+            if win_us is not None:
+                chain = chain & (ev["t"] - prev <= F.lit(win_us))
+            # greatest() skips NULLs: an unset slot adopts the new start
+            return (F.when(first, F.greatest(s, ev["t"]))
+                    .when(chain, F.greatest(s, prev))
+                    .otherwise(s))
+        return F.transform(st, upd)
+
+    state = F.aggregate(F.col("__evs"), init, fold_step)
+    level = F.size(F.filter(state, lambda s: s.isNotNull()))
+    return (per_user.select(F.col(user_col),
+                            level.cast("int").alias(out_col))
+            .where(F.col(out_col) > 0))

@@ -2679,3 +2679,241 @@ def x25(spark, cat):          # optimizer/fp-order specific
                  F.count(F.when(F.col("quality_score") >= 0.5, 1))
                  .alias("n_keep"))
             .orderBy("source"))
+
+
+# ===================================== hierarchy / late dims / masking
+
+@q("q51_hierarchy_flatten",
+   "WITH RECURSIVE edges(id, parent) AS ("
+   "SELECT CAST(r_regionkey AS BIGINT), CAST(NULL AS BIGINT) FROM region "
+   "UNION ALL SELECT CAST(10 + n_nationkey AS BIGINT), "
+   "CAST(n_regionkey AS BIGINT) FROM nation "
+   "UNION ALL SELECT CAST(100 + c_custkey AS BIGINT), "
+   "CAST(10 + c_nationkey AS BIGINT) FROM customer), "
+   "h(id, root_id, depth, path) AS ("
+   "SELECT id, id, CAST(0 AS BIGINT), [id] FROM edges "
+   "WHERE parent IS NULL "
+   "UNION ALL SELECT e.id, h.root_id, h.depth + 1, "
+   "list_append(h.path, e.id) FROM edges e JOIN h ON e.parent = h.id) "
+   "SELECT id, root_id, depth, path FROM h ORDER BY id")
+def q51(spark, cat):
+    """Parent-child hierarchy flattening (Kimball parent-child
+    dimension) via pointer doubling — O(log depth) shuffle rounds vs
+    the recursive CTE's O(depth) sequential dependency; the oracle IS
+    that recursive CTE.  The 3-level tree here (region > nation >
+    customer, id-spaces offset apart) resolves in 2 rounds."""
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        flatten_hierarchy)
+    edges = (
+        cat.region.select(
+            F.col("r_regionkey").cast("bigint").alias("id"),
+            F.lit(None).cast("bigint").alias("parent"))
+        .unionByName(cat.nation.select(
+            (F.lit(10) + F.col("n_nationkey")).cast("bigint").alias("id"),
+            F.col("n_regionkey").cast("bigint").alias("parent")))
+        .unionByName(cat.customer.select(
+            (F.lit(100) + F.col("c_custkey")).cast("bigint").alias("id"),
+            (F.lit(10) + F.col("c_nationkey")).cast("bigint")
+            .alias("parent"))))
+    return flatten_hierarchy(edges, "id", "parent").orderBy("id")
+
+
+@q("q52_inferred_members",
+   "WITH dim AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+   "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) "
+   "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+   "FALSE AS is_inferred FROM dim "
+   "UNION ALL SELECT DISTINCT o_custkey, CAST(NULL AS VARCHAR), "
+   "CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), 'UNKNOWN', TRUE "
+   "FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM dim) "
+   "ORDER BY c_custkey")
+def q52(spark, cat):
+    """Late-arriving dimension: every third customer is 'late' (not in
+    the dim yet); fact keys referencing them get inferred placeholder
+    rows (mktsegment default, NULL attributes, is_inferred=true) so
+    the fact load never drops rows."""
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        infer_late_members)
+    dim = cat.customer.where(F.col("c_custkey") % 3 != 0)
+    out = infer_late_members(cat.orders.withColumnRenamed(
+        "o_custkey", "c_custkey"), dim, "c_custkey",
+        defaults={"c_mktsegment": "UNKNOWN"})
+    return out.orderBy("c_custkey")
+
+
+@q("q53_outliers_zscore",
+   "WITH s AS (SELECT event_type, AVG(value) AS mu, "
+   "STDDEV_SAMP(value) AS sd FROM events GROUP BY event_type) "
+   "SELECT e.event_id, e.event_type, e.value, "
+   "COALESCE(s.sd IS NOT NULL AND s.sd > 0 "
+   "AND ABS(e.value - s.mu) > 3 * s.sd, FALSE) AS is_outlier "
+   "FROM events e LEFT JOIN s USING (event_type) ORDER BY e.event_id")
+def q53(spark, cat):
+    """Group-wise z-score outlier flagging (|x-mu| > 3 sd within the
+    event type): the stats side is a tiny broadcast aggregate, the
+    events table never shuffles."""
+    out = cl_ops.flag_outliers(cat.events, "value", ["event_type"],
+                               method="zscore", k=3.0)
+    return (out.select("event_id", "event_type", "value", "is_outlier")
+            .orderBy("event_id"))
+
+
+@q("q53b_outliers_iqr",
+   "WITH s AS (SELECT l_returnflag, "
+   "quantile_cont(l_extendedprice, 0.25) AS q1, "
+   "quantile_cont(l_extendedprice, 0.75) AS q3 "
+   "FROM lineitem GROUP BY l_returnflag) "
+   "SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(CASE WHEN l.l_extendedprice < s.q1 - 1.5*(s.q3-s.q1) "
+   "OR l.l_extendedprice > s.q3 + 1.5*(s.q3-s.q1) THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_outliers "
+   "FROM lineitem l LEFT JOIN s USING (l_returnflag) "
+   "GROUP BY l.l_returnflag ORDER BY l.l_returnflag")
+def q53b(spark, cat):
+    """IQR (Tukey-fence) outlier counts per return flag — exact
+    interpolated quartiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``), counts aggregated per group."""
+    out = cl_ops.flag_outliers(cat.lineitem, "l_extendedprice",
+                               ["l_returnflag"], method="iqr", k=1.5)
+    return (out.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum(F.col("is_outlier").cast("int")).cast("bigint")
+                 .alias("n_outliers"))
+            .orderBy("l_returnflag"))
+
+
+@q("q54_data_masking",
+   "SELECT c_custkey, "
+   "CASE WHEN LENGTH(c_name) <= 4 THEN REPEAT('*', LENGTH(c_name)) "
+   "ELSE REPEAT('*', LENGTH(c_name) - 4) || "
+   "SUBSTRING(c_name, LENGTH(c_name) - 3, 4) END AS c_name, "
+   "sha256(c_mktsegment) AS c_mktsegment, "
+   "CAST(NULL AS DOUBLE) AS c_acctbal "
+   "FROM customer ORDER BY c_custkey")
+def q54(spark, cat):
+    """Deterministic masking for outbound extracts: partial-mask the
+    name (last 4 visible), hash-pseudonymize the segment (still
+    joinable), redact the balance.  Pure codegen expressions."""
+    out = cl_ops.mask_columns(
+        cat.customer,
+        {"c_name": ("partial", 4), "c_mktsegment": "hash",
+         "c_acctbal": "redact"})
+    return (out.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+            .orderBy("c_custkey"))
+
+
+# ------------------------------------------- LLM-pipeline extensions
+
+@q("x28_lm_score",
+   "WITH tok AS (SELECT doc_id, unnest(list_filter("
+   "string_split(lower(text), ' '), x -> x != '')) AS tk "
+   "FROM documents), "
+   "m AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk), "
+   "n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM m) "
+   "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+   + R("AVG(LN(m.cnt / n.total))") + " AS avg_logprob, "
+   "CAST(0 AS BIGINT) AS n_unseen "
+   "FROM tok t JOIN m USING (tk) CROSS JOIN n "
+   "GROUP BY t.doc_id ORDER BY t.doc_id")
+def x28(spark, cat):
+    """Unigram LM quality scoring: the corpus trains its own token
+    model, each document scored by mean token log-probability
+    (rare-token gibberish scores low).  Self-scoring ⇒ n_unseen = 0;
+    the oracle hard-codes that invariant."""
+    out = tx_ops.unigram_lm_score(cat.documents)
+    return (out.select("doc_id", "n_tokens",
+                       dec_round("avg_logprob").alias("avg_logprob"),
+                       "n_unseen")
+            .orderBy("doc_id"))
+
+
+@q("x29_stratified_exact_sample",
+   "SELECT doc_id, lang FROM (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+   "PARTITION BY lang ORDER BY (doc_id * 2654435761) % 4294967296, "
+   "doc_id) AS rk FROM documents) t WHERE rk <= 7 ORDER BY doc_id")
+def x29(spark, cat):
+    """Exactly-7-docs-per-language deterministic sample via
+    multiplicative-hash ranking — engine-portable integer arithmetic,
+    so the oracle reproduces the precise membership (rate-based
+    sampling could only match distributions)."""
+    out = rel_ops.exact_stratified_sample(
+        cat.documents.select("doc_id", "lang"), "lang", 7, "doc_id")
+    return out.orderBy("doc_id")
+
+
+@q("x30_semantic_clusters",
+   "WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+   "FROM embeddings WHERE vec_id < 8), "
+   "a AS (SELECT e.vec_id, c.cid, list_aggregate(list_transform("
+   "list_zip(CAST(e.embedding AS DOUBLE[]), c.cv), "
+   "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d "
+   "FROM embeddings e CROSS JOIN c), "
+   "r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+   "ORDER BY d, cid) AS rk FROM a) "
+   "SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs "
+   "FROM r WHERE rk = 1 GROUP BY cid ORDER BY cid")
+def x30(spark, cat):
+    """Semantic clustering, the assignment half (fixed deterministic
+    centroids = the 8 lowest-id embeddings): nearest-centroid
+    assignment is a zero-shuffle plan-literal expression; cluster
+    sizes verify the exact per-row assignment against the oracle's
+    cross-join argmin.  ``kmeans_fit`` iterates this same plan."""
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in cat.embeddings.where(F.col("vec_id") < 8)
+             .select("vec_id", "embedding").collect()]
+    out = sim_ops.kmeans_assign(cat.embeddings, cents,
+                                out_col="cluster")
+    return (out.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+            .orderBy("cluster"))
+
+
+_FUNNEL_W_US = 24 * 3600 * 1_000_000
+
+
+@q("q55_window_funnel",
+   "WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+   "WHERE event_type = 'view'), "
+   "c AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+   "WHERE event_type = 'click'), "
+   "p AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+   "WHERE event_type = 'purchase'), "
+   "l1 AS (SELECT DISTINCT user_id FROM v), "
+   "l2 AS (SELECT DISTINCT v.user_id FROM v JOIN c "
+   "ON c.user_id = v.user_id AND c.t >= v.t "
+   f"AND c.t - v.t <= {_FUNNEL_W_US}), "
+   "l3 AS (SELECT DISTINCT v.user_id FROM v JOIN c "
+   "ON c.user_id = v.user_id AND c.t >= v.t "
+   f"AND c.t - v.t <= {_FUNNEL_W_US} "
+   "JOIN p ON p.user_id = v.user_id AND p.t >= c.t "
+   f"AND p.t - v.t <= {_FUNNEL_W_US}) "
+   "SELECT l1.user_id, CASE WHEN l3.user_id IS NOT NULL THEN 3 "
+   "WHEN l2.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_level "
+   "FROM l1 LEFT JOIN l2 ON l2.user_id = l1.user_id "
+   "LEFT JOIN l3 ON l3.user_id = l1.user_id ORDER BY l1.user_id")
+def q55(spark, cat):
+    """ClickHouse windowFunnel parity: deepest view→click→purchase
+    chain per user within 24 h.  The engine runs the O(events·k)
+    max-start DP fold (one shuffle); the oracle certifies it with the
+    brute-force EXISTS-chain joins — two independently-derived
+    formulations of the same semantics."""
+    return win_ops.window_funnel(
+        cat.events, ["view", "click", "purchase"],
+        window="24 hours").orderBy("user_id")
+
+
+@q("q56_cohort_retention",
+   "WITH f AS (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw "
+   "FROM events GROUP BY user_id) "
+   "SELECT CAST(f.cw AS DATE) AS cohort, "
+   "CAST(FLOOR(DATE_DIFF('day', f.cw, DATE_TRUNC('week', e.ts)) / 7) "
+   "AS BIGINT) AS period_offset, "
+   "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users "
+   "FROM events e JOIN f USING (user_id) "
+   "GROUP BY 1, 2 ORDER BY 1, 2")
+def q56(spark, cat):
+    """Weekly cohort retention mart: users bucketed by first-event
+    week, distinct-user counts per week offset.  Offsets via
+    floor(day-diff/7) — engine-portable integer math (period starts
+    are week-aligned, so the division is exact)."""
+    return agg_ops.cohort_retention(cat.events, grain="week")

@@ -221,3 +221,22 @@ def test_share_of_total_rejects_non_reaggregatable(rows):
     df = rows([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="re-aggregatable"):
         agg.share_of_total(df, ["k"], F.avg("v"))
+
+
+def test_cohort_retention_weekly(rows):
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        cohort_retention)
+    # weeks of 2024-01: W1 starts Mon Jan 1, W2 Jan 8, W3 Jan 15
+    data = [
+        (1, dt.datetime(2024, 1, 2)),    # u1 cohort W1
+        (1, dt.datetime(2024, 1, 9)),    # active W2 (offset 1)
+        (2, dt.datetime(2024, 1, 3)),    # u2 cohort W1
+        (2, dt.datetime(2024, 1, 17)),   # active W3 (offset 2)
+        (3, dt.datetime(2024, 1, 10)),   # u3 cohort W2, only W2
+    ]
+    df = rows(data, "user_id long, ts timestamp")
+    out = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}

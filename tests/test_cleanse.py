@@ -141,3 +141,56 @@ def test_reconcile_classifies_each_row(rows):
     assert out[3] == ("same", None)      # NULL == NULL under <=>
     assert out[4] == ("only_source", None)
     assert out[5] == ("only_target", None)
+
+
+def test_flag_outliers_zscore_groups(rows):
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        flag_outliers)
+    data = ([("a", float(x)) for x in [10, 11, 9, 10, 11, 9, 1000]]
+            + [("b", 5.0), ("b", 5.0)]          # zero spread: no flags
+            + [("c", None), ("c", 7.0)])        # NULL never an outlier
+    df = rows(data, "g string, v double")
+    out = flag_outliers(df, "v", ["g"], method="zscore", k=2.0)
+    flagged = [(r["g"], r["v"]) for r in out.collect() if r["is_outlier"]]
+    assert flagged == [("a", 1000.0)]
+    assert set(out.columns) == {"g", "v", "is_outlier"}
+
+
+def test_flag_outliers_iqr_global(rows):
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        flag_outliers)
+    df = rows([(float(x),) for x in
+               [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 100]], "v double")
+    out = flag_outliers(df, "v", None, method="iqr", k=1.5)
+    flagged = [r["v"] for r in out.collect() if r["is_outlier"]]
+    assert flagged == [100.0]
+
+
+def test_mask_columns_specs(rows):
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        mask_columns)
+    df = rows([(1, "4111111111111111", "ACME", 12.5),
+               (2, "abc", None, 0.0),
+               (3, None, "ACME", 3.0)],
+              "k int, card string, org string, bal double")
+    out = {r["k"]: r for r in mask_columns(
+        df, {"card": ("partial", 4), "org": "hash",
+             "bal": "redact"}).collect()}
+    assert out[1]["card"] == "************1111"
+    assert out[2]["card"] == "***"         # shorter than n: fully starred
+    assert out[3]["card"] is None
+    assert out[1]["org"] == out[3]["org"]  # deterministic: joinable token
+    assert out[2]["org"] is None
+    assert len(out[1]["org"]) == 64
+    assert all(r["bal"] is None for r in out.values())
+
+
+def test_mask_columns_fixed_and_unknown_spec(rows):
+    import pytest
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        mask_columns)
+    df = rows([(1, "x")], "k int, v string")
+    assert mask_columns(df, {"v": ("fixed", "REDACTED")}) \
+        .first()["v"] == "REDACTED"
+    with pytest.raises(ValueError, match="unknown spec"):
+        mask_columns(df, {"v": "rot13"})

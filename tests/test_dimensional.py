@@ -117,3 +117,56 @@ def test_scd2_apply_net_collapses_multirow_batches(rows):
     closed = [r for r in rows_ if not r["is_current"]]
     assert len(closed) == 1 and closed[0]["end_ts"] == dt.datetime(2025, 3, 1)
     assert all(r["k"] != 2 for r in rows_)
+
+
+def test_flatten_hierarchy_deep_chain_pointer_doubling(rows):
+    """A 20-deep chain resolves (doubling needs ~5 rounds, well under
+    the log2(max_depth) budget) with correct root/depth/path."""
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        flatten_hierarchy)
+    edges = rows([(i, i - 1 if i > 0 else None) for i in range(20)],
+                 "id long, parent_id long")
+    out = {r["id"]: r for r in flatten_hierarchy(edges).collect()}
+    assert len(out) == 20
+    assert out[0]["depth"] == 0 and out[0]["root_id"] == 0
+    assert out[19]["depth"] == 19 and out[19]["root_id"] == 0
+    assert out[19]["path"] == list(range(20))
+    assert out[7]["path"] == list(range(8))
+
+
+def test_flatten_hierarchy_forest_and_orphans(rows):
+    """Multiple roots; a node whose parent id is absent becomes the
+    root of its own subtree (late-arriving parent)."""
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        flatten_hierarchy)
+    edges = rows([(1, None), (2, 1), (10, None), (11, 10),
+                  (50, 99), (51, 50)],     # 99 does not exist
+                 "id long, parent_id long")
+    out = {r["id"]: r for r in flatten_hierarchy(edges).collect()}
+    assert out[2]["root_id"] == 1 and out[2]["depth"] == 1
+    assert out[11]["root_id"] == 10
+    assert out[50]["root_id"] == 50 and out[50]["depth"] == 0
+    assert out[51]["root_id"] == 50 and out[51]["path"] == [50, 51]
+
+
+def test_flatten_hierarchy_cycle_raises(rows):
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        flatten_hierarchy)
+    import pytest
+    edges = rows([(1, 2), (2, 1)], "id long, parent_id long")
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(edges, max_depth=8)
+
+
+def test_infer_late_members_defaults_and_flag(rows):
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        infer_late_members)
+    dim = rows([(1, "Alice", 100.0)], "k long, name string, bal double")
+    fact = rows([(1,), (2,), (2,), (None,)], "k long")
+    out = {r["k"]: r for r in
+           infer_late_members(fact, dim, "k",
+                              defaults={"name": "UNKNOWN"}).collect()}
+    assert len(out) == 2                     # NULL fact keys never infer
+    assert out[1]["is_inferred"] is False and out[1]["name"] == "Alice"
+    assert out[2]["is_inferred"] is True
+    assert out[2]["name"] == "UNKNOWN" and out[2]["bal"] is None

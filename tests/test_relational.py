@@ -133,3 +133,27 @@ def test_stratified_sample_rates(rows):
     assert 0 < got["a"] < 100               # downsampled around 10%
     with pytest.raises(ValueError):
         rel.stratified_sample(df, "k", {"a": 1.5})
+
+
+def test_exact_stratified_sample_deterministic_and_stable(rows):
+    from bi_etl_and_integration_spark.operators.relational import (
+        exact_stratified_sample)
+    df = rows([(i, "s" + str(i % 3)) for i in range(60)],
+              "id long, g string")
+    a = {(r["g"], r["id"]) for r in
+         exact_stratified_sample(df, "g", 5, "id").collect()}
+    b = {(r["g"], r["id"]) for r in
+         exact_stratified_sample(df, "g", 5, "id").collect()}
+    assert a == b and len(a) == 15           # exactly k per stratum
+    from collections import Counter
+    assert all(v == 5 for v in Counter(g for g, _ in a).values())
+    # growth stability: doubling the corpus can only REPLACE members
+    # with smaller-hash newcomers, never reshuffle survivors' ranks —
+    # the k winners of the union are the k smallest of the merged
+    # hash-ordered lists, so any original member still present in the
+    # bigger sample must have been in the smaller one
+    big = rows([(i, "s" + str(i % 3)) for i in range(120)],
+               "id long, g string")
+    bset = {(r["g"], r["id"]) for r in
+            exact_stratified_sample(big, "g", 5, "id").collect()}
+    assert all(m in a for m in bset if m[1] < 60)

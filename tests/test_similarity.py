@@ -190,3 +190,42 @@ def test_pq_topk_recall_vs_brute_force(rows):
         exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
     hit = sum(1 for r in approx if r["vec_id"] in exact_sets[r["query_id"]])
     assert hit / len(approx) >= 0.6, hit
+
+
+def test_kmeans_assign_argmin_and_ties(rows):
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+    df = rows([(1, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [5.0, 0.0])],
+              "vec_id long, embedding array<double>")
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    out = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(df, cents).collect()}
+    assert out[1] == 0 and out[2] == 1
+    assert out[3] == 0                       # exact tie: lower cid wins
+
+
+def test_kmeans_fit_matches_numpy_lloyd(rows):
+    import numpy as np
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit)
+    rng = np.random.RandomState(7)
+    pts = np.vstack([rng.randn(20, 3) + [0, 0, 0],
+                     rng.randn(20, 3) + [8, 8, 8]])
+    df = rows([(i, [float(x) for x in pts[i]]) for i in range(40)],
+              "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, 2, n_iter=4)
+    # reference Lloyd with the same deterministic seeding
+    ref = pts[:2].astype(float).copy()
+    for _ in range(4):
+        d = ((pts[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        lab = d.argmin(1)
+        for c in range(2):
+            if (lab == c).any():
+                ref[c] = pts[lab == c].mean(0)
+    got = np.array([v for _, v in cents])
+    assert np.allclose(got, ref, atol=1e-9)
+    # the two well-separated blobs split 20/20
+    from collections import Counter
+    sizes = Counter(r["cluster"] for r in
+                    kmeans_assign(df, cents).collect())
+    assert sorted(sizes.values()) == [20, 20]

@@ -133,3 +133,30 @@ def test_bm25_multi_term_and_idf(rows):
     import pytest
     with pytest.raises(ValueError, match="empty"):
         tx.bm25_rank(docs, [])
+
+
+def test_unigram_lm_score_self_and_foreign_model(rows):
+    from bi_etl_and_integration_spark.operators.text import (
+        unigram_lm_score)
+    import math
+    docs = rows([(1, "a a b"), (2, "a b c d")],
+                "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_score(docs).collect()}
+    # corpus: a=3, b=2, c=1, d=1, N=7
+    assert out[1]["n_tokens"] == 3 and out[1]["n_unseen"] == 0
+    exp1 = (2 * math.log(3 / 7) + math.log(2 / 7)) / 3
+    assert abs(out[1]["avg_logprob"] - exp1) < 1e-9
+    # doc 2 has two 1/7 tokens: rarer tokens -> lower avg logprob
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+
+    # foreign model: unseen tokens excluded from the mean, counted
+    train = rows([(9, "a b")], "doc_id long, text string")
+    from pyspark.sql import functions as F
+    m = (train.select(F.explode(F.split(F.lower("text"), " "))
+                      .alias("__tok"))
+         .groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt")))
+    out2 = {r["doc_id"]: r for r in
+            unigram_lm_score(docs, model=m).collect()}
+    assert out2[2]["n_unseen"] == 2          # c, d unseen
+    exp2 = math.log(1 / 2)                   # a,b each p=1/2, mean ln(1/2)
+    assert abs(out2[2]["avg_logprob"] - exp2) < 1e-9

@@ -121,3 +121,49 @@ def test_forward_fill_locf(rows):
     assert got[("a", 4)] == 10.0
     assert got[("a", 5)] == 20.0
     assert got[("b", 1)] is None          # fills never cross keys
+
+
+def test_window_funnel_levels_and_window(rows):
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.windows import (
+        window_funnel)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    data = [
+        # u1: full chain inside the window
+        (1, at(0), "view"), (1, at(10), "click"), (1, at(20), "buy"),
+        # u2: click before view -> stuck at level 1
+        (2, at(0), "click"), (2, at(10), "view"),
+        # u3: chain only completes from the LATER view (greedy-earliest
+        # would fail: buy@70 is outside 60m of view@0 but inside of
+        # view@30) — the max-start DP must find it
+        (3, at(0), "view"), (3, at(30), "view"),
+        (3, at(40), "click"), (3, at(70), "buy"),
+        # u4: same-timestamp chain counts (non-decreasing semantics)
+        (4, at(0), "view"), (4, at(0), "click"),
+        # u5: no step events at all -> absent from output
+        (5, at(0), "error"),
+    ]
+    df = rows(data, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r["funnel_level"] for r in window_funnel(
+        df, ["view", "click", "buy"], window="60 minutes").collect()}
+    assert out == {1: 3, 2: 1, 3: 3, 4: 2}
+
+
+def test_window_funnel_unbounded_and_validation(rows):
+    import datetime as dt
+    import pytest
+    from bi_etl_and_integration_spark.operators.windows import (
+        window_funnel)
+    t0 = dt.datetime(2024, 1, 1)
+    df = rows([(1, t0, "a"), (1, t0 + dt.timedelta(days=400), "b")],
+              "user_id long, ts timestamp, event_type string")
+    out = window_funnel(df, ["a", "b"]).collect()
+    assert out[0]["funnel_level"] == 2       # no window: any gap ok
+    with pytest.raises(ValueError, match="distinct"):
+        window_funnel(df, ["a", "a"])
+    with pytest.raises(ValueError, match="bad window"):
+        window_funnel(df, ["a", "b"], window="soon")
