@@ -417,3 +417,33 @@ def cohort_retention(events: DataFrame, *, user_col: str = "user_id",
                       off.cast("bigint").alias("period_offset"))
             .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
             .orderBy("cohort", "period_offset"))
+
+
+def period_over_period(df: DataFrame, ts_col: str, value: Column, *,
+                       grain: str = "week",
+                       by: Sequence[str] | None = None,
+                       value_col: str = "value") -> DataFrame:
+    """Period-over-period mart (WoW/MoM deltas — the standard
+    comparison columns next to every datamart time series): aggregate
+    ``value`` per truncated period (and ``by`` keys), then attach the
+    previous period's value, absolute delta, and percent change via
+    one LAG window.
+
+    Plan shape: one hash aggregate (map-side partial) shrinks the
+    input to |periods × groups| rows, so the window's shuffle moves
+    only the aggregated series — never the events.  Percent change is
+    NULL when there is no prior period or it was zero (never a
+    division error).
+    """
+    from pyspark.sql.window import Window
+    by = list(by or [])
+    period = F.date_trunc(grain, F.col(ts_col)).cast("date")
+    agg = (df.groupBy(*by, period.alias("period"))
+           .agg(value.alias(value_col)))
+    w = Window.partitionBy(*by).orderBy(F.col("period").asc())
+    prev = F.lag(F.col(value_col)).over(w)
+    return (agg.withColumn("prev_" + value_col, prev)
+            .withColumn("delta", F.col(value_col) - prev)
+            .withColumn("pct_change",
+                        F.when(prev.isNotNull() & (prev != 0),
+                               (F.col(value_col) - prev) / prev)))

@@ -311,3 +311,184 @@ def unigram_lm_score(docs: DataFrame, *, id_col: str = "doc_id",
                  F.avg(logp).alias("avg_logprob"),
                  F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_unseen")))
+
+
+def _bpe_train_vocab(word_freq: dict[str, int], n_merges: int,
+                     min_pair_count: int) -> list[tuple[str, str]]:
+    """Driver-side trainer over an in-memory (word, freq) vocabulary —
+    same algorithm and tie-break as the distributed rounds."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freq.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        nxt: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + f
+        vocab = nxt
+    return merges
+
+
+def bpe_train(docs: DataFrame, *, text_col: str = "text",
+              n_merges: int = 50, min_pair_count: int = 2,
+              distributed: bool | None = None,
+              collect_threshold: int = 200_000,
+              ) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge-table training (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    ACL 2016 — the published algorithm).  Trains on the WORD
+    VOCABULARY (distinct word, frequency), which is the standard
+    reduction: pair statistics over the corpus equal frequency-weighted
+    pair statistics over the vocab, and the vocab is orders of
+    magnitude smaller than the corpus.
+
+    The corpus-sized pass is ALWAYS distributed (explode + word-count
+    aggregate).  What happens next is sized to the vocab, exactly like
+    the IVF/PQ trainers: a vocab that fits the driver
+    (``<= collect_threshold`` distinct words — the common case even
+    for large corpora, and the regime every published BPE trainer
+    assumes) collects once and iterates in memory, where n_merges
+    rounds cost milliseconds instead of n_merges job waves.  A
+    web-scale vocab (``distributed=True``, or auto when the count
+    exceeds the threshold) stays in Spark: per merge round,
+    adjacent-pair counts via a zip_with(slice, slice) explode + hash
+    aggregate (ONE shuffle of (pair, partial-count) rows), the single
+    best pair collected to the driver (count desc, then lexicographic
+    — fully deterministic), and the merge applied with a left-to-right
+    greedy array fold (the published replacement order), state
+    localCheckpoint'd per round so the analyzer never sees a growing
+    plan.  Both paths implement the identical algorithm and tie-break
+    (regression-tested against each other); the driver ends up holding
+    ONLY the merge table either way.
+
+    Returns the ranked merge list; feed it to :func:`bpe_encode`.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    vocab = (docs.select(F.explode(toks).alias("__w"))
+             .groupBy("__w").agg(F.count(F.lit(1)).alias("__freq")))
+    if distributed is None:
+        # one job decides AND delivers: collect at most threshold+1
+        # vocab rows — if they all fit, that IS the training input
+        head = vocab.limit(collect_threshold + 1).collect()
+        if len(head) <= collect_threshold:
+            return _bpe_train_vocab(
+                {r["__w"]: r["__freq"] for r in head},
+                n_merges, min_pair_count)
+        distributed = True
+    if not distributed:
+        wf = {r["__w"]: r["__freq"] for r in vocab.collect()}
+        return _bpe_train_vocab(wf, n_merges, min_pair_count)
+    # split into character symbols + explicit end-of-word marker
+    state = vocab.select(
+        F.concat(F.split(F.col("__w"), ""),
+                 F.array(F.lit("</w>"))).alias("__syms"),
+        F.col("__freq")).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (state.select(
+            F.explode(F.zip_with(
+                F.slice(F.col("__syms"), 1, F.size("__syms") - 1),
+                F.slice(F.col("__syms"), 2, F.size("__syms") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+            .alias("__p"), F.col("__freq"))
+            .groupBy("__p").agg(F.sum("__freq").alias("__n")))
+        best = (pairs.orderBy(F.col("__n").desc(),
+                              F.col("__p.a").asc(),
+                              F.col("__p.b").asc())
+                .head(1))
+        if not best or best[0]["__n"] < min_pair_count:
+            break
+        a, b = best[0]["__p"]["a"], best[0]["__p"]["b"]
+        merges.append((a, b))
+        la, lb = F.lit(a), F.lit(b)
+        merged = F.aggregate(
+            F.col("__syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == la) & (s == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(la, lb))))
+            .otherwise(F.concat(acc, F.array(s))))
+        state = (state.withColumn("__syms", merged)
+                 .localCheckpoint(eager=True))
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], *,
+               text_col: str = "text",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a trained BPE merge table: tokenize each document into
+    subword units (lowercased whitespace words → greedy lowest-rank
+    pair merging, the published encoder).
+
+    Arrow ``mapInPandas``, not a per-merge JVM expression chain: the
+    encoder loops until no merge applies (rank-priority, not one pass
+    per merge), and inlining n_merges folds into one plan is
+    quadratic analyzer work for a fundamentally sequential per-word
+    loop.  Per-batch memory is the batch itself; the merge table
+    ships once per task as a plan constant.  Map-only — no shuffle.
+    """
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+    rank = {tuple(m): i for i, m in enumerate(merges)}
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))])
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        if word in cache:
+            return cache[word]
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            present = [rank[p] for p in zip(syms, syms[1:]) if p in rank]
+            if not present:
+                break
+            # merge ALL occurrences of the lowest-rank pair in one
+            # left-to-right sweep — exactly how training applied it
+            a, b = merges[min(present)]
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == a and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            col = pdf[text_col].map(
+                lambda t: [s for w in (t or "").lower().split(" ") if w
+                           for s in encode_word(w, cache)])
+            pdf = pdf.copy()
+            pdf[out_col] = col
+            yield pdf
+
+    return docs.mapInPandas(run, out_schema)

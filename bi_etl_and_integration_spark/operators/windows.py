@@ -151,6 +151,17 @@ def ntile_buckets(df: DataFrame, keys: Sequence[str],
     return df.withColumn(out_col, F.ntile(n).over(w))
 
 
+def _duration_us(text: str, err_prefix: str) -> int:
+    """'24 hours' / '30 minutes' -> microseconds (shared by the
+    event-time operators below)."""
+    import re
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", text.strip())
+    if not m:
+        raise ValueError(f"{err_prefix} {text!r} (use e.g. '24 hours')")
+    return int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600,
+                              "day": 86400}[m.group(2)] * 1_000_000
+
+
 def window_funnel(events: DataFrame, steps: Sequence[str], *,
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",
@@ -188,17 +199,8 @@ def window_funnel(events: DataFrame, steps: Sequence[str], *,
     step_idx = F.create_map(
         *[x for i, s in enumerate(steps)
           for x in (F.lit(s), F.lit(i))])[F.col(type_col)]
-    win_us = None
-    if window is not None:
-        import re
-        m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?",
-                         window.strip())
-        if not m:
-            raise ValueError(f"window_funnel: bad window {window!r} "
-                             "(use e.g. '24 hours')")
-        mult = {"second": 1, "minute": 60, "hour": 3600,
-                "day": 86400}[m.group(2)]
-        win_us = int(m.group(1)) * mult * 1_000_000
+    win_us = (None if window is None
+              else _duration_us(window, "window_funnel: bad window"))
     evs = (events.where(F.col(type_col).isin(steps))
            .select(F.col(user_col),
                    F.struct(
@@ -234,3 +236,34 @@ def window_funnel(events: DataFrame, steps: Sequence[str], *,
     return (per_user.select(F.col(user_col),
                             level.cast("int").alias(out_col))
             .where(F.col(out_col) > 0))
+
+
+def sessionize(events: DataFrame, *, user_col: str = "user_id",
+               ts_col: str = "ts", gap: str = "30 minutes",
+               order_tiebreak: Sequence[str] = (),
+               out_col: str = "session_seq") -> DataFrame:
+    """Batch sessionization: assign each event a per-user session
+    sequence number, starting a new session whenever the gap to the
+    previous event exceeds ``gap`` — the batch twin of the streaming
+    ``session_windowed_agg`` (same semantics, replayable on history).
+
+    One shuffle (window on ``user_col``), two window functions over
+    the SAME window spec (lag + running sum — Spark evaluates both in
+    one Window operator, no second Exchange).  Include
+    ``order_tiebreak`` columns (e.g. the event id) whenever distinct
+    events can share a timestamp: session NUMBERING is already
+    ts-deterministic, but a stable total order keeps plans replayable
+    row-for-row.
+    """
+    gap_us = _duration_us(gap, "sessionize: bad gap")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_tiebreak])
+    new_sess = F.when(
+        F.lag(t).over(w).isNull()
+        | ((t - F.lag(t).over(w)) > gap_us), 1).otherwise(0)
+    return events.withColumn(
+        out_col,
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"))

@@ -2917,3 +2917,64 @@ def q56(spark, cat):
     floor(day-diff/7) — engine-portable integer math (period starts
     are week-aligned, so the division is exact)."""
     return agg_ops.cohort_retention(cat.events, grain="week")
+
+
+@q("q57_sessionize",
+   "WITH o AS (SELECT event_id, user_id, ts, CASE WHEN "
+   "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+   "IS NULL OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY "
+   "user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS ns "
+   "FROM events) "
+   "SELECT event_id, user_id, CAST(SUM(ns) OVER (PARTITION BY user_id "
+   "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+   "AS session_seq FROM o ORDER BY event_id")
+def q57(spark, cat):
+    """Batch sessionization (30-minute inactivity gap): per-user
+    session numbering over history — the replayable batch twin of the
+    streaming session window (q41b)."""
+    out = win_ops.sessionize(cat.events, gap="30 minutes",
+                             order_tiebreak=["event_id"])
+    return (out.select("event_id", "user_id", "session_seq")
+            .orderBy("event_id"))
+
+
+@q("q58_period_over_period",
+   "WITH a AS (SELECT event_type, CAST(DATE_TRUNC('week', ts) AS DATE) "
+   "AS period, SUM(value) AS v FROM events GROUP BY 1, 2) "
+   "SELECT event_type, period, " + R("v") + " AS value, "
+   + R("LAG(v) OVER w") + " AS prev_value, "
+   + R("v - LAG(v) OVER w") + " AS delta, "
+   + R("CASE WHEN LAG(v) OVER w IS NOT NULL AND LAG(v) OVER w <> 0 "
+       "THEN (v - LAG(v) OVER w) / LAG(v) OVER w END") + " AS pct_change "
+   "FROM a WINDOW w AS (PARTITION BY event_type ORDER BY period) "
+   "ORDER BY event_type, period")
+def q58(spark, cat):
+    """Week-over-week mart: weekly revenue per event type with
+    previous-period value, delta, and percent change via one LAG
+    window over the aggregated series (the events never reach the
+    window's shuffle)."""
+    out = agg_ops.period_over_period(cat.events, "ts",
+                                     F.sum("value"), grain="week",
+                                     by=["event_type"])
+    return (out.select("event_type", "period",
+                       dec_round("value").alias("value"),
+                       dec_round("prev_value").alias("prev_value"),
+                       dec_round("delta").alias("delta"),
+                       dec_round("pct_change").alias("pct_change"))
+            .orderBy("event_type", "period"))
+
+
+@q("x31_bpe_train")  # rows-only: iterative argmax merge selection is
+def x31(spark, cat):  # not SQL-expressible (verified by pytest vs a
+    """BPE tokenizer training (Sennrich et al. 2016) on the document
+    corpus: the corpus pass (word counting) is distributed; the merge
+    iteration auto-sizes to the vocab — driver-side here (the vocab is
+    driver-sized, as for every published BPE trainer), Spark rounds
+    past ``collect_threshold`` (both paths regression-tested equal).
+    Output = the ranked merge table (deterministic: count desc, then
+    lexicographic tie-break), the artifact a training pipeline ships
+    to its tokenizer."""
+    merges = tx_ops.bpe_train(cat.documents, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string")

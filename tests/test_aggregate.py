@@ -240,3 +240,25 @@ def test_cohort_retention_weekly(rows):
            for r in cohort_retention(df).collect()}
     assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
+
+
+def test_period_over_period_deltas(rows):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        period_over_period)
+    df = rows([("a", dt.datetime(2024, 1, 2), 10.0),
+               ("a", dt.datetime(2024, 1, 3), 10.0),
+               ("a", dt.datetime(2024, 1, 10), 30.0),
+               ("a", dt.datetime(2024, 1, 16), 0.0),
+               ("a", dt.datetime(2024, 1, 23), 5.0)],
+              "g string, ts timestamp, v double")
+    out = {(r["g"], str(r["period"])): r for r in period_over_period(
+        df, "ts", F.sum("v"), grain="week", by=["g"]).collect()}
+    w1 = out[("a", "2024-01-01")]
+    assert w1["value"] == 20.0 and w1["prev_value"] is None \
+        and w1["pct_change"] is None
+    w2 = out[("a", "2024-01-08")]
+    assert w2["delta"] == 10.0 and abs(w2["pct_change"] - 0.5) < 1e-12
+    w4 = out[("a", "2024-01-22")]
+    assert w4["pct_change"] is None          # prev == 0: no division

@@ -190,3 +190,44 @@ def test_partition_pruning_static_and_dynamic(cat, spark, tmp_path):
          .select("o_orderkey", "attr"))
     assert "dynamicpruning" in plans.formatted_plan(j).lower(), \
         plans.formatted_plan(j)
+
+
+def test_flag_outliers_broadcasts_stats_not_rows(cat):
+    """The stats side (a few rows per group) must broadcast; the wide
+    input must NOT shuffle — a window over the group key would
+    Exchange every row instead."""
+    from bi_etl_and_integration_spark.operators import cleanse as cl_ops
+    df = cl_ops.flag_outliers(cat.events, "value", ["event_type"],
+                              method="zscore")
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+    # the only Exchange allowed is the tiny stats aggregate's own
+    assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_mask_and_kmeans_assign_are_zero_shuffle(cat):
+    """Masking and centroid assignment are plan-literal narrow maps:
+    no Exchange, no join, single codegen span over the scan."""
+    from bi_etl_and_integration_spark.operators import cleanse as cl_ops
+    from bi_etl_and_integration_spark.operators import (
+        similarity as sim_ops)
+    masked = cl_ops.mask_columns(
+        cat.customer, {"c_name": "hash", "c_acctbal": "redact"})
+    assert plans.shuffle_count(masked) == 0
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    assigned = sim_ops.kmeans_assign(cat.embeddings, cents)
+    assert plans.shuffle_count(assigned) == 0, \
+        plans.formatted_plan(assigned)
+    assert plans.broadcast_join_count(assigned) == 0
+
+
+def test_window_funnel_single_shuffle(cat):
+    """Funnel = one Exchange on user_id (collect+fold); the step
+    filter must reach the scan."""
+    from bi_etl_and_integration_spark.operators import (
+        windows as win_ops)
+    df = win_ops.window_funnel(cat.events,
+                               ["view", "click", "purchase"],
+                               window="24 hours")
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+    assert any("event_type" in p for p in plans.pushed_filters(df)), \
+        plans.formatted_plan(df)

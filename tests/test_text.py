@@ -160,3 +160,58 @@ def test_unigram_lm_score_self_and_foreign_model(rows):
     assert out2[2]["n_unseen"] == 2          # c, d unseen
     exp2 = math.log(1 / 2)                   # a,b each p=1/2, mean ln(1/2)
     assert abs(out2[2]["avg_logprob"] - exp2) < 1e-9
+
+
+def _ref_bpe_train(word_freq, n_merges, min_count=2):
+    """Reference Sennrich BPE on a python dict (test-only)."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i+1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference_and_encodes(rows):
+    from bi_etl_and_integration_spark.operators.text import (
+        bpe_encode, bpe_train)
+    docs = rows([(1, "low low low lower lower newest newest"),
+                 (2, "newest newest newest wider wider low")],
+                "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=10)       # auto: driver path
+    freq = {"low": 4, "lower": 2, "newest": 5, "wider": 2}
+    assert merges == _ref_bpe_train(freq, 10)
+    # the distributed rounds implement the identical algorithm
+    assert bpe_train(docs, n_merges=10, distributed=True) == merges
+    assert len(merges) > 3
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in
+           bpe_encode(docs, merges).collect()}
+    # re-joining subwords reproduces each word + terminal marker
+    joined = "".join(enc[1])
+    assert joined == "low</w>low</w>low</w>lower</w>lower</w>" \
+                     "newest</w>newest</w>"
+    # 'newest' appears 5x: frequent enough that training merged it to
+    # few symbols; every encoded word ends with the </w> marker
+    assert all(t.endswith("</w>") or "</w>" not in t
+               for t in enc[1] + enc[2])

@@ -167,3 +167,24 @@ def test_window_funnel_unbounded_and_validation(rows):
         window_funnel(df, ["a", "a"])
     with pytest.raises(ValueError, match="bad window"):
         window_funnel(df, ["a", "b"], window="soon")
+
+
+def test_sessionize_gap_numbering(rows):
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.windows import (
+        sessionize)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = rows([(1, 10, at(0)), (1, 11, at(10)), (1, 12, at(50)),
+               (1, 13, at(55)), (2, 20, at(0))],
+              "user_id long, event_id long, ts timestamp")
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(
+        df, gap="30 minutes", order_tiebreak=["event_id"]).collect()}
+    # 0 and 10 in session 1; 50 starts session 2 (gap 40m > 30m)
+    assert out == {10: 1, 11: 1, 12: 2, 13: 2, 20: 1}
+    import pytest
+    with pytest.raises(ValueError, match="bad gap"):
+        sessionize(df, gap="later")
