@@ -424,3 +424,33 @@ def mask_columns(df: DataFrame, rules: Mapping[str, object],
                              f"for column {col!r}")
         out = out.withColumn(col, m)
     return out
+
+
+def skew_report(df: DataFrame, key_cols: Sequence[str], *,
+                top: int = 10) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the measurement behind
+    the salting decision (``relational.salted_join`` /
+    ``aggregate.salted_aggregate`` fix what this detects): per-key row
+    counts for the ``top`` heaviest keys, each with its share of total
+    rows and the ratio to the MEAN key load.  A top key holding >5-10%
+    of rows (or ratio ≫ 100×) is the one that will pin a reducer at
+    100 TB.
+
+    Plan shape: one hash aggregate on the keys (map-side combine), a
+    1-row global-stats frame cross-joined back as a broadcast scalar,
+    TakeOrdered for the top slice — no total sort, no collect.
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.avg("n_rows").alias("__mean"))
+    return (counts.crossJoin(F.broadcast(stats))
+            .select(*key_cols, "n_rows",
+                    (F.col("n_rows") / F.col("__total"))
+                    .alias("share_of_rows"),
+                    (F.col("n_rows") / F.col("__mean"))
+                    .alias("x_mean"))
+            .orderBy(F.col("n_rows").desc(), *key_cols)
+            .limit(top))

@@ -263,3 +263,39 @@ def infer_late_members(fact: DataFrame, dim: DataFrame, key: str, *,
     inferred = missing.select(F.col(key), *attrs) \
         .withColumn(flag_col, F.lit(True))
     return dim.withColumn(flag_col, F.lit(False)).unionByName(inferred)
+
+
+def date_dimension(spark, start: str, end: str) -> DataFrame:
+    """Generate the calendar/date dimension every mart joins against
+    (the Kimball date table the reference's DW chapters assume exists):
+    one row per day in [start, end], with the standard attribute
+    columns, produced by a pure ``sequence``+``explode`` plan — no
+    driver-side loop, no RDD.
+
+    Columns: date_key (yyyymmdd int), date, year, quarter, month,
+    day, day_of_week (1=Monday..7), week_of_year (ISO), month_name,
+    is_weekend, is_month_start, is_month_end.
+
+    A century of days is ~36k rows — broadcast-sized by construction;
+    generation is a single task regardless (sequence is one array).
+    """
+    days = spark.range(1).select(F.explode(F.sequence(
+        F.lit(start).cast("date"), F.lit(end).cast("date"),
+        F.expr("interval 1 day"))).alias("date"))
+    d = F.col("date")
+    return days.select(
+        (F.year(d) * 10000 + F.month(d) * 100 + F.dayofmonth(d))
+        .cast("int").alias("date_key"),
+        d,
+        F.year(d).cast("int").alias("year"),
+        F.quarter(d).cast("int").alias("quarter"),
+        F.month(d).cast("int").alias("month"),
+        F.dayofmonth(d).cast("int").alias("day"),
+        F.weekday(d).cast("int").alias("day_of_week0"),
+        (F.weekday(d) + 1).cast("int").alias("day_of_week"),
+        F.weekofyear(d).cast("int").alias("week_of_year"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        (F.weekday(d) >= 5).alias("is_weekend"),
+        (F.dayofmonth(d) == 1).alias("is_month_start"),
+        (d == F.last_day(d)).alias("is_month_end"),
+    ).drop("day_of_week0")

@@ -361,3 +361,39 @@ def unpivot(df: DataFrame, ids: Sequence[str], cols: Sequence[str],
     """Unpivot via native melt (narrow op, no shuffle)."""
     return df.melt(ids=list(ids), values=list(cols),
                    variableColumnName=var_name, valueColumnName=value_name)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str, *, by: Sequence[str] | None = None,
+                    salt: int = 2654435761) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: keep the
+    k rows with the largest Efraimidis–Spirakis keys
+    ``u^(1/w)`` (Efraimidis & Spirakis, "Weighted random sampling with
+    a reservoir", IPL 2006 — the published one-pass algorithm), with
+    the uniform draw ``u`` derived from a multiplicative hash of the
+    row id instead of an RNG.  Inclusion probabilities follow the
+    weights exactly as in the paper, yet every engine — and every
+    rerun — selects the identical rows (the property that makes
+    training-data mixes auditable; cf. ``curation.det_rate``).
+
+    Equivalent ranking key: ``ln(u)/w`` descending (monotone transform
+    of ``u^(1/w)``; IEEE doubles make it bit-identical across
+    engines).  Rows with NULL or non-positive weight never win.
+    ``by`` draws k per group instead of k global.
+
+    Plan shape: one row_number window — shuffled on ``by`` when
+    grouped; the global form ranks via top-k (TakeOrdered), never a
+    total sort.
+    """
+    u = (F.pmod(F.col(id_col).cast("bigint") * F.lit(salt),
+                F.lit(4294967296)) + 1) / F.lit(4294967297.0)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w)        # larger = more likely kept
+    ranked = df.withColumn("__wk", key).where(F.col("__wk").isNotNull())
+    if by:
+        win = Window.partitionBy(*by).orderBy(
+            F.col("__wk").desc(), F.col(id_col).asc())
+        return (ranked.withColumn("__rk", F.row_number().over(win))
+                .where(F.col("__rk") <= k).drop("__rk", "__wk"))
+    return (ranked.orderBy(F.col("__wk").desc(), F.col(id_col).asc())
+            .limit(k).drop("__wk"))

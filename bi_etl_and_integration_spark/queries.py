@@ -2978,3 +2978,62 @@ def x31(spark, cat):  # not SQL-expressible (verified by pytest vs a
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string")
+
+
+@q("q59_date_dimension",
+   "SELECT CAST(YEAR(d)*10000 + MONTH(d)*100 + DAY(d) AS INTEGER) AS "
+   "date_key, CAST(d AS DATE) AS date, CAST(YEAR(d) AS INTEGER) AS year, "
+   "CAST(QUARTER(d) AS INTEGER) AS quarter, "
+   "CAST(MONTH(d) AS INTEGER) AS month, CAST(DAY(d) AS INTEGER) AS day, "
+   "CAST(ISODOW(d) AS INTEGER) AS day_of_week, "
+   "CAST(WEEKOFYEAR(d) AS INTEGER) AS week_of_year, "
+   "MONTHNAME(d) AS month_name, ISODOW(d) >= 6 AS is_weekend, "
+   "DAY(d) = 1 AS is_month_start, "
+   "CAST(d AS DATE) = LAST_DAY(CAST(d AS DATE)) AS is_month_end "
+   "FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', "
+   "INTERVAL 1 DAY) AS t(d) ORDER BY date_key")
+def q59(spark, cat):
+    """Kimball calendar dimension for 2024 (366 rows, leap year):
+    pure sequence+explode generation, attribute parity certified
+    against DuckDB's generate_series (ISO weekday/week numbering on
+    both sides)."""
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        date_dimension)
+    return date_dimension(spark, "2024-01-01", "2024-12-31") \
+        .orderBy("date_key")
+
+
+@q("x32_weighted_sample",
+   "SELECT doc_id, lang FROM (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+   "PARTITION BY lang ORDER BY LN(((doc_id * 2654435761) % 4294967296 "
+   "+ 1) / 4294967297.0) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rk "
+   "FROM documents WHERE n_chars > 0) t WHERE rk <= 5 ORDER BY doc_id")
+def x32(spark, cat):
+    """Deterministic weighted sampling (Efraimidis-Spirakis keys over
+    a multiplicative-hash uniform): 5 docs per language, selection
+    probability ∝ document length, yet the oracle reproduces the
+    EXACT membership — auditable training-data mixing."""
+    out = rel_ops.weighted_sample(
+        cat.documents.select("doc_id", "lang", "n_chars"),
+        "n_chars", 5, "doc_id", by=["lang"])
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@q("q60_skew_report",
+   "WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows "
+   "FROM orders GROUP BY o_custkey), "
+   "s AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total, "
+   "AVG(n_rows) AS mean FROM c) "
+   "SELECT c.o_custkey, c.n_rows, "
+   + R("c.n_rows / s.total", 6) + " AS share_of_rows, "
+   + R("c.n_rows / s.mean", 6) + " AS x_mean "
+   "FROM c CROSS JOIN s ORDER BY c.n_rows DESC, c.o_custkey LIMIT 10")
+def q60(spark, cat):
+    """Key-skew diagnostic on the orders fact's customer key: the
+    measurement that justifies (or vetoes) the salted-join/agg paths —
+    top-10 heaviest keys with share-of-rows and ratio-to-mean, via one
+    keyed aggregate + broadcast scalar stats + TakeOrdered."""
+    out = cl_ops.skew_report(cat.orders, ["o_custkey"], top=10)
+    return out.select("o_custkey", "n_rows",
+                      dec_round("share_of_rows", 6).alias("share_of_rows"),
+                      dec_round("x_mean", 6).alias("x_mean"))

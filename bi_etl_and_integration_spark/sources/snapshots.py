@@ -164,6 +164,26 @@ def _may_match(entry, predicates) -> bool:
     return True
 
 
+def _evolve_ddl(table_ddl: str, df_schema: T.StructType) -> str:
+    """Union-extend a manifest schema with an appended frame's schema:
+    table column order is preserved, brand-new columns append at the
+    end; a same-name column with a different type raises."""
+    table = T.StructType.fromDDL(table_ddl)
+    existing = {f.name: f.dataType.simpleString() for f in table.fields}
+    out = [f"{f.name} {existing[f.name]}" for f in table.fields]
+    for f in df_schema.fields:
+        new_t = f.dataType.simpleString()
+        if f.name in existing:
+            if existing[f.name] != new_t:
+                raise ValueError(
+                    f"evolve_schema: column {f.name!r} is "
+                    f"{existing[f.name]} in the table but {new_t} in "
+                    "the append — explicit cast or overwrite required")
+        else:
+            out.append(f"{f.name} {new_t}")
+    return ",".join(out)
+
+
 class SnapshotTable:
     """Handle on one snapshot table directory."""
 
@@ -242,10 +262,21 @@ class SnapshotTable:
     # ----------------------------------------------------------- write
 
     def write(self, df: DataFrame, mode: str = "overwrite", *,
+              evolve_schema: bool = False,
               max_retries: int = 20) -> int:
         """Commit ``df`` as the next version.  ``mode``: ``overwrite``
         replaces the file list, ``append`` extends the parent's.
         Returns the committed version number.
+
+        ``evolve_schema`` (append only): columns new to the table are
+        ADDED to the manifest schema (at the end, Delta
+        mergeSchema-style) instead of erroring; columns the append
+        lacks stay, NULL-filled for the new rows.  No data file is
+        rewritten — parquet column resolution is by NAME, so old files
+        simply lack the new column and read as NULL under the
+        manifest's (authoritative) union schema.  A column present on
+        both sides with a DIFFERENT type still errors: silent type
+        widening is how tables rot.
 
         Data files land under an unborn commit-uuid dir first; the
         manifest create is the only visibility switch, so a crash
@@ -273,10 +304,13 @@ class SnapshotTable:
             if mode == "append" and parent is not None:
                 pm = _read_manifest(self.path, parent)
                 if pm["schema"] != ddl:
-                    raise ValueError(
-                        "append schema mismatch: table has "
-                        f"[{pm['schema']}], appending [{ddl}] — "
-                        "overwrite to change schema")
+                    if not evolve_schema:
+                        raise ValueError(
+                            "append schema mismatch: table has "
+                            f"[{pm['schema']}], appending [{ddl}] — "
+                            "overwrite to change schema, or pass "
+                            "evolve_schema=True to union-extend it")
+                    ddl = _evolve_ddl(pm["schema"], df.schema)
                 files = pm["files"] + files
             version = (parent or 0) + 1
             manifest = {"version": version, "parent": parent,

@@ -194,3 +194,16 @@ def test_mask_columns_fixed_and_unknown_spec(rows):
         .first()["v"] == "REDACTED"
     with pytest.raises(ValueError, match="unknown spec"):
         mask_columns(df, {"v": "rot13"})
+
+
+def test_skew_report_orders_and_ratios(rows):
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        skew_report)
+    data = [("hot",)] * 60 + [("a",)] * 30 + [("b",)] * 9 + [("c",)]
+    df = rows(data, "k string")
+    out = skew_report(df, ["k"], top=2).collect()
+    assert [r["k"] for r in out] == ["hot", "a"]
+    hot = out[0]
+    assert hot["n_rows"] == 60
+    assert abs(hot["share_of_rows"] - 0.6) < 1e-12
+    assert abs(hot["x_mean"] - 60 / 25) < 1e-12   # mean key load = 25

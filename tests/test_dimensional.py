@@ -170,3 +170,19 @@ def test_infer_late_members_defaults_and_flag(rows):
     assert out[1]["is_inferred"] is False and out[1]["name"] == "Alice"
     assert out[2]["is_inferred"] is True
     assert out[2]["name"] == "UNKNOWN" and out[2]["bal"] is None
+
+
+def test_date_dimension_attributes(spark):
+    from bi_etl_and_integration_spark.operators.dimensional import (
+        date_dimension)
+    out = {r["date_key"]: r for r in
+           date_dimension(spark, "2024-01-01", "2024-03-31").collect()}
+    assert len(out) == 91                    # leap year Q1
+    jan1 = out[20240101]
+    assert (jan1["year"], jan1["quarter"], jan1["day_of_week"]) == \
+        (2024, 1, 1)                         # 2024-01-01 is a Monday
+    assert jan1["is_month_start"] and not jan1["is_month_end"]
+    feb29 = out[20240229]
+    assert feb29["is_month_end"] and feb29["month_name"] == "February"
+    sat = out[20240106]
+    assert sat["is_weekend"] and sat["day_of_week"] == 6

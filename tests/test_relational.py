@@ -157,3 +157,26 @@ def test_exact_stratified_sample_deterministic_and_stable(rows):
     bset = {(r["g"], r["id"]) for r in
             exact_stratified_sample(big, "g", 5, "id").collect()}
     assert all(m in a for m in bset if m[1] < 60)
+
+
+def test_weighted_sample_determinism_and_bias(rows):
+    from bi_etl_and_integration_spark.operators.relational import (
+        weighted_sample)
+    # weights: ids 0..199, weight 100x higher for ids >= 150
+    data = [(i, 100.0 if i >= 150 else 1.0) for i in range(200)]
+    df = rows(data, "id long, w double")
+    a = sorted(r["id"] for r in weighted_sample(df, "w", 20, "id").collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "w", 20, "id").collect())
+    assert a == b and len(a) == 20           # deterministic, exactly k
+    # heavy-weight stratum (25% of rows) should dominate the sample
+    assert sum(1 for i in a if i >= 150) >= 14
+    # zero/NULL weights never win
+    z = rows([(1, 0.0), (2, None), (3, 1.0)], "id long, w double")
+    assert [r["id"] for r in weighted_sample(z, "w", 3, "id").collect()] \
+        == [3]
+    # grouped: exactly k per group
+    g = rows([(i, "g" + str(i % 2), 1.0) for i in range(40)],
+             "id long, grp string, w double")
+    got = weighted_sample(g, "w", 4, "id", by=["grp"]).collect()
+    from collections import Counter
+    assert Counter(r["grp"] for r in got) == {"g0": 4, "g1": 4}

@@ -206,3 +206,34 @@ def test_compact_merges_small_files(spark, tmp_path):
     assert t.history()[-1]["operation"] == "compact"
     # pre-compaction version is still intact until vacuum
     assert len(t.read(v - 1).inputFiles()) == before
+
+
+def test_append_schema_evolution_union_and_nulls(spark, rows, tmp_path):
+    """evolve_schema=True: new columns append to the manifest schema;
+    old files read NULL for them, new files read NULL for columns
+    they lack; type conflicts still error."""
+    import pytest
+    from bi_etl_and_integration_spark.sources.snapshots import (
+        SnapshotTable)
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(rows([(1, "a")], "k long, v string"))
+    # plain append with a different schema still errors loudly
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.write(rows([(2, "b", 1.5)], "k long, v string, score double"),
+                mode="append")
+    t.write(rows([(2, "b", 1.5)], "k long, v string, score double"),
+            mode="append", evolve_schema=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 1.5)}
+    # dropped column on a later append: stays in schema, NULL-filled
+    t.write(rows([(3, 2.5)], "k long, score double"),
+            mode="append", evolve_schema=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got[3] == (None, 2.5) and len(got) == 3
+    # same name, different type: never silently widened
+    with pytest.raises(ValueError, match="explicit cast"):
+        t.write(rows([(4, "oops")], "k long, score string"),
+                mode="append", evolve_schema=True)
+    # history intact: four committed versions, all readable
+    assert len(t.versions()) == 3
+    assert {r["k"] for r in t.read(version=1).collect()} == {1}

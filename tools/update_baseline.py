@@ -38,6 +38,37 @@ def table(det: dict) -> str:
     return "\n".join(lines)
 
 
+#: queries whose ORACLE deliberately executes the brute-force
+#: specification SQL (quadratic theta-join / EXISTS-chain) while the
+#: engine runs the real algorithm — their DuckDB time measures the
+#: spec, not the engine, so the honest corpus ratio is reported both
+#: with and without them
+SPEC_ORACLES = ("q15_fuzzy_lookup", "q55_window_funnel")
+
+
+def spec_note(det: dict) -> str:
+    q, duck = det["queries"], det.get("duckdb", {})
+    spec = [k for k in SPEC_ORACLES
+            if duck.get(k, 0) > 0 and q.get(k, 0) > 0]
+    if not spec:
+        return ""
+    dd = sum(v for v in duck.values() if v > 0)
+    orc = sum(q[k] for k, v in duck.items()
+              if v > 0 and q.get(k, 0) > 0)
+    dd_ex = dd - sum(duck[k] for k in spec)
+    orc_ex = orc - sum(q[k] for k in spec)
+    names = ", ".join(spec)
+    return (f"\nThe oracled-set TOTAL is dominated by {names}: their "
+            "DuckDB side executes the brute-force *specification* SQL "
+            "(quadratic theta-join / EXISTS-chain) while Spark runs "
+            "the algorithm (blocked join rewrite / max-start DP) — "
+            "per-operator scale arguments in one number, but not an "
+            "engine-vs-engine measurement.  Excluding them: DuckDB "
+            f"{dd_ex:.2f} s vs Spark {orc_ex:.2f} s = "
+            f"{orc_ex / dd_ex:.2f}x — the floor-bound comparison that "
+            "Table 4 decomposes.\n")
+
+
 def delta_stats(det: dict) -> str:
     """One-sentence absolute-overhead decomposition for table 3."""
     import statistics as st
@@ -108,13 +139,14 @@ shows pruned scans, broadcasts, and bounded shuffles throughout, and Table 4 mea
 what actually happens when the data grows.
 
 {table(det)}
-
+{spec_note(det)}
 ## Table 4 — scale-growth evidence: headline set at sf1 (10× key-shifted shards, tools/make_scale.py)
 
 The decisive scale question is not the ratio at toy SF but the GROWTH EXPONENT: for 10×
-the data, whose wall time grows by what factor?  This table re-runs a 24-query headline
+the data, whose wall time grows by what factor?  This table re-runs a {len(sf1["queries"])}-query headline
 set — every family with real work: scans, multi-join marts, window funcs, percentiles,
-top-k, similarity, dedup, text features — at sf1 (6M-row lineitem; referential strides
+top-k, similarity, dedup, hierarchy/funnel/session analytics, text features — at sf1
+(6M-row lineitem; referential strides
 preserved per shard, regression-tested in tests/test_tools.py) on identical parquet for
 both engines, same symmetric digest consume.
 
