@@ -553,3 +553,48 @@ def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",
              if cid in by_c else vec)
             for cid, vec in cents]
     return cents
+
+
+def rrf_fuse(rankings: list[tuple[DataFrame, str]], *, id_col: str,
+             rrf_k: int = 60, query_col: str | None = None,
+             topn: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009 —
+    the published hybrid-retrieval combiner): fuse N candidate
+    rankings (e.g. BM25 lexical + embedding cosine) into one list by
+    ``sum over lists of 1/(rrf_k + rank)``.  Scores from different
+    systems are never compared directly — only ranks — which is the
+    whole point of RRF: no per-system score calibration.
+
+    ``rankings``: (DataFrame, score_col) pairs; rank within each list
+    is dense row_number by (score desc, id) — fully deterministic.
+    Items missing from a list simply contribute nothing (the
+    published convention).  Output: (id_col, rrf_score, n_lists).
+
+    Plan shape: each input gets one window (per ``query_col`` when
+    given), the union aggregates on id.  SCALE CONTRACT: inputs are
+    CANDIDATE LISTS (top-k output of a retriever), not corpora — with
+    no ``query_col`` the rank window is a single partition, which is
+    fine for k×N candidate rows and wrong for a billion-row input;
+    pass ``query_col`` for per-query fusion at scale.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs >= 2 rankings")
+    parts = []
+    keys = ([query_col] if query_col else []) + [id_col]
+    for df, score_col in rankings:
+        w = (Window.partitionBy(query_col) if query_col
+             else Window.partitionBy())
+        w = w.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(df.select(
+            *keys,
+            (1.0 / (F.lit(rrf_k) + F.row_number().over(w)))
+            .alias("__contrib")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    out = (allp.groupBy(*keys)
+           .agg(F.sum("__contrib").alias("rrf_score"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lists")))
+    out = out.orderBy(F.col("rrf_score").desc(),
+                      *[F.col(c).asc() for c in keys])
+    return out.limit(topn) if topn is not None else out

@@ -3037,3 +3037,58 @@ def q60(spark, cat):
     return out.select("o_custkey", "n_rows",
                       dec_round("share_of_rows", 6).alias("share_of_rows"),
                       dec_round("x_mean", 6).alias("x_mean"))
+
+
+@q("x33_hybrid_rrf",
+   "WITH dl AS (SELECT doc_id, len(list_filter(string_split(lower(text)"
+   ",' '), x -> x != '')) AS dl FROM documents), "
+   "ex AS (SELECT doc_id, unnest(list_filter(string_split(lower(text)"
+   ",' '), x -> x != '')) AS term FROM documents), "
+   "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex "
+   "WHERE term IN ('spark','merge','window') GROUP BY 1, 2), "
+   "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl), "
+   "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+   "bm AS (SELECT t.doc_id, "
+   + R("SUM(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) * t.tf * 2.2 /"
+       " (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))", 6)
+   + " AS s FROM tf t JOIN dfq d USING(term) "
+   "JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s GROUP BY 1), "
+   "br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) "
+   "AS r FROM bm), "
+   "cs AS (SELECT e.vec_id AS doc_id, "
+   + R("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+       "WHERE vec_id = 0))", 6)
+   + " AS s FROM embeddings e), "
+   "cr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) "
+   "AS r FROM cs), "
+   "u AS (SELECT doc_id, 1.0/(60+r) AS c FROM br "
+   "UNION ALL SELECT doc_id, 1.0/(60+r) FROM cr) "
+   "SELECT doc_id, " + R("SUM(c)", 6) + " AS rrf_score, "
+   "CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id "
+   "ORDER BY rrf_score DESC, doc_id LIMIT 20")
+def x33(spark, cat):
+    """Hybrid retrieval: BM25 lexical ranking + embedding-cosine
+    ranking (query = vec 0's embedding; the fixtures share the 0..N
+    id space by design) fused with reciprocal-rank fusion — the
+    published RRF combiner, no score calibration.  Both rankings
+    order by their ROUNDED score (ties broken by id) so candidate
+    order is bit-deterministic across engines; the fused top-20 is
+    value-verified end to end."""
+    bm = tx_ops.bm25_rank(cat.documents, ["spark", "merge", "window"])
+    bm = bm.select("doc_id", dec_round("bm25_score", 6).alias("s"))
+    qvec = cat.embeddings.where(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("__q"))
+    cs = (cat.embeddings.crossJoin(F.broadcast(qvec))
+          .select(F.col("vec_id").alias("doc_id"),
+                  dec_round(sim_ops.cosine_similarity(
+                      F.col("embedding"), F.col("__q")), 6).alias("s")))
+    fused = sim_ops.rrf_fuse([(bm, "s"), (cs, "s")], id_col="doc_id")
+    # the top-20 cut uses the ROUNDED score (ties -> id), mirroring
+    # the oracle exactly — unrounded sums could order near-ties
+    # differently at the boundary
+    return (fused.select("doc_id",
+                         dec_round("rrf_score", 6).alias("rrf_score"),
+                         "n_lists")
+            .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+            .limit(20))

@@ -113,3 +113,27 @@ def foreach_batch_upsert_snapshot(stream_df: DataFrame, *,
     return (stream_df.writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update"))
+
+
+def stream_enrich(stream_df: DataFrame, dim: DataFrame,
+                  on: Sequence[str], *, how: str = "left",
+                  broadcast: bool = True) -> DataFrame:
+    """Stream-static enrichment — the streaming twin of the Lookup
+    Full Cache (PRO/Глава 07:33-39): join a stream against a batch
+    dimension table.  Stream-static joins are STATELESS in Spark
+    (each micro-batch joins the dimension's current snapshot — no
+    watermark, no state store), so this is the right shape for
+    dimension lookups in a CDC/event pipeline; broadcast ships the
+    dimension once per executor per batch.
+
+    ``how`` is validated against what stream-static supports: inner
+    and left (stream side preserved).  A right/full join against a
+    static frame is not streamable — rejected up front rather than
+    failing at start().
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream_enrich: how={how!r} unsupported — stream-static "
+            "joins stream on the left: use 'inner' or 'left'")
+    d = F.broadcast(dim) if broadcast else dim
+    return stream_df.join(d, list(on), how)

@@ -229,3 +229,23 @@ def test_kmeans_fit_matches_numpy_lloyd(rows):
     sizes = Counter(r["cluster"] for r in
                     kmeans_assign(df, cents).collect())
     assert sorted(sizes.values()) == [20, 20]
+
+
+def test_rrf_fuse_ranks_and_missing_items(rows):
+    from bi_etl_and_integration_spark.operators.similarity import (
+        rrf_fuse)
+    import pytest
+    lex = rows([(1, 9.0), (2, 5.0), (3, 1.0)], "id long, s double")
+    vec = rows([(2, 0.9), (4, 0.8)], "id long, s double")
+    out = {r["id"]: r for r in
+           rrf_fuse([(lex, "s"), (vec, "s")], id_col="id").collect()}
+    # item 2: rank 2 lexically, rank 1 vectorially
+    assert abs(out[2]["rrf_score"] - (1/62 + 1/61)) < 1e-15
+    assert out[2]["n_lists"] == 2
+    assert out[1]["n_lists"] == 1 and abs(out[1]["rrf_score"] - 1/61) < 1e-15
+    assert out[4]["n_lists"] == 1            # only in the vector list
+    # consensus item beats either single-list item
+    top = sorted(out.values(), key=lambda r: -r["rrf_score"])[0]
+    assert top["id"] == 2
+    with pytest.raises(ValueError, match=">= 2"):
+        rrf_fuse([(lex, "s")], id_col="id")

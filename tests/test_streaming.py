@@ -321,3 +321,28 @@ def test_snapshot_upsert_replay_is_idempotent(spark, rows, tmp_path):
     second = sorted((r["k"], r["v"]) for r in t.read().collect())
     assert first == second == [(1, "a2"), (2, "b")]
     assert t.latest_version() == 2        # replay is a new (equal) version
+
+
+def test_stream_enrich_static_dim(spark, rows, tmp_path):
+    """Stream-static lookup: rate-free file stream joined to a static
+    dim; misses keep stream rows (left join), and unsupported join
+    modes fail fast."""
+    import pytest
+    from bi_etl_and_integration_spark.streaming.runner import (
+        stream_enrich, stream_to_memory)
+    src = tmp_path / "events_in"
+    rows([(1, 10.0), (2, 20.0), (9, 90.0)],
+         "dim_id long, value double").write.parquet(str(src))
+    dim = rows([(1, "gold"), (2, "silver")], "dim_id long, tier string")
+    stream = (spark.readStream.schema("dim_id long, value double")
+              .parquet(str(src)))
+    with pytest.raises(ValueError, match="unsupported"):
+        stream_enrich(stream, dim, ["dim_id"], how="full")
+    q = stream_to_memory(
+        stream_enrich(stream, dim, ["dim_id"]), "enriched")
+    try:
+        got = {r["dim_id"]: r["tier"]
+               for r in spark.table("enriched").collect()}
+        assert got == {1: "gold", 2: "silver", 9: None}
+    finally:
+        q.stop()
