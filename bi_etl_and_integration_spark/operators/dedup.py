@@ -454,3 +454,39 @@ def embedding_dedup_multiprobe(df: DataFrame, vec_col: str = "embedding",
 def _dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     return int(row[0]["d"]) if row else 0
+
+
+def dedup_canonicalize(df: DataFrame, pairs: DataFrame, *,
+                       id_col: str = "doc_id",
+                       canonical_col: str = "canonical_id") -> DataFrame:
+    """End-to-end near-dup RESOLUTION: turn a pair list (``id_a``,
+    ``id_b`` from any of this module's pair generators) into a
+    per-document canonical assignment — the step that actually
+    shrinks a training corpus, where the pair stages only diagnose.
+
+    Near-duplication is not transitive pair-by-pair (A~B, B~C but
+    A!~C), yet a corpus cut must be: the published convention
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") is to drop all but one document per CONNECTED
+    COMPONENT of the similarity graph.  This composes the
+    O(log² n)-round large-star/small-star
+    :func:`~bi_etl_and_integration_spark.operators.fuzzy.connected_components`
+    over the pair edges (bounded: only documents appearing in a pair
+    enter the graph) and keeps the minimum id per component.
+
+    Returns every row of ``df`` plus ``canonical_col`` (= own id for
+    non-duplicated docs) and ``is_dup`` (true iff this row loses to a
+    lower-id component member — ``WHERE NOT is_dup`` is the deduped
+    corpus).  Determinism: min-id canonical election is order-free.
+    """
+    from bi_etl_and_integration_spark.operators.fuzzy import (
+        connected_components)
+    comp = connected_components(pairs, "id_a", "id_b")
+    comp = comp.select(F.col("id").alias(id_col),
+                       F.col("component").alias("__comp"))
+    out = (df.join(comp, id_col, "left")
+           .withColumn(canonical_col,
+                       F.coalesce(F.col("__comp"), F.col(id_col)))
+           .drop("__comp"))
+    return out.withColumn("is_dup",
+                          F.col(canonical_col) != F.col(id_col))

@@ -598,3 +598,61 @@ def rrf_fuse(rankings: list[tuple[DataFrame, str]], *, id_col: str,
     out = out.orderBy(F.col("rrf_score").desc(),
                       *[F.col(c).asc() for c in keys])
     return out.limit(topn) if topn is not None else out
+
+
+def semantic_dedup(df: DataFrame,
+                   centroids: list[tuple[int, list[float]]], *,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   threshold: float = 0.9,
+                   cluster_col: str = "cluster",
+                   max_cluster_rows: int = 2_000_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate PRUNING — cluster the embedding space, then inside
+    each cluster drop every item whose cosine similarity to a
+    LOWER-ID cluster member reaches ``threshold``.  The survivor set
+    is exactly the published greedy keep-first rule (iterate ids
+    ascending, keep an item iff no already-kept*/seen item dominates
+    it — *a dominated item is itself dominated by a kept one only
+    under transitivity, which SemDeDup deliberately approximates by
+    "any earlier neighbor", so the drop test is against ALL earlier
+    cluster members; that makes it a pure self-join, no iteration).
+
+    Plan shape — why this survives 100 TB where naive semantic dedup
+    dies: the pairwise test runs ONLY within a cluster (one shuffle on
+    the cluster key for each join side), so the quadratic term is
+    bounded by the largest cluster, a dial the caller controls with k.
+    Assignment itself is the :func:`kmeans_assign` plan literal — a
+    narrow zero-shuffle map.  ``max_cluster_rows`` is the same loud
+    hot-bucket guard the LSH family uses: a degenerate cluster (k too
+    small for the corpus) fails with instructions instead of running
+    an executor out of memory on an n x n join.
+
+    Determinism contract: the cosine is the same double-precision
+    sequential fold as :func:`cosine_similarity`, so an oracle that
+    folds left-to-right reproduces the survivor set bit for bit.
+    Returns the surviving rows of ``df`` plus ``cluster_col``.
+    """
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col,
+                             out_col=cluster_col)
+    sizes = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("__n"))
+    big = sizes.where(F.col("__n") > max_cluster_rows).limit(1).collect()
+    if big:
+        raise ValueError(
+            f"semantic_dedup: cluster {big[0][0]} has {big[0][1]} rows "
+            f"(cap {max_cluster_rows}); raise k (more centroids) or "
+            f"max_cluster_rows — the within-cluster join is O(n^2)")
+    lo = assigned.select(F.col(cluster_col).alias("__c"),
+                         F.col(id_col).alias("__id_lo"),
+                         F.col(vec_col).alias("__v_lo"))
+    hi = assigned.select(F.col(cluster_col).alias("__c"),
+                         F.col(id_col).alias("__id_hi"),
+                         F.col(vec_col).alias("__v_hi"))
+    dominated = (hi.join(lo, "__c")
+                 .where(F.col("__id_lo") < F.col("__id_hi"))
+                 .where(cosine_similarity(F.col("__v_hi"),
+                                          F.col("__v_lo"))
+                        >= F.lit(float(threshold)))
+                 .select(F.col("__id_hi").alias(id_col))
+                 .distinct())
+    return assigned.join(dominated, id_col, "left_anti")

@@ -10,6 +10,7 @@ document fingerprinting.  Each runs as a single narrow projection over
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -492,3 +493,46 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], *,
             yield pdf
 
     return docs.mapInPandas(run, out_schema)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", *,
+                   form: str | None = "NFC", strip_control: bool = True,
+                   collapse_whitespace: bool = True,
+                   out_col: str | None = None) -> DataFrame:
+    """Unicode + whitespace normalization — the canonical first stage
+    of a web-corpus pipeline (and the precondition for exact dedup:
+    'café' composed and decomposed must hash identically).
+
+    Three independently-switchable steps, applied in this order:
+
+    1. ``form`` — Unicode normalization (NFC/NFKC/NFD/NFKD).  Spark
+       has no built-in normalizer, so this is the ONE Python step: an
+       Arrow ``pandas_udf`` over ``unicodedata.normalize``.  Pure-ASCII
+       strings short-circuit inside the batch (``str.isascii`` — ASCII
+       is invariant under all four forms), so a mostly-ASCII corpus
+       pays Arrow transfer but near-zero CPU; pass ``form=None`` to
+       skip the Python stage entirely.
+    2. ``strip_control`` — drop C0/C1 control chars (keeping \\t \\n \\r
+       for the collapse step to fold) — JVM ``regexp_replace``.
+    3. ``collapse_whitespace`` — runs of whitespace to one space +
+       trim — JVM ``regexp_replace``.
+
+    Steps 2-3 stay whole-stage-codegen'd; only step 1 leaves the JVM.
+    Narrow map, no shuffle — safe at any scale.
+    """
+    c = F.col(text_col)
+    if form is not None:
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"normalize_text: unknown form {form!r}")
+        @F.pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            import unicodedata
+            return s.map(lambda t: t if t is None or t.isascii()
+                         else unicodedata.normalize(form, t))
+
+        c = _norm(c)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col or text_col, c)

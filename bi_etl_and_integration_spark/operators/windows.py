@@ -267,3 +267,97 @@ def sessionize(events: DataFrame, *, user_col: str = "user_id",
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("bigint"))
+
+
+def _seq_sorted_types(events: DataFrame, pattern: Sequence[str], *,
+                      user_col: str, ts_col: str, type_col: str,
+                      tiebreak: Sequence[str]) -> DataFrame:
+    """Per user: the time-ordered array of step types among events
+    whose type appears in ``pattern`` (one shuffle: groupBy + sorted
+    collect).  Equal timestamps order by ``tiebreak`` then type, so
+    the fold below is deterministic under replay."""
+    ev = F.struct(
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("t"),
+        *[F.col(c).alias(f"b{i}") for i, c in enumerate(tiebreak)],
+        F.col(type_col).alias("y"))
+    return (events.where(F.col(type_col).isin(list(set(pattern))))
+            .select(F.col(user_col), ev.alias("__ev"))
+            .groupBy(user_col)
+            .agg(F.transform(F.array_sort(F.collect_list("__ev")),
+                             lambda e: e["y"]).alias("__types")))
+
+
+def sequence_match(events: DataFrame, pattern: Sequence[str], *,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   tiebreak: Sequence[str] = (),
+                   out_col: str = "matched") -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*...')`` parity: did the
+    user's event stream contain ``pattern`` as a time-ordered
+    SUBSEQUENCE (other events freely interleaved)?  Unlike
+    :func:`window_funnel` there is no time bound and pattern steps may
+    repeat (``['view','view','purchase']`` = two views then a buy).
+
+    Returns ``(user_col, out_col bool)``, one row per user with at
+    least one pattern-step event (absent user = no match, by absence).
+
+    Plan shape: filter to step events, ONE shuffle to collect+sort
+    per user, then a sequential O(events) array fold advancing a
+    match pointer — the textbook greedy subsequence automaton, which
+    is exact for subsequence matching (earliest-completion choices
+    never hurt).  All JVM codegen; per-user memory = its step events,
+    the same bound sessionization holds.
+    """
+    pattern = list(pattern)
+    if not pattern:
+        raise ValueError("sequence_match: empty pattern")
+    pat = F.array(*[F.lit(s) for s in pattern])
+    k = len(pattern)
+    per_user = _seq_sorted_types(events, pattern, user_col=user_col,
+                                 ts_col=ts_col, type_col=type_col,
+                                 tiebreak=tiebreak)
+    pos = F.aggregate(
+        F.col("__types"), F.lit(0),
+        # least() clamps the probe once the pattern is consumed —
+        # ANSI element_at(pat, k+1) would throw, and & does not
+        # short-circuit
+        lambda acc, y: F.when(
+            (acc < k)
+            & (y == F.element_at(pat, F.least(acc + 1, F.lit(k)))),
+            acc + 1).otherwise(acc))
+    return per_user.select(F.col(user_col),
+                           (pos >= k).alias(out_col))
+
+
+def sequence_count(events: DataFrame, pattern: Sequence[str], *,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   tiebreak: Sequence[str] = (),
+                   out_col: str = "n_matches") -> DataFrame:
+    """ClickHouse ``sequenceCount`` parity: how many NON-OVERLAPPING
+    subsequence matches of ``pattern`` does each user's stream hold?
+    The search restarts right after each completed chain (greedy
+    left-to-right — the count a lazy-quantifier regex scan produces
+    over the same symbol string, which is how the oracle certifies
+    it).  Same single-shuffle collect+fold plan as
+    :func:`sequence_match`, with the fold state = (pointer, count).
+    """
+    pattern = list(pattern)
+    if not pattern:
+        raise ValueError("sequence_count: empty pattern")
+    pat = F.array(*[F.lit(s) for s in pattern])
+    k = len(pattern)
+    per_user = _seq_sorted_types(events, pattern, user_col=user_col,
+                                 ts_col=ts_col, type_col=type_col,
+                                 tiebreak=tiebreak)
+    init = F.struct(F.lit(0).alias("p"), F.lit(0).alias("n"))
+    def step(acc, y):
+        nxt = F.when(y == F.element_at(pat, acc["p"] + 1),
+                     acc["p"] + 1).otherwise(acc["p"])
+        done = nxt >= k
+        return F.struct(
+            F.when(done, F.lit(0)).otherwise(nxt).alias("p"),
+            (acc["n"] + done.cast("int")).alias("n"))
+    st = F.aggregate(F.col("__types"), init, step)
+    return per_user.select(F.col(user_col),
+                           st["n"].cast("bigint").alias(out_col))

@@ -3092,3 +3092,149 @@ def x33(spark, cat):
                          "n_lists")
             .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
             .limit(20))
+
+
+# ===================================== round-2 additions: semantic ops
+
+_COS_SQL = ("(list_aggregate(list_transform(list_zip({a}, {b}), "
+            "p -> p[1]*p[2]), 'sum') / GREATEST("
+            "sqrt(list_aggregate(list_transform({a}, v -> v*v), 'sum'))"
+            " * "
+            "sqrt(list_aggregate(list_transform({b}, v -> v*v), 'sum'))"
+            ", 1e-12))")
+
+
+@q("x34_semantic_dedup",
+   "WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+   "FROM embeddings WHERE vec_id < 8), "
+   "a AS (SELECT e.vec_id, c.cid, list_aggregate(list_transform("
+   "list_zip(CAST(e.embedding AS DOUBLE[]), c.cv), "
+   "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d "
+   "FROM embeddings e CROSS JOIN c), "
+   "r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+   "ORDER BY d, cid) AS rk FROM a), "
+   "asg AS (SELECT vec_id, cid AS cluster FROM r WHERE rk = 1), "
+   "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve "
+   "FROM embeddings), "
+   "dom AS (SELECT DISTINCT hi.vec_id FROM asg hi "
+   "JOIN asg lo ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id "
+   "JOIN v vh ON vh.vec_id = hi.vec_id "
+   "JOIN v vl ON vl.vec_id = lo.vec_id "
+   "WHERE " + _COS_SQL.format(a="vh.ve", b="vl.ve") + " >= 0.15) "
+   "SELECT g.vec_id, g.cluster FROM asg g "
+   "LEFT JOIN dom d ON d.vec_id = g.vec_id WHERE d.vec_id IS NULL "
+   "ORDER BY g.vec_id")
+def x34(spark, cat):
+    """SemDeDup (Abbas et al. 2023) semantic pruning, oracle-matched
+    end to end: plan-literal nearest-centroid assignment (the x30
+    fixed deterministic centroids) + within-cluster drop of any
+    vector cosine-dominated by a lower id.  The oracle re-derives the
+    survivor set with an independent cross-join argmin + self-join —
+    the threshold compare uses the SAME double sequential fold on
+    both engines, so the survivor set matches bit for bit.  Fixture
+    embeddings are near-random; threshold 0.15 keeps a real drop set."""
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in cat.embeddings.where(F.col("vec_id") < 8)
+             .select("vec_id", "embedding").collect()]
+    out = sim_ops.semantic_dedup(cat.embeddings, cents, threshold=0.15)
+    return out.select("vec_id", "cluster").orderBy("vec_id")
+
+
+@q("x35_normalize_text",
+   "SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize("
+   "text || '  Cafe' || chr(769) || ' ' || chr(7) || ' no' || chr(776)"
+   " || 'el'), "
+   r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), "
+   r"'\s+', ' ', 'g')) AS text "
+   "FROM documents ORDER BY doc_id")
+def x35(spark, cat):
+    """Unicode + whitespace normalization, oracle-matched against
+    DuckDB's ``nfc_normalize``: a decomposed suffix (combining acute /
+    diaeresis), a BEL control char, and doubled spaces are appended to
+    every document, then ``text.normalize_text`` must compose, strip,
+    and collapse them identically to the oracle's
+    nfc_normalize+regexp pipeline.  The Python stage touches ONLY
+    non-ASCII rows (isascii short-circuit) — the appended suffix makes
+    every row take the real normalization path here."""
+    dirty = cat.documents.withColumn(
+        "text", F.concat(F.col("text"),
+                         F.lit("  Cafe\u0301 \x07 no\u0308el")))
+    return (tx_ops.normalize_text(dirty, "text", form="NFC")
+            .select("doc_id", "text").orderBy("doc_id"))
+
+
+@q("q61_sequence_match",
+   "WITH s AS (SELECT user_id, string_agg(CASE event_type "
+   "WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' ELSE 'p' END, '' "
+   "ORDER BY ts, event_id) AS seq FROM events "
+   "WHERE event_type IN ('view','click','purchase') GROUP BY user_id) "
+   "SELECT user_id, regexp_matches(seq, 'v.*c.*p') AS matched "
+   "FROM s ORDER BY user_id")
+def q61(spark, cat):
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` parity: per
+    user, does view -> click -> purchase occur as a time-ordered
+    subsequence (no window bound — the bounded variant is q55's
+    funnel)?  Engine: single-shuffle collect+sort + greedy subsequence
+    automaton fold; oracle: the event stream rendered to a symbol
+    string and matched with the equivalent regex — two
+    independently-derived formulations."""
+    return win_ops.sequence_match(
+        cat.events, ["view", "click", "purchase"],
+        tiebreak=["event_id"]).orderBy("user_id")
+
+
+@q("q61b_sequence_count",
+   "WITH s AS (SELECT user_id, string_agg(CASE event_type "
+   "WHEN 'view' THEN 'v' ELSE 'p' END, '' ORDER BY ts, event_id) "
+   "AS seq FROM events WHERE event_type IN ('view','purchase') "
+   "GROUP BY user_id) SELECT user_id, "
+   "CAST(len(regexp_extract_all(seq, 'v.*?p')) AS BIGINT) "
+   "AS n_matches FROM s ORDER BY user_id")
+def q61b(spark, cat):
+    """ClickHouse ``sequenceCount`` parity: non-overlapping
+    view -> purchase chains per user.  The greedy restart-after-match
+    fold is certified by the oracle's LAZY-quantifier regex scan
+    (non-overlapping leftmost matches restart after each match end —
+    the same automaton)."""
+    return win_ops.sequence_count(
+        cat.events, ["view", "purchase"],
+        tiebreak=["event_id"]).orderBy("user_id")
+
+
+@q("x36_dedup_canonical",
+   r"WITH RECURSIVE base AS (SELECT doc_id AS id, list_filter("
+   r"string_split(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', "
+   r"'g'), ' '), x -> x != '') AS toks FROM documents), "
+   "sh AS (SELECT id, CASE WHEN len(toks) < 3 "
+   "THEN [array_to_string(toks, ' ')] "
+   "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+   "i -> array_to_string(toks[i:i+2], ' '))) END AS sh, "
+   "array_to_string(toks[1:3], ' ') AS blk FROM base), "
+   "pr AS (SELECT a.id AS ia, b.id AS ib FROM sh a "
+   "JOIN sh b ON a.blk = b.blk AND a.id < b.id "
+   "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+   "GREATEST(len(list_distinct(a.sh || b.sh)), 1) >= 0.5), "
+   "und AS (SELECT ia AS a, ib AS b FROM pr "
+   "UNION SELECT ib, ia FROM pr), "
+   "reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM und) n "
+   "UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b), "
+   "comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a) "
+   "SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical_id, "
+   "COALESCE(c.comp, d.doc_id) <> d.doc_id AS is_dup "
+   "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id "
+   "ORDER BY d.doc_id")
+def x36(spark, cat):
+    """End-to-end near-dup RESOLUTION, oracle-matched: the x04 blocked
+    n-gram Jaccard pairs fed through large-star/small-star connected
+    components and min-id canonical election
+    (``dedup.dedup_canonicalize``).  The oracle re-derives the same
+    clusters with a recursive-CTE transitive closure — the first
+    value-verified certificate for the CC operator itself (the fuzzy-
+    grouping CC queries are rows-only by their approximate pair
+    stage)."""
+    pairs = dd_ops.ngram_jaccard_dedup(cat.documents, "text", "doc_id",
+                                       n=3, threshold=0.5)
+    out = dd_ops.dedup_canonicalize(
+        cat.documents.select("doc_id"), pairs, id_col="doc_id")
+    return (out.select("doc_id", "canonical_id", "is_dup")
+            .orderBy("doc_id"))

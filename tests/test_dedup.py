@@ -165,3 +165,20 @@ def test_embedding_dedup_hot_bucket_cap_raises(rows):
                                  max_bucket_rows=10)
     with pytest.raises(Exception, match="n_planes"):
         guarded.collect()
+
+
+def test_dedup_canonicalize_components(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.dedup import (
+        dedup_canonicalize)
+    docs = rows([(i,) for i in range(1, 8)], "doc_id long")
+    # components: {1,2,3} (chain, NOT a clique: 1~2, 2~3 only),
+    # {5,6}; 4 and 7 untouched
+    pairs = rows([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in dedup_canonicalize(docs, pairs).collect()}
+    assert out == {1: (1, False), 2: (1, True), 3: (1, True),
+                   4: (4, False), 5: (5, False), 6: (5, True),
+                   7: (7, False)}
+    kept = sorted(k for k, (_, d) in out.items() if not d)
+    assert kept == [1, 4, 5, 7]

@@ -249,3 +249,19 @@ def test_rrf_fuse_ranks_and_missing_items(rows):
     assert top["id"] == 2
     with pytest.raises(ValueError, match=">= 2"):
         rrf_fuse([(lex, "s")], id_col="id")
+
+
+def test_semantic_dedup_drops_dominated(rows):
+    from bi_etl_and_integration_spark.operators.similarity import (
+        semantic_dedup)
+    import pytest
+    # two well-separated clusters; ids 2 and 3 duplicate id 1's
+    # direction (cosine 1.0), id 11 is opposite to 10 (cosine -1)
+    df = rows([(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.9, 0.0]),
+               (10, [0.0, 1.0]), (11, [0.0, -1.0])],
+              "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = semantic_dedup(df, cents, threshold=0.9)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 10, 11]
+    with pytest.raises(ValueError, match="cap"):
+        semantic_dedup(df, cents, threshold=0.9, max_cluster_rows=2)

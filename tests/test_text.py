@@ -215,3 +215,24 @@ def test_bpe_train_matches_reference_and_encodes(rows):
     # few symbols; every encoded word ends with the </w> marker
     assert all(t.endswith("</w>") or "</w>" not in t
                for t in enc[1] + enc[2])
+
+
+def test_normalize_text_nfc_control_whitespace(rows):
+    from bi_etl_and_integration_spark.operators.text import (
+        normalize_text)
+    import pytest
+    df = rows([(1, "a  Cafe\u0301\tx"), (2, "b\x07c"), (3, None),
+               (4, "plain ascii")],
+              "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in normalize_text(df, "text").collect()}
+    assert out[1] == "a Caf\u00e9 x"        # composed + collapsed
+    assert out[2] == "bc"                   # BEL stripped
+    assert out[3] is None
+    assert out[4] == "plain ascii"          # isascii short-circuit
+    # NFKC folds compatibility chars (ligature fi)
+    df2 = rows([(1, "\ufb01n")], "doc_id long, text string")
+    assert normalize_text(df2, "text", form="NFKC") \
+        .collect()[0]["text"] == "fin"
+    with pytest.raises(ValueError, match="unknown form"):
+        normalize_text(df, "text", form="NFX")

@@ -188,3 +188,63 @@ def test_sessionize_gap_numbering(rows):
     import pytest
     with pytest.raises(ValueError, match="bad gap"):
         sessionize(df, gap="later")
+
+
+def test_sequence_match_subsequence(rows):
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.windows import (
+        sequence_match)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    df = rows(
+        # user 1: v .. noise .. c .. p  -> match
+        [(1, 1, at(0), "view"), (1, 2, at(1), "other"),
+         (1, 3, at(2), "click"), (1, 4, at(3), "purchase"),
+         # user 2: c before v, no p -> no match
+         (2, 5, at(0), "click"), (2, 6, at(1), "view"),
+         # user 3: pattern out of order (p v c) -> no match
+         (3, 7, at(0), "purchase"), (3, 8, at(1), "view"),
+         (3, 9, at(2), "click")],
+        "user_id long, event_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r["matched"] for r in sequence_match(
+        df, ["view", "click", "purchase"],
+        tiebreak=["event_id"]).collect()}
+    assert out == {1: True, 2: False, 3: False}
+    import pytest
+    with pytest.raises(ValueError, match="empty"):
+        sequence_match(df, [])
+
+
+def test_sequence_match_repeated_steps(rows):
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.windows import (
+        sequence_match)
+    t0 = dt.datetime(2024, 1, 1)
+    df = rows([(1, i, t0 + dt.timedelta(minutes=i), t)
+               for i, t in enumerate(["view", "purchase", "view"])],
+              "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    # needs two views before a purchase; stream has v p v
+    out = sequence_match(df, ["view", "view", "purchase"],
+                         tiebreak=["event_id"]).collect()
+    assert out[0]["matched"] is False
+
+
+def test_sequence_count_non_overlapping(rows):
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.windows import (
+        sequence_count)
+    t0 = dt.datetime(2024, 1, 1)
+    # v p v v p p -> chains (0,1) and (2,4): 2 non-overlapping matches
+    types = ["view", "purchase", "view", "view", "purchase", "purchase"]
+    df = rows([(1, i, t0 + dt.timedelta(minutes=i), t)
+               for i, t in enumerate(types)]
+              + [(2, 99, t0, "view")],       # v only -> 0 matches
+              "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    out = {r["user_id"]: r["n_matches"] for r in sequence_count(
+        df, ["view", "purchase"], tiebreak=["event_id"]).collect()}
+    assert out == {1: 2, 2: 0}
