@@ -361,13 +361,17 @@ def flag_outliers(df: DataFrame, value_col: str,
                   & (F.abs(v - F.col("__mu")) > k * F.col("__sd")))
         drop = ["__mu", "__sd"]
     elif method == "iqr":
-        stats = [F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
-                 F.expr(f"percentile({value_col}, 0.75)").alias("__q3")]
-        iqr = F.col("__q3") - F.col("__q1")
+        # ONE array-form percentile aggregate — two scalar percentile
+        # calls each build their own per-group value->count map over
+        # the full input (measured ~2x the aggregate cost at sf0.1)
+        stats = [F.expr(f"percentile({value_col}, array(0.25, 0.75))")
+                 .alias("__qs")]
+        q1 = F.col("__qs").getItem(0)
+        q3 = F.col("__qs").getItem(1)
+        iqr = q3 - q1
         is_out = (iqr.isNotNull()
-                  & ((v < F.col("__q1") - k * iqr)
-                     | (v > F.col("__q3") + k * iqr)))
-        drop = ["__q1", "__q3"]
+                  & ((v < q1 - k * iqr) | (v > q3 + k * iqr)))
+        drop = ["__qs"]
     else:
         raise ValueError(f"flag_outliers: unknown method {method!r}")
     if by:

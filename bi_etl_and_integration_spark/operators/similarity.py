@@ -632,8 +632,13 @@ def semantic_dedup(df: DataFrame,
     folds left-to-right reproduces the survivor set bit for bit.
     Returns the surviving rows of ``df`` plus ``cluster_col``.
     """
+    # persist: the assignment expression (k x dim literal folds per
+    # row) feeds the size guard AND both self-join sides — without the
+    # persist it is re-evaluated three times (HOF folds run
+    # interpreted, so re-evaluation is the dominant cost, measured at
+    # sf0.1)
     assigned = kmeans_assign(df, centroids, vec_col=vec_col,
-                             out_col=cluster_col)
+                             out_col=cluster_col).persist()
     sizes = assigned.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("__n"))
     big = sizes.where(F.col("__n") > max_cluster_rows).limit(1).collect()
@@ -642,17 +647,27 @@ def semantic_dedup(df: DataFrame,
             f"semantic_dedup: cluster {big[0][0]} has {big[0][1]} rows "
             f"(cap {max_cluster_rows}); raise k (more centroids) or "
             f"max_cluster_rows — the within-cluster join is O(n^2)")
-    lo = assigned.select(F.col(cluster_col).alias("__c"),
-                         F.col(id_col).alias("__id_lo"),
-                         F.col(vec_col).alias("__v_lo"))
-    hi = assigned.select(F.col(cluster_col).alias("__c"),
-                         F.col(id_col).alias("__id_hi"),
-                         F.col(vec_col).alias("__v_hi"))
+    # per-ROW norm, computed once before the join: the naive
+    # cosine-in-the-join-filter recomputes BOTH norms per candidate
+    # PAIR — O(pairs x dim) interpreted folds instead of O(rows x
+    # dim).  Same float ops in the same order, so the survivor set is
+    # unchanged bit for bit (the oracle contract).
+    side = assigned.select(F.col(cluster_col).alias("__c"),
+                           F.col(id_col).alias("__id"),
+                           F.col(vec_col).alias("__v"),
+                           norm(F.col(vec_col)).alias("__nrm"))
+    lo = side.select(F.col("__c"), F.col("__id").alias("__id_lo"),
+                     F.col("__v").alias("__v_lo"),
+                     F.col("__nrm").alias("__n_lo"))
+    hi = side.select(F.col("__c"), F.col("__id").alias("__id_hi"),
+                     F.col("__v").alias("__v_hi"),
+                     F.col("__nrm").alias("__n_hi"))
+    cos = (dot(F.col("__v_hi"), F.col("__v_lo"))
+           / F.greatest(F.col("__n_hi") * F.col("__n_lo"),
+                        F.lit(1e-12))).cast("double")
     dominated = (hi.join(lo, "__c")
                  .where(F.col("__id_lo") < F.col("__id_hi"))
-                 .where(cosine_similarity(F.col("__v_hi"),
-                                          F.col("__v_lo"))
-                        >= F.lit(float(threshold)))
+                 .where(cos >= F.lit(float(threshold)))
                  .select(F.col("__id_hi").alias(id_col))
                  .distinct())
     return assigned.join(dominated, id_col, "left_anti")
