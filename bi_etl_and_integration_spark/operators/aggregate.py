@@ -447,3 +447,62 @@ def period_over_period(df: DataFrame, ts_col: str, value: Column, *,
             .withColumn("pct_change",
                         F.when(prev.isNotNull() & (prev != 0),
                                (F.col(value_col) - prev) / prev)))
+
+
+def retention(events: DataFrame, conds: Sequence[tuple[str, Column]], *,
+              user_col: str = "user_id") -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, ...)`` parity: per user,
+    ``r_<name1>`` = cond1 fired at least once, and ``r_<namei>`` =
+    cond1 AND condi both fired — the anchor-condition semantics
+    ClickHouse defines (every later flag is gated on the first).
+    Feed the output to a SUM to get the classic retention funnel
+    totals; the per-user grain keeps it joinable to dimensions.
+
+    One hash aggregate (bool_or is algebraic, map-side combined):
+    the events table shuffles only its partial per-user bitmaps.
+    """
+    if not conds:
+        raise ValueError("retention: no conditions")
+    names = [n for n, _ in conds]
+    if len(set(names)) != len(names):
+        raise ValueError("retention: duplicate condition names")
+    per_user = events.groupBy(user_col).agg(
+        *[F.bool_or(c).alias(f"__c_{n}") for n, c in conds])
+    anchor = F.col(f"__c_{names[0]}")
+    out = per_user.select(
+        F.col(user_col),
+        *[(anchor & F.col(f"__c_{n}")).alias(f"r_{n}") for n in names])
+    return out
+
+
+def sum_map(df: DataFrame, keys: Sequence[str], map_key: str,
+            map_val: Column, *, val_name: str = "val") -> DataFrame:
+    """ClickHouse ``sumMap`` capability: per ``keys`` group, aggregate
+    a (map_key -> value) mapping by key-wise SUM, returned BOTH as a
+    real ``map`` column (``summed_map``) and as parallel sorted arrays
+    (``map_keys``/``map_vals`` — the engine-portable projection an
+    oracle can reproduce with list building).
+
+    Plan shape: pre-aggregate on (keys, map_key) — map-side partial
+    combine collapses duplicate map keys BEFORE the shuffle — then one
+    collect per group assembles the map; sort_array on the entry
+    structs makes assembly order deterministic.  The per-group state
+    is |distinct map keys|, the same bound ClickHouse's sumMap state
+    carries.
+    """
+    keys = list(keys)
+    inner = (df.groupBy(*keys, F.col(map_key).alias("__k"))
+             .agg(map_val.alias("__v")))
+    entries = F.sort_array(F.collect_list(F.struct(
+        F.col("__k").alias("k"), F.col("__v").alias("v"))))
+    return (inner.groupBy(*keys)
+            .agg(entries.alias("__e"))
+            .select(*keys,
+                    F.map_from_arrays(
+                        F.transform("__e", lambda e: e["k"]),
+                        F.transform("__e", lambda e: e["v"]))
+                    .alias("summed_map"),
+                    F.transform("__e", lambda e: e["k"])
+                    .alias("map_keys"),
+                    F.transform("__e", lambda e: e["v"])
+                    .alias("map_vals")))

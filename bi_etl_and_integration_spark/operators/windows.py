@@ -361,3 +361,27 @@ def sequence_count(events: DataFrame, pattern: Sequence[str], *,
     st = F.aggregate(F.col("__types"), init, step)
     return per_user.select(F.col(user_col),
                            st["n"].cast("bigint").alias(out_col))
+
+
+def transitions(events: DataFrame, *, user_col: str = "user_id",
+                ts_col: str = "ts", type_col: str = "event_type",
+                tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Event-transition matrix (page-path / clickstream-flow
+    analysis): count, over every user's time-ordered stream, each
+    adjacent ``(from_type, to_type)`` step.  The input to Markov-chain
+    path models and sankey flow charts.
+
+    Plan shape: ONE window shuffle on ``user_col`` for the lead, then
+    a hash aggregate on the (from, to) pair — map-side combine shrinks
+    it to |types|² rows.  Deterministic under replay when ``tiebreak``
+    makes the per-user order total (same contract as sessionize).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak])
+    nxt = F.lead(F.col(type_col)).over(w)
+    return (events
+            .select(F.col(type_col).alias("from_type"),
+                    nxt.alias("to_type"))
+            .where(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions")))

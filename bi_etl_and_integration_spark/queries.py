@@ -3238,3 +3238,63 @@ def x36(spark, cat):
         cat.documents.select("doc_id"), pairs, id_col="doc_id")
     return (out.select("doc_id", "canonical_id", "is_dup")
             .orderBy("doc_id"))
+
+
+@q("q62_retention",
+   "WITH u AS (SELECT user_id, "
+   "bool_or(event_type='view') AS cv, "
+   "bool_or(event_type='click') AS cc, "
+   "bool_or(event_type='purchase') AS cp "
+   "FROM events GROUP BY user_id) "
+   "SELECT user_id, cv AS r_view, (cv AND cc) AS r_click, "
+   "(cv AND cp) AS r_purchase FROM u ORDER BY user_id")
+def q62(spark, cat):
+    """ClickHouse ``retention()`` parity: per user, the anchor
+    condition (view) plus anchor-gated flags for each later condition
+    — one algebraic bool_or aggregate, map-side combined; the events
+    table shuffles only per-user partial bitmaps."""
+    out = agg_ops.retention(
+        cat.events,
+        [("view", F.col("event_type") == "view"),
+         ("click", F.col("event_type") == "click"),
+         ("purchase", F.col("event_type") == "purchase")])
+    return out.orderBy("user_id")
+
+
+@q("q63_transitions",
+   "WITH s AS (SELECT user_id, event_type, lead(event_type) OVER ("
+   "PARTITION BY user_id ORDER BY ts, event_id) AS nt FROM events) "
+   "SELECT event_type AS from_type, nt AS to_type, "
+   "CAST(COUNT(*) AS BIGINT) AS n_transitions FROM s "
+   "WHERE nt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2")
+def q63(spark, cat):
+    """Event-transition matrix (clickstream path analysis): adjacent
+    (from, to) step counts over each user's time-ordered stream — one
+    lead window + one pair aggregate shrunk map-side to |types|²."""
+    return (win_ops.transitions(cat.events, tiebreak=["event_id"])
+            .orderBy("from_type", "to_type"))
+
+
+@q("x37_sum_map",
+   "WITH i AS (SELECT l_returnflag, l_linestatus, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v "
+   "FROM lineitem GROUP BY 1, 2) "
+   "SELECT l_returnflag, "
+   "list(l_linestatus ORDER BY l_linestatus) AS map_keys, "
+   "list(v ORDER BY l_linestatus) AS map_vals "
+   "FROM i GROUP BY l_returnflag ORDER BY l_returnflag")
+def x37(spark, cat):
+    """ClickHouse ``sumMap`` parity: per return flag, the
+    linestatus -> total-quantity mapping, key-wise summed.  The sums
+    run in DECIMAL so they are order-free exact across engines (no
+    float fold to align); the map is projected to sorted parallel
+    arrays, the engine-portable shape the oracle rebuilds with
+    ordered list aggregation."""
+    out = agg_ops.sum_map(
+        cat.lineitem, ["l_returnflag"], "l_linestatus",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    return (out.select("l_returnflag", "map_keys",
+                       F.transform("map_vals",
+                                   lambda v: v.cast("double"))
+                       .alias("map_vals"))
+            .orderBy("l_returnflag"))

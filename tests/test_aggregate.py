@@ -262,3 +262,37 @@ def test_period_over_period_deltas(rows):
     assert w2["delta"] == 10.0 and abs(w2["pct_change"] - 0.5) < 1e-12
     w4 = out[("a", "2024-01-22")]
     assert w4["pct_change"] is None          # prev == 0: no division
+
+
+def test_retention_anchor_gated(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        retention)
+    import pytest
+    df = rows([(1, "view"), (1, "click"),
+               (2, "click"),                    # no anchor -> all False
+               (3, "view")],
+              "user_id long, event_type string")
+    out = {r["user_id"]: (r["r_view"], r["r_click"]) for r in retention(
+        df, [("view", F.col("event_type") == "view"),
+             ("click", F.col("event_type") == "click")]).collect()}
+    assert out == {1: (True, True), 2: (False, False),
+                   3: (True, False)}
+    with pytest.raises(ValueError, match="no conditions"):
+        retention(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        retention(df, [("a", F.lit(True)), ("a", F.lit(False))])
+
+
+def test_sum_map_keywise(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        sum_map)
+    df = rows([("g1", "a", 1), ("g1", "a", 2), ("g1", "b", 5),
+               ("g2", "b", 7)],
+              "g string, k string, v long")
+    out = {r["g"]: (r["map_keys"], r["map_vals"], r["summed_map"])
+           for r in sum_map(df, ["g"], "k", F.sum("v")).collect()}
+    assert out["g1"][0] == ["a", "b"] and out["g1"][1] == [3, 5]
+    assert out["g1"][2] == {"a": 3, "b": 5}
+    assert out["g2"][0] == ["b"] and out["g2"][1] == [7]

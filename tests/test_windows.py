@@ -248,3 +248,19 @@ def test_sequence_count_non_overlapping(rows):
     out = {r["user_id"]: r["n_matches"] for r in sequence_count(
         df, ["view", "purchase"], tiebreak=["event_id"]).collect()}
     assert out == {1: 2, 2: 0}
+
+
+def test_transitions_counts(rows):
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.windows import (
+        transitions)
+    t0 = dt.datetime(2024, 1, 1)
+    seq = {1: ["a", "b", "a", "b"], 2: ["a", "b"]}
+    df = rows([(u, i, t0 + dt.timedelta(minutes=i), t)
+               for u, ts in seq.items() for i, t in enumerate(ts)],
+              "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    out = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in transitions(df, tiebreak=["event_id"]).collect()}
+    # user1: a->b, b->a, a->b; user2: a->b  => ab:3, ba:1
+    assert out == {("a", "b"): 3, ("b", "a"): 1}
