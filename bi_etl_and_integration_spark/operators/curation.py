@@ -478,3 +478,35 @@ def _is_tracking(p: Column) -> Column:
         c = p.startswith(t)
         cond = c if cond is None else (cond | c)
     return cond
+
+
+def with_url_parts(df: DataFrame, url_col: str, *,
+                   prefix: str = "url_") -> DataFrame:
+    """ClickHouse URL-function-family parity (``protocol``, ``domain``,
+    ``path``, ``queryString``, ``fragment``, ``topLevelDomain``):
+    structural URL decomposition as pure codegen expressions
+    (``parse_url`` is JVM-side; no UDF).
+
+    Adds ``{prefix}scheme/host/path/query/fragment`` (raw ``parse_url``
+    components: scheme and host keep their original case, host carries
+    no port) plus the two normalized convenience columns real pipelines
+    group on: ``{prefix}tld`` (lowercased last host label) and
+    ``{prefix}domain`` (lowercased last two labels — the
+    registered-domain approximation; a public-suffix-list pass is the
+    production upgrade).  Narrow map, scale-free.
+    """
+    u = F.col(url_col)
+    host = F.parse_url(u, F.lit("HOST"))
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    dom = F.when(n >= 2, F.concat_ws(
+        ".", F.element_at(labels, -2), tld)).otherwise(F.lower(host))
+    return (df
+            .withColumn(f"{prefix}scheme", F.parse_url(u, F.lit("PROTOCOL")))
+            .withColumn(f"{prefix}host", host)
+            .withColumn(f"{prefix}path", F.parse_url(u, F.lit("PATH")))
+            .withColumn(f"{prefix}query", F.parse_url(u, F.lit("QUERY")))
+            .withColumn(f"{prefix}fragment", F.parse_url(u, F.lit("REF")))
+            .withColumn(f"{prefix}tld", tld)
+            .withColumn(f"{prefix}domain", dom))

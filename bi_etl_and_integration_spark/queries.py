@@ -3298,3 +3298,37 @@ def x37(spark, cat):
                                    lambda v: v.cast("double"))
                        .alias("map_vals"))
             .orderBy("l_returnflag"))
+
+
+@q("x38_url_parts",
+   "SELECT doc_id, 'HTTPS' AS url_scheme, "
+   "UPPER(source) || '.Example.com' AS url_host, "
+   "'/docs/' || CAST(doc_id % 50 AS VARCHAR) AS url_path, "
+   "CASE WHEN doc_id % 3 = 0 THEN 'utm_source=x&id=' || "
+   "CAST(doc_id % 7 AS VARCHAR) ELSE 'id=' || "
+   "CAST(doc_id % 7 AS VARCHAR) END AS url_query, "
+   "'sec' AS url_fragment, 'com' AS url_tld, "
+   "'example.com' AS url_domain "
+   "FROM documents ORDER BY doc_id")
+def x38(spark, cat):
+    """ClickHouse URL-function parity (protocol/domain/path/query/
+    fragment/topLevelDomain) over the x27 synthetic messy URLs.  The
+    oracle derives every component INDEPENDENTLY from the
+    construction rule (never from a URL parser), so a parse_url
+    regression fails instead of agreeing with itself."""
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper("source"),
+        F.lit(".Example.com:443/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=x&id="),
+                        (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.concat(F.lit("?id="),
+                            (F.col("doc_id") % 7).cast("string"))),
+        F.lit("#sec"))
+    out = cu_ops.with_url_parts(
+        cat.documents.select("doc_id", messy.alias("u")), "u")
+    return (out.select("doc_id", "url_scheme", "url_host", "url_path",
+                       "url_query", "url_fragment", "url_tld",
+                       "url_domain")
+            .orderBy("doc_id"))

@@ -237,3 +237,27 @@ def test_url_dedup_composition(rows):
     groups = canon.groupBy("curl").count().collect()
     got = {r["curl"]: r["count"] for r in groups}
     assert got == {"https://a.com/p": 3, "https://a.com/q": 1}
+
+
+def test_with_url_parts_components(rows):
+    from bi_etl_and_integration_spark.operators.curation import (
+        with_url_parts)
+    df = rows([(1, "HTTPS://WEB.Example.com:443/docs/9?id=2#sec"),
+               (2, "http://localhost/x"),
+               (3, None)],
+              "doc_id long, u string")
+    out = {r["doc_id"]: r.asDict()
+           for r in with_url_parts(df, "u").collect()}
+    r1 = out[1]
+    assert r1["url_scheme"] == "HTTPS"
+    assert r1["url_host"] == "WEB.Example.com"   # port stripped
+    assert r1["url_path"] == "/docs/9"
+    assert r1["url_query"] == "id=2"
+    assert r1["url_fragment"] == "sec"
+    assert r1["url_tld"] == "com"
+    assert r1["url_domain"] == "example.com"
+    r2 = out[2]
+    assert r2["url_host"] == "localhost"
+    assert r2["url_domain"] == "localhost"       # single-label host
+    assert r2["url_query"] is None
+    assert out[3]["url_host"] is None

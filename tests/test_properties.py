@@ -258,3 +258,104 @@ def test_bm25_scores_positive_and_only_for_matches(spark, terms, docs):
               if set(toks) & set(terms)}
     assert set(out) == expect
     assert all(s > 0 for s in out.values())
+
+
+event_streams = st.lists(
+    st.tuples(st.integers(1, 3),                 # user
+              st.sampled_from(["a", "b", "c"])),  # event type
+    min_size=0, max_size=25)
+
+
+@SETTINGS
+@given(data=event_streams,
+       pattern=st.lists(st.sampled_from(["a", "b", "c"]),
+                        min_size=1, max_size=3))
+def test_sequence_ops_match_reference_automaton(spark, data, pattern):
+    """sequence_match == subsequence test; sequence_count == greedy
+    non-overlapping restart-after-match count (the ClickHouse
+    semantics), both re-derived in pure Python."""
+    import datetime as dt
+    from bi_etl_and_integration_spark.operators.windows import (
+        sequence_count, sequence_match)
+    t0 = dt.datetime(2024, 1, 1)
+    rows_ = [(u, i, t0 + dt.timedelta(minutes=i), t)
+             for i, (u, t) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows_, "user_id long, event_id long, ts timestamp, "
+               "event_type string")
+    got_m = {r["user_id"]: r["matched"] for r in sequence_match(
+        df, pattern, tiebreak=["event_id"]).collect()}
+    got_c = {r["user_id"]: r["n_matches"] for r in sequence_count(
+        df, pattern, tiebreak=["event_id"]).collect()}
+
+    per_user: dict[int, list[str]] = {}
+    for i, (u, t) in enumerate(data):
+        if t in pattern:
+            per_user.setdefault(u, []).append(t)
+    for u, types in per_user.items():
+        pos = cnt = 0
+        best = 0
+        for t in types:
+            if t == pattern[pos]:
+                pos += 1
+                best = max(best, pos)
+                if pos == len(pattern):
+                    cnt, pos = cnt + 1, 0
+        assert got_m[u] is (best >= len(pattern) or cnt > 0)
+        assert got_c[u] == cnt
+    assert set(got_m) == set(per_user)
+
+
+@SETTINGS
+@given(edges=st.lists(st.tuples(st.integers(1, 12), st.integers(1, 12)),
+                      min_size=0, max_size=15))
+def test_dedup_canonicalize_matches_union_find(spark, edges):
+    from bi_etl_and_integration_spark.operators.dedup import (
+        dedup_canonicalize)
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long") \
+        if edges else spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup_canonicalize(docs, pairs).collect()}
+
+    parent = {i: i for i in range(1, 13)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(1, 13) if find(j) == find(i))
+            for i in range(1, 13)}
+    assert got == want
+
+
+@SETTINGS
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                   max_codepoint=0x2FFF),
+            max_size=30),
+    min_size=0, max_size=10))
+def test_normalize_text_matches_unicodedata(spark, texts):
+    import re
+    import unicodedata
+    from bi_etl_and_integration_spark.operators.text import (
+        normalize_text)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in normalize_text(df, "text", form="NFKC").collect()}
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    for i, t in enumerate(texts):
+        want = unicodedata.normalize("NFKC", t)
+        want = ctrl.sub("", want)
+        # Java \s is ASCII-only and Spark trim() strips 0x20 only —
+        # mirror those semantics, not Python's Unicode-aware ones
+        want = re.sub("[ \t\n\x0b\x0c\r]+", " ", want).strip(" ")
+        assert got[i] == want, (t,)
