@@ -489,6 +489,11 @@ def sum_map(df: DataFrame, keys: Sequence[str], map_key: str,
     structs makes assembly order deterministic.  The per-group state
     is |distinct map keys|, the same bound ClickHouse's sumMap state
     carries.
+
+    Contract: ``map_key`` must be non-NULL — a NULL key fails loudly
+    at map assembly (Spark rejects NULL map keys) rather than being
+    silently dropped; filter or COALESCE upstream if NULLs are
+    expected.
     """
     keys = list(keys)
     inner = (df.groupBy(*keys, F.col(map_key).alias("__k"))
@@ -506,3 +511,30 @@ def sum_map(df: DataFrame, keys: Sequence[str], map_key: str,
                     .alias("map_keys"),
                     F.transform("__e", lambda e: e["v"])
                     .alias("map_vals")))
+
+
+def with_totals(df: DataFrame, keys: Sequence[str],
+                aggs: Mapping[str, Column], *,
+                total_col: str = "is_total") -> DataFrame:
+    """ClickHouse ``GROUP BY ... WITH TOTALS`` parity: the per-group
+    rows PLUS one grand-total row (keys NULL, ``total_col`` true) in a
+    single result — the datamart convenience that saves the dashboard
+    a second total query.
+
+    ONE aggregation: rollup + a grouping_id filter keeping only the
+    detail level and the all-keys-rolled level (intermediate subtotal
+    levels are dropped — WITH TOTALS has no per-prefix subtotals;
+    rollup's partial aggregation means the extra level costs one more
+    combine, not a second scan).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("with_totals: needs grouping keys")
+    full = (1 << len(keys)) - 1
+    gid = F.grouping_id(*[F.col(k) for k in keys])
+    out = (df.rollup(*keys)
+           .agg(*[c.alias(n) for n, c in aggs.items()],
+                gid.alias("__gid"))
+           .where(F.col("__gid").isin(0, full)))
+    return (out.withColumn(total_col, F.col("__gid") == full)
+            .drop("__gid"))

@@ -3332,3 +3332,26 @@ def x38(spark, cat):
                        "url_query", "url_fragment", "url_tld",
                        "url_domain")
             .orderBy("doc_id"))
+
+
+@q("q64_with_totals",
+   "SELECT l_returnflag, l_linestatus, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+   "CAST(COUNT(*) AS BIGINT) AS n, FALSE AS is_total "
+   "FROM lineitem GROUP BY 1, 2 "
+   "UNION ALL SELECT NULL, NULL, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), "
+   "CAST(COUNT(*) AS BIGINT), TRUE FROM lineitem "
+   "ORDER BY is_total, l_returnflag, l_linestatus")
+def q64(spark, cat):
+    """ClickHouse ``WITH TOTALS`` parity: detail groups + one
+    grand-total row from a SINGLE rollup aggregation (grouping_id
+    filter drops rollup's intermediate level) — the oracle needs two
+    scans to say the same thing.  DECIMAL sums keep the total
+    order-free exact across engines."""
+    out = agg_ops.with_totals(
+        cat.lineitem, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double"),
+         "n": F.count(F.lit(1)).cast("bigint")})
+    return out.orderBy("is_total", "l_returnflag", "l_linestatus")

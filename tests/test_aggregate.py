@@ -296,3 +296,22 @@ def test_sum_map_keywise(rows):
     assert out["g1"][0] == ["a", "b"] and out["g1"][1] == [3, 5]
     assert out["g1"][2] == {"a": 3, "b": 5}
     assert out["g2"][0] == ["b"] and out["g2"][1] == [7]
+
+
+def test_with_totals_detail_plus_grand_total(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        with_totals)
+    import pytest
+    df = rows([("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+              "k1 string, k2 string, v long")
+    out = with_totals(df, ["k1", "k2"],
+                      {"s": F.sum("v")}).collect()
+    detail = {(r["k1"], r["k2"]): r["s"] for r in out if not r["is_total"]}
+    totals = [r for r in out if r["is_total"]]
+    assert detail == {("a", "x"): 1, ("a", "y"): 2, ("b", "x"): 4}
+    # exactly ONE total row, keys NULL, no intermediate subtotals
+    assert len(totals) == 1 and len(out) == 4
+    assert totals[0]["k1"] is None and totals[0]["s"] == 7
+    with pytest.raises(ValueError, match="grouping keys"):
+        with_totals(df, [], {"s": F.sum("v")})
