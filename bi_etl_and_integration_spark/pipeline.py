@@ -336,3 +336,73 @@ def checkpointed_write(df: DataFrame, path: str, *,
     os.replace(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return path
+
+
+def backfill(pipeline: Pipeline, spark: SparkSession, *,
+             start, end, state_dir: str, grain: str = "day",
+             params: Mapping | None = None,
+             stop_on_failure: bool = True) -> list[dict]:
+    """Airflow-style scheduled catch-up (AF/002 Plan.md's
+    schedule_interval + catchup semantics, absorbed engine-side): run
+    ``pipeline`` once per period over ``[start, end)``, oldest first,
+    passing each run ``period_start``/``period_end`` params — the
+    interval-bounded incremental-load contract every period-partitioned
+    stage reads.
+
+    Idempotent catch-up: a zero-byte completion marker per period in
+    ``state_dir`` (created O_EXCL AFTER the run succeeds — the same
+    commit-after-apply discipline as the CDC state store) makes reruns
+    skip finished periods, so a crashed backfill resumes where it died
+    and a nightly catchup after downtime replays exactly the missed
+    periods.  Period stages themselves must be idempotent writers
+    (``checkpointed_write`` / snapshot commits), which is also what
+    makes a CLEARED marker a safe Airflow-style re-run.
+
+    Sequential oldest-first by design (Airflow depends_on_past): a
+    period may read state its predecessor published.  Returns one
+    ``{"period_start", "period_end", "status"}`` dict per period
+    (status: ran | skipped | failed).
+    """
+    import datetime as dt
+    os.makedirs(state_dir, exist_ok=True)
+    step = {"day": dt.timedelta(days=1), "hour": dt.timedelta(hours=1),
+            "week": dt.timedelta(weeks=1)}.get(grain)
+    if step is None:
+        raise ValueError(f"backfill: unknown grain {grain!r}")
+    if isinstance(start, str):
+        start = dt.datetime.fromisoformat(start)
+    if isinstance(end, str):
+        end = dt.datetime.fromisoformat(end)
+    if start >= end:
+        raise ValueError("backfill: start must be before end")
+    out: list[dict] = []
+    cur = start
+    while cur < end:
+        nxt = min(cur + step, end)
+        tag = cur.strftime("%Y%m%dT%H%M%S")
+        marker = os.path.join(state_dir, f"_done_{grain}_{tag}")
+        row = {"period_start": cur.isoformat(),
+               "period_end": nxt.isoformat()}
+        if os.path.exists(marker):
+            row["status"] = "skipped"
+        else:
+            p = dict(params or {})
+            p.update(period_start=cur.isoformat(),
+                     period_end=nxt.isoformat())
+            try:
+                pipeline.run(spark, params=p)
+            except Exception:
+                row["status"] = "failed"
+                out.append(row)
+                if stop_on_failure:
+                    return out
+                cur = nxt
+                continue
+            # marker only after success; O_EXCL so two concurrent
+            # backfills cannot both claim the same period silently
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            row["status"] = "ran"
+        out.append(row)
+        cur = nxt
+    return out

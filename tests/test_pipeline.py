@@ -354,3 +354,41 @@ def test_from_spec_snapshot_write(spark, tmp_path):
     assert t.latest_version() == 2
     assert t.read().count() == 4          # two appended commits
     assert t.read(1).count() == 2         # time travel to the first
+
+
+def test_backfill_catchup_skips_done_periods(spark, tmp_path):
+    from bi_etl_and_integration_spark.pipeline import Pipeline, backfill
+    import pytest
+    runs = []
+    p = Pipeline("bf")
+
+    @p.stage("load")
+    def load(ctx):
+        if ctx.params["period_start"] == "2024-01-03T00:00:00":
+            raise RuntimeError("boom")
+        runs.append(ctx.params["period_start"])
+
+    state = str(tmp_path / "state")
+    out = backfill(p, spark, start="2024-01-01", end="2024-01-03",
+                   state_dir=state, grain="day")
+    assert [r["status"] for r in out] == ["ran", "ran"]
+    assert len(runs) == 2
+    # second catchup: everything already marked done
+    out2 = backfill(p, spark, start="2024-01-01", end="2024-01-03",
+                    state_dir=state, grain="day")
+    assert [r["status"] for r in out2] == ["skipped", "skipped"]
+    assert len(runs) == 2
+    # extend the range: only the new (failing) period runs; stop_on_failure
+    out3 = backfill(p, spark, start="2024-01-01", end="2024-01-04",
+                    state_dir=state, grain="day")
+    assert [r["status"] for r in out3] == ["skipped", "skipped", "failed"]
+    # failed period left unmarked -> retried next catchup
+    out4 = backfill(p, spark, start="2024-01-03", end="2024-01-04",
+                    state_dir=state, grain="day", stop_on_failure=False)
+    assert [r["status"] for r in out4] == ["failed"]
+    with pytest.raises(ValueError, match="unknown grain"):
+        backfill(p, spark, start="2024-01-01", end="2024-01-02",
+                 state_dir=state, grain="fortnight")
+    with pytest.raises(ValueError, match="before end"):
+        backfill(p, spark, start="2024-01-02", end="2024-01-01",
+                 state_dir=state)
