@@ -70,7 +70,8 @@ def distinct(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
 
 def percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
                 ps: Sequence[float], *, approx: bool = False,
-                accuracy: int = 10_000) -> DataFrame:
+                accuracy: int = 10_000,
+                weight_col: str | None = None) -> DataFrame:
     """Per-group continuous percentiles (ClickHouse ``quantile``-family
     capability; beyond-reference OLAP standard alongside ``cube`` /
     ``approx_count_distinct``).
@@ -84,9 +85,19 @@ def percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
     All requested percentiles evaluate as ONE aggregate over a
     percentage array — k scalar ``percentile(x, p)`` calls each buffer
     (exact) or sketch (approx) the group independently, measured 2x
-    slower at two percentiles and linearly worse with k."""
+    slower at two percentiles and linearly worse with k.
+
+    ``weight_col`` adds ClickHouse ``quantileExactWeighted`` parity:
+    each row counts as an integral frequency (the repeated-value
+    semantics of Spark's 3-arg ``percentile``) — the row-weighted
+    median/p-family without materializing the expansion.  Exact mode
+    only (the sketch aggregate takes no frequency)."""
+    if weight_col is not None and approx:
+        raise ValueError("percentiles: weight_col requires approx=False "
+                         "(approx_percentile takes no frequency)")
     fn = "approx_percentile" if approx else "percentile"
-    extra = f", {accuracy}" if approx else ""
+    extra = (f", {accuracy}" if approx
+             else (f", CAST({weight_col} AS INT)" if weight_col else ""))
     arr = ",".join(repr(float(p)) for p in ps)
     packed = df.groupBy(*keys).agg(
         F.expr(f"{fn}({value_col}, array({arr}){extra})").alias("__ps"))

@@ -3355,3 +3355,29 @@ def q64(spark, cat):
          .cast("double"),
          "n": F.count(F.lit(1)).cast("bigint")})
     return out.orderBy("is_total", "l_returnflag", "l_linestatus")
+
+
+@q("q26e_weighted_percentiles",
+   "WITH e AS (SELECT l_returnflag, l_extendedprice, "
+   "CAST(l_quantity AS INT) AS w FROM lineitem), "
+   "x AS (SELECT l_returnflag, l_extendedprice, "
+   "unnest(generate_series(1, w)) FROM e) "
+   "SELECT l_returnflag, "
+   + R("quantile_cont(l_extendedprice, 0.5)") + " AS p50, "
+   + R("quantile_cont(l_extendedprice, 0.9)") + " AS p90 "
+   "FROM x GROUP BY l_returnflag ORDER BY l_returnflag")
+def q26e(spark, cat):
+    """ClickHouse ``quantileExactWeighted`` parity: quantity-weighted
+    price percentiles per return flag.  Spark's 3-arg ``percentile``
+    carries the frequency INSIDE the aggregate (value->count state,
+    never a row expansion); the oracle materializes the equivalent
+    expansion with generate_series and takes the plain continuous
+    quantile — two formulations of the same repeated-value order
+    statistics."""
+    out = agg_ops.percentiles(cat.lineitem, ["l_returnflag"],
+                              "l_extendedprice", [0.5, 0.9],
+                              weight_col="l_quantity")
+    return (out.select("l_returnflag",
+                       dec_round("p50").alias("p50"),
+                       dec_round("p90").alias("p90"))
+            .orderBy("l_returnflag"))

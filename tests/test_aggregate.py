@@ -315,3 +315,17 @@ def test_with_totals_detail_plus_grand_total(rows):
     assert totals[0]["k1"] is None and totals[0]["s"] == 7
     with pytest.raises(ValueError, match="grouping keys"):
         with_totals(df, [], {"s": F.sum("v")})
+
+
+def test_percentiles_weighted_repeated_value_semantics(rows):
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        percentiles)
+    import pytest
+    df = rows([("g", 10.0, 1), ("g", 20.0, 3), ("g", 30.0, 2)],
+              "k string, v double, w long")
+    out = percentiles(df, ["k"], "v", [0.5, 0.9],
+                      weight_col="w").collect()[0]
+    # expansion 10,20,20,20,30,30: p50 -> 20, p90 -> 30
+    assert out["p50"] == 20.0 and out["p90"] == 30.0
+    with pytest.raises(ValueError, match="approx=False"):
+        percentiles(df, ["k"], "v", [0.5], approx=True, weight_col="w")

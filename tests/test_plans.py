@@ -231,3 +231,38 @@ def test_window_funnel_single_shuffle(cat):
     assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
     assert any("event_type" in p for p in plans.pushed_filters(df)), \
         plans.formatted_plan(df)
+
+
+def test_retention_and_with_totals_single_aggregate(cat):
+    """q62/q64: one hash-aggregate plan each — retention's bool_or is
+    algebraic (map-side combined) and WITH TOTALS rides rollup's
+    extra combine level, never a second scan."""
+    from bi_etl_and_integration_spark.operators.windows import (
+        transitions)
+    ret = agg_ops.retention(
+        cat.events, [("v", F.col("event_type") == "view"),
+                     ("c", F.col("event_type") == "click")])
+    assert plans.shuffle_count(ret) == 1, plans.formatted_plan(ret)
+    tot = agg_ops.with_totals(
+        cat.lineitem, ["l_returnflag"],
+        {"n": F.count(F.lit(1))})
+    # rollup = ONE Expand + ONE exchange; a naive detail+total UNION
+    # would show two scans/aggregations (formatted output repeats each
+    # node in its detail section, so count exchanges, not scans)
+    assert plans.shuffle_count(tot) == 1, plans.formatted_plan(tot)
+    # transitions: lead window (1 exchange) + pair agg (1) = 2 before
+    # any presentation sort
+    tr = transitions(cat.events, tiebreak=["event_id"])
+    assert plans.shuffle_count(tr) <= 2, plans.formatted_plan(tr)
+
+
+def test_semantic_dedup_assignment_is_zero_shuffle(cat):
+    """x34's cluster assignment must stay a narrow plan-literal map —
+    the shuffles belong to the within-cluster join only."""
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+    cents = [(i, [float(i)] * 4) for i in range(4)]
+    df = cat.embeddings.select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding"))
+    out = kmeans_assign(df, cents)
+    assert plans.shuffle_count(out) == 0, plans.formatted_plan(out)
