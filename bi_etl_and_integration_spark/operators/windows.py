@@ -385,3 +385,21 @@ def transitions(events: DataFrame, *, user_col: str = "user_id",
             .where(F.col("to_type").isNotNull())
             .groupBy("from_type", "to_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions")))
+
+
+def moving(df: DataFrame, keys: Sequence[str], order: Sequence[Column],
+           width: int, **aggs: Column) -> DataFrame:
+    """Fixed-width trailing-window aggregates (ClickHouse
+    ``groupArrayMovingSum/Avg(n)`` capability; the ROWS-frame moving
+    average every ops dashboard wants): each aggregate evaluates over
+    ``ROWS BETWEEN width-1 PRECEDING AND CURRENT ROW``.  One window
+    (``width`` positionally — an ``n=``/aggregate-alias collision with
+    the kwargs would otherwise be a footgun).
+    shuffle serves every aggregate; ``order`` needs a unique
+    tiebreaker for deterministic replays (same contract as
+    :func:`running`, which is the UNBOUNDED-frame sibling)."""
+    if width < 1:
+        raise ValueError("moving: window width must be >= 1")
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(-(width - 1), Window.currentRow))
+    return df.withColumns({name: c.over(w) for name, c in aggs.items()})

@@ -3381,3 +3381,39 @@ def q26e(spark, cat):
                        dec_round("p50").alias("p50"),
                        dec_round("p90").alias("p90"))
             .orderBy("l_returnflag"))
+
+
+@q("q28h_moving_avg",
+   "WITH w AS (SELECT o_custkey, o_orderkey, "
+   "SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+   "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+   "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s, "
+   "COUNT(*) OVER (PARTITION BY o_custkey "
+   "ORDER BY o_orderdate, o_orderkey "
+   "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n FROM orders) "
+   "SELECT o_custkey, o_orderkey, "
+   + R("CAST(s AS DOUBLE) / n") + " AS ma4, "
+   "CAST(s AS DOUBLE) AS ms4 FROM w "
+   "ORDER BY o_custkey, o_orderkey")
+def q28h(spark, cat):
+    """Fixed-width moving average/sum (ClickHouse groupArrayMovingAvg
+    capability): trailing-4 ROWS frame per customer in date order.
+    Both aggregates share ONE window Exchange; the sum runs in DECIMAL
+    so it is order-free exact, the average through the decimal
+    rounding anchor."""
+    out = win_ops.moving(
+        cat.orders, ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], 4,
+        ms4=F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+        cnt=F.count(F.lit(1)))
+    # avg derived OUTSIDE the window as double(exact decimal sum)/n —
+    # one identical IEEE division on both engines.  A plain double
+    # AVG lands exactly on .005 ties (decimal-exact sums / 4), where
+    # engine-specific accumulation order flips the 2 dp rounding;
+    # .over() also must attach to the bare aggregate, so casts wrap
+    # after the window anyway.
+    ma4 = F.col("ms4").cast("double") / F.col("cnt")
+    return (out.select("o_custkey", "o_orderkey",
+                       dec_round(ma4).alias("ma4"),
+                       F.col("ms4").cast("double").alias("ms4"))
+            .orderBy("o_custkey", "o_orderkey"))

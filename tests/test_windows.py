@@ -264,3 +264,17 @@ def test_transitions_counts(rows):
            for r in transitions(df, tiebreak=["event_id"]).collect()}
     # user1: a->b, b->a, a->b; user2: a->b  => ab:3, ba:1
     assert out == {("a", "b"): 3, ("b", "a"): 1}
+
+
+def test_moving_fixed_frame(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.windows import moving
+    import pytest
+    df = rows([(1, i, float(v)) for i, v in enumerate([1, 2, 3, 4])],
+              "k long, seq long, v double")
+    out = {r["seq"]: r["ms"] for r in moving(
+        df, ["k"], [F.col("seq").asc()], 2,
+        ms=F.sum("v")).collect()}
+    assert out == {0: 1.0, 1: 3.0, 2: 5.0, 3: 7.0}
+    with pytest.raises(ValueError, match=">= 1"):
+        moving(df, ["k"], [F.col("seq").asc()], 0, ms=F.sum("v"))
