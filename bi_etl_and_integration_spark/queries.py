@@ -3417,3 +3417,39 @@ def q28h(spark, cat):
                        dec_round(ma4).alias("ma4"),
                        F.col("ms4").cast("double").alias("ms4"))
             .orderBy("o_custkey", "o_orderkey"))
+
+
+@q("x39_curation_pipeline",
+   "WITH norm AS (SELECT doc_id, source, trim(regexp_replace("
+   "regexp_replace(nfc_normalize(text), "
+   r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), "
+   r"'\s+', ' ', 'g')) AS t FROM documents), "
+   "keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY t), "
+   "kept AS (SELECT n.doc_id, n.source, n.t FROM norm n "
+   "JOIN keep k ON k.doc_id = n.doc_id), "
+   "feat AS (SELECT doc_id, source, "
+   "len(list_filter(string_split(t, ' '), x -> x != '')) AS n_tok "
+   "FROM kept) "
+   "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   "CAST(SUM(CASE WHEN n_tok >= 40 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_keep FROM feat GROUP BY source ORDER BY source")
+def x39(spark, cat):
+    """Composite curation pipeline over the round-2 operators, ONE
+    Spark plan end to end: Unicode/whitespace normalization ->
+    exact dedup on the NORMALIZED content (the reason normalization
+    precedes dedup: composed/decomposed twins must collapse) ->
+    min-length gate -> per-source acceptance mart.  Every stage is
+    individually oracle-verified (x35, x01, x18); this certifies the
+    COMPOSITION — aliasing or column-collision bugs between stages
+    would hash-fail here even with all parts green."""
+    norm = tx_ops.normalize_text(cat.documents, "text", form="NFC")
+    d = dd_ops.exact_dedup(norm, "text", "doc_id")
+    kept = norm.join(d.select(F.col("canonical_id").alias("doc_id")),
+                     "doc_id")
+    feat = kept.withColumn(
+        "n_tok", tx_ops.token_count(F.col("text"), "whitespace"))
+    return (feat.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum((F.col("n_tok") >= 40).cast("int"))
+                 .cast("bigint").alias("n_keep"))
+            .orderBy("source"))
