@@ -170,3 +170,40 @@ def test_cdc_initial_plus_incremental_with_crash(spark, rows, tmp_path):
     assert {r["k"]: r["v"]
             for r in spark.read.parquet(target_path).collect()} == \
         {1: "a1", 3: "c2"}
+
+
+def test_backfill_period_partitioned_writes(spark, tmp_path):
+    """Airflow-catchup e2e: each period stage writes its own partition
+    via the atomic publish protocol; a rerun touches nothing (markers)
+    and the published data equals a one-shot batch of the range."""
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.pipeline import (
+        Pipeline, backfill, checkpointed_write)
+    src = spark.range(0, 100).withColumn(
+        "day", F.date_add(F.lit("2024-01-01").cast("date"),
+                          (F.col("id") % 3).cast("int")))
+    src.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    out_root = tmp_path / "out"
+    p = Pipeline("daily")
+
+    @p.stage("load")
+    def load(ctx):
+        d0 = ctx.params["period_start"][:10]
+        day = (ctx.spark.read.parquet(str(tmp_path / "events"))
+               .where(F.col("day") == F.lit(d0).cast("date")))
+        checkpointed_write(day, str(out_root / f"day={d0}"))
+
+    res = backfill(p, spark, start="2024-01-01", end="2024-01-04",
+                   state_dir=str(tmp_path / "state"), grain="day")
+    assert [r["status"] for r in res] == ["ran"] * 3
+    got = spark.read.parquet(str(out_root / "day=*"))
+    assert got.count() == 100
+    # marker-driven idempotence: a second catch-up rewrites nothing
+    import os
+    mtimes = {f: os.path.getmtime(os.path.join(str(out_root), f))
+              for f in os.listdir(out_root)}
+    res2 = backfill(p, spark, start="2024-01-01", end="2024-01-04",
+                    state_dir=str(tmp_path / "state"), grain="day")
+    assert [r["status"] for r in res2] == ["skipped"] * 3
+    assert mtimes == {f: os.path.getmtime(os.path.join(str(out_root), f))
+                      for f in os.listdir(out_root)}

@@ -359,3 +359,19 @@ def test_normalize_text_matches_unicodedata(spark, texts):
         # mirror those semantics, not Python's Unicode-aware ones
         want = re.sub("[ \t\n\x0b\x0c\r]+", " ", want).strip(" ")
         assert got[i] == want, (t,)
+
+
+@SETTINGS
+@given(vals=st.lists(st.integers(-50, 50), min_size=0, max_size=20),
+       width=st.integers(1, 5))
+def test_moving_matches_bruteforce_window(spark, vals, width):
+    from bi_etl_and_integration_spark.operators.windows import moving
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "k long, seq long, v long")
+    got = {r["seq"]: r["ms"] for r in moving(
+        df, ["k"], [F.col("seq").asc()], width,
+        ms=F.sum("v")).collect()}
+    want = {i: sum(vals[max(0, i - width + 1):i + 1])
+            for i in range(len(vals))}
+    assert got == want
