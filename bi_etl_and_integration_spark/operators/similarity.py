@@ -618,28 +618,32 @@ def semantic_dedup(df: DataFrame,
     it — *a dominated item is itself dominated by a kept one only
     under transitivity, which SemDeDup deliberately approximates by
     "any earlier neighbor", so the drop test is against ALL earlier
-    cluster members; that makes it a pure self-join, no iteration).
+    cluster members; no iteration needed).
 
     Plan shape — why this survives 100 TB where naive semantic dedup
-    dies: the pairwise test runs ONLY within a cluster (one shuffle on
-    the cluster key for each join side), so the quadratic term is
-    bounded by the largest cluster, a dial the caller controls with k.
-    Assignment itself is the :func:`kmeans_assign` plan literal — a
-    narrow zero-shuffle map.  ``max_cluster_rows`` is the same loud
-    hot-bucket guard the LSH family uses: a degenerate cluster (k too
-    small for the corpus) fails with instructions instead of running
-    an executor out of memory on an n x n join.
+    dies: the pairwise test runs ONLY within a cluster (ONE shuffle on
+    the cluster key into a per-cluster Arrow BLAS pass, the same
+    per-bucket shape ``embedding_dedup`` uses), so the quadratic term
+    is bounded by the largest cluster, a dial the caller controls
+    with k.  Assignment itself is the :func:`kmeans_assign` plan
+    literal — a narrow zero-shuffle map.  ``max_cluster_rows`` is the
+    same loud hot-bucket guard the LSH family uses: a degenerate
+    cluster (k too small for the corpus) fails with instructions
+    instead of burning an executor on n²/2 pair computations.
 
-    Determinism contract: the cosine is the same double-precision
-    sequential fold as :func:`cosine_similarity`, so an oracle that
-    folds left-to-right reproduces the survivor set bit for bit.
-    Returns the surviving rows of ``df`` plus ``cluster_col``.
+    Determinism contract (the oracle's): the survivor set equals the
+    one the exact double-sequential-fold cosine
+    (:func:`cosine_similarity`) produces, bit for bit — BLAS decides
+    only pairs farther than ``_EPS`` from the threshold, and every
+    pair inside the band is re-decided with that exact fold (see the
+    inline proof sketch below).  Returns the surviving rows of ``df``
+    plus ``cluster_col``.
     """
     # persist: the assignment expression (k x dim literal folds per
-    # row) feeds the size guard AND both self-join sides — without the
-    # persist it is re-evaluated three times (HOF folds run
-    # interpreted, so re-evaluation is the dominant cost, measured at
-    # sf0.1)
+    # row) feeds the size guard, the dominance pass, and the final
+    # anti-join — without the persist it is re-evaluated three times
+    # (HOF folds run interpreted, so re-evaluation is the dominant
+    # cost, measured at sf0.1)
     assigned = kmeans_assign(df, centroids, vec_col=vec_col,
                              out_col=cluster_col).persist()
     sizes = assigned.groupBy(cluster_col).agg(
