@@ -392,3 +392,25 @@ def test_backfill_catchup_skips_done_periods(spark, tmp_path):
     with pytest.raises(ValueError, match="before end"):
         backfill(p, spark, start="2024-01-02", end="2024-01-01",
                  state_dir=state)
+
+
+def test_cli_backfill_periods_and_markers(spark, tmp_path, capsys):
+    import json
+    from bi_etl_and_integration_spark.__main__ import main
+    src = str(tmp_path / "in.parquet")
+    spark.range(5).write.parquet(src)
+    spec = {"name": "bf_demo", "stages": [
+        {"name": "load", "read": {"format": "parquet", "path": src}}]}
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    state = str(tmp_path / "state")
+    argv = ["backfill", str(spec_path), "--start", "2024-01-01",
+            "--end", "2024-01-03", "--state-dir", state]
+    rc = main(argv)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert [p["status"] for p in out["periods"]] == ["ran", "ran"]
+    rc2 = main(argv)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0
+    assert [p["status"] for p in out2["periods"]] == ["skipped", "skipped"]
