@@ -549,3 +549,28 @@ def with_totals(df: DataFrame, keys: Sequence[str],
            .where(F.col("__gid").isin(0, full)))
     return (out.withColumn(total_col, F.col("__gid") == full)
             .drop("__gid"))
+
+
+def topn_others(df: DataFrame, key: str, value: Column, *, n: int = 3,
+                others_label: str = "other",
+                value_col: str = "value") -> DataFrame:
+    """Top-N-plus-'others' mart (the dashboard idiom the reference's
+    multi-aggregation datamart chapter builds toward: show the big
+    contributors, roll the tail into one row so the chart stays
+    readable and the total stays honest).
+
+    ONE keyed aggregation shrinks the input to |keys| rows; the rank
+    window and the relabel+re-aggregate run on that tiny aggregate —
+    at 100 TB the only full-data cost is the first map-side-combined
+    aggregate.  Ranking ties break on the key for determinism.
+    """
+    from pyspark.sql.window import Window
+    agg = df.groupBy(key).agg(value.alias(value_col))
+    # single-partition window is FINE here: it ranks the |keys|-row
+    # aggregate, never the input (contrast ntile_buckets' warning)
+    w = Window.orderBy(F.col(value_col).desc(), F.col(key).asc())
+    ranked = agg.withColumn("__rk", F.row_number().over(w))
+    lab = F.when(F.col("__rk") <= n, F.col(key)) \
+        .otherwise(F.lit(others_label))
+    return (ranked.select(lab.alias(key), value_col)
+            .groupBy(key).agg(F.sum(value_col).alias(value_col)))

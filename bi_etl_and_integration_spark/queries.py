@@ -3453,3 +3453,29 @@ def x39(spark, cat):
                  F.sum((F.col("n_tok") >= 40).cast("int"))
                  .cast("bigint").alias("n_keep"))
             .orderBy("source"))
+
+
+@q("q65_topn_others",
+   "WITH a AS (SELECT event_type, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS v "
+   "FROM events GROUP BY event_type), "
+   "r AS (SELECT event_type, v, ROW_NUMBER() OVER ("
+   "ORDER BY v DESC, event_type) AS rk FROM a), "
+   "l AS (SELECT CASE WHEN rk <= 3 THEN event_type ELSE 'other' END "
+   "AS event_type, v FROM r) "
+   "SELECT event_type, " + R("SUM(v)", 3) + " AS value FROM l "
+   "GROUP BY event_type ORDER BY event_type")
+def q65(spark, cat):
+    """Top-N-plus-'others' dashboard mart (DM multi-aggregation mart
+    idiom): top-3 event types by total value, tail rolled into one
+    'other' row.  The rank window runs on the |types|-row aggregate,
+    never the events; DECIMAL sums keep the totals order-free exact
+    and the RANKING itself tie-safe cross-engine (double sums could
+    order near-equal types differently)."""
+    out = agg_ops.topn_others(
+        cat.events, "event_type",
+        F.sum(F.col("value").cast("decimal(18,3)")), n=3)
+    return (out.select("event_type",
+                       dec_round(F.col("value").cast("double"), 3)
+                       .alias("value"))
+            .orderBy("event_type"))

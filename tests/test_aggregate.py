@@ -329,3 +329,16 @@ def test_percentiles_weighted_repeated_value_semantics(rows):
     assert out["p50"] == 20.0 and out["p90"] == 30.0
     with pytest.raises(ValueError, match="approx=False"):
         percentiles(df, ["k"], "v", [0.5], approx=True, weight_col="w")
+
+
+def test_topn_others_rolls_tail(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        topn_others)
+    df = rows([("a", 10), ("a", 10), ("b", 15), ("c", 5), ("d", 3),
+               ("e", 2)],
+              "k string, v long")
+    out = {r["k"]: r["value"] for r in topn_others(
+        df, "k", F.sum("v"), n=2).collect()}
+    # totals: a=20, b=15, c=5, d=3, e=2 -> top2 = a,b; other = 10
+    assert out == {"a": 20, "b": 15, "other": 10}
