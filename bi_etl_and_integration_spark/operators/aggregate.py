@@ -566,6 +566,13 @@ def topn_others(df: DataFrame, key: str, value: Column, *, n: int = 3,
     """
     from pyspark.sql.window import Window
     agg = df.groupBy(key).agg(value.alias(value_col))
+    # a REAL category named exactly like the roll-up label would be
+    # silently merged with the tail row — fail loudly instead (the
+    # probe runs on the already-shrunk |keys|-row aggregate)
+    if agg.where(F.col(key) == others_label).limit(1).count():
+        raise ValueError(
+            f"topn_others: a real {key!r} value equals the others "
+            f"label {others_label!r}; pass a different others_label")
     # single-partition window is FINE here: it ranks the |keys|-row
     # aggregate, never the input (contrast ntile_buckets' warning)
     w = Window.orderBy(F.col(value_col).desc(), F.col(key).asc())

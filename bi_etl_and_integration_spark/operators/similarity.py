@@ -638,6 +638,11 @@ def semantic_dedup(df: DataFrame,
     pair inside the band is re-decided with that exact fold (see the
     inline proof sketch below).  Returns the surviving rows of ``df``
     plus ``cluster_col``.
+
+    Note: the cluster assignment stays cached for the session (it
+    backs the lazily-returned result); a job deduping MANY corpora in
+    one session should release it between calls
+    (``spark.catalog.clearCache()`` or consume + discard the result).
     """
     # persist: the assignment expression (k x dim literal folds per
     # row) feeds the size guard, the dominance pass, and the final

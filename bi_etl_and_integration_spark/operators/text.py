@@ -512,8 +512,11 @@ def normalize_text(df: DataFrame, text_col: str = "text", *,
        is invariant under all four forms), so a mostly-ASCII corpus
        pays Arrow transfer but near-zero CPU; pass ``form=None`` to
        skip the Python stage entirely.
-    2. ``strip_control`` — drop C0/C1 control chars (keeping \\t \\n \\r
-       for the collapse step to fold) — JVM ``regexp_replace``.
+    2. ``strip_control`` — drop C0 controls, DEL, AND the C1 block
+       U+0080-U+009F (Windows-1252 mojibake artifacts, incl. NEL)
+       while keeping \\t \\n \\r for the collapse step to fold — JVM
+       ``regexp_replace``; the ``\\x{...}`` class form parses
+       identically in Java regex and RE2.
     3. ``collapse_whitespace`` — runs of whitespace to one space +
        trim — JVM ``regexp_replace``.
 
@@ -532,7 +535,9 @@ def normalize_text(df: DataFrame, text_col: str = "text", *,
 
         c = _norm(c)
     if strip_control:
-        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+        c = F.regexp_replace(
+            c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]",
+            "")
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col or text_col, c)

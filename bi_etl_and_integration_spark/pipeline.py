@@ -360,8 +360,13 @@ def backfill(pipeline: Pipeline, spark: SparkSession, *,
 
     Sequential oldest-first by design (Airflow depends_on_past): a
     period may read state its predecessor published.  Returns one
-    ``{"period_start", "period_end", "status"}`` dict per period
-    (status: ran | skipped | failed).
+    ``{"period_start", "period_end", "status"[, "error"]}`` dict per
+    period (status: ran | ran_partial | skipped | failed).  A period
+    truncated by ``end`` (intraday catch-up) runs but is NOT marked
+    complete — the next backfill re-runs the whole period over the
+    idempotent writers, picking up the remainder.  A stage failure
+    absorbed by a ``run_on='failure'`` handler still fails the
+    period: handled-for-alerting is not loaded.
     """
     import datetime as dt
     os.makedirs(state_dir, exist_ok=True)
@@ -390,19 +395,41 @@ def backfill(pipeline: Pipeline, spark: SparkSession, *,
             p.update(period_start=cur.isoformat(),
                      period_end=nxt.isoformat())
             try:
-                pipeline.run(spark, params=p)
-            except Exception:
+                ctx = pipeline.run(spark, params=p)
+                # run() swallows a stage failure when a
+                # run_on='failure' handler exists (the handler "took"
+                # it) — but for CATCH-UP accounting a handled failure
+                # is still an unloaded period; marking it done would
+                # silently drop its data forever
+                status = ctx.metrics.get("__status", {})
+                bad = [s for s, v in status.items() if v == "failed"]
+                if bad:
+                    raise RuntimeError(
+                        f"stage(s) failed (handler ran): {bad}")
+            except Exception as e:
                 row["status"] = "failed"
+                # keep the cause — a 30-day catch-up that reports one
+                # bare 'failed' row is undiagnosable
+                row["error"] = repr(e)
                 out.append(row)
                 if stop_on_failure:
                     return out
                 cur = nxt
                 continue
-            # marker only after success; O_EXCL so two concurrent
-            # backfills cannot both claim the same period silently
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            row["status"] = "ran"
+            if nxt == cur + step:
+                # marker only after success AND only for a COMPLETE
+                # period: a range-truncated final period (end mid-day
+                # during an intraday catch-up) must be re-run by the
+                # next backfill that can see the rest of it — period
+                # stages are idempotent overwriters, so the re-run
+                # replaces the partial load.  O_EXCL so two
+                # concurrent backfills cannot both claim a period.
+                fd = os.open(marker,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                row["status"] = "ran"
+            else:
+                row["status"] = "ran_partial"
         out.append(row)
         cur = nxt
     return out

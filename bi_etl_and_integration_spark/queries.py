@@ -3144,7 +3144,7 @@ def x34(spark, cat):
    "SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize("
    "text || '  Cafe' || chr(769) || ' ' || chr(7) || ' no' || chr(776)"
    " || 'el'), "
-   r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), "
+   r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'), "
    r"'\s+', ' ', 'g')) AS text "
    "FROM documents ORDER BY doc_id")
 def x35(spark, cat):
@@ -3422,7 +3422,7 @@ def q28h(spark, cat):
 @q("x39_curation_pipeline",
    "WITH norm AS (SELECT doc_id, source, trim(regexp_replace("
    "regexp_replace(nfc_normalize(text), "
-   r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), "
+   r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'), "
    r"'\s+', ' ', 'g')) AS t FROM documents), "
    "keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY t), "
    "kept AS (SELECT n.doc_id, n.source, n.t FROM norm n "

@@ -342,3 +342,16 @@ def test_topn_others_rolls_tail(rows):
         df, "k", F.sum("v"), n=2).collect()}
     # totals: a=20, b=15, c=5, d=3, e=2 -> top2 = a,b; other = 10
     assert out == {"a": 20, "b": 15, "other": 10}
+
+
+def test_topn_others_label_collision_rejected(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        topn_others)
+    import pytest
+    df = rows([("other", 100), ("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="others_label"):
+        topn_others(df, "k", F.sum("v"), n=1)
+    out = {r["k"]: r["value"] for r in topn_others(
+        df, "k", F.sum("v"), n=1, others_label="__tail").collect()}
+    assert out == {"other": 100, "__tail": 1}

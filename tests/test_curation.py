@@ -261,3 +261,24 @@ def test_with_url_parts_components(rows):
     assert r2["url_domain"] == "localhost"       # single-label host
     assert r2["url_query"] is None
     assert out[3]["url_host"] is None
+
+
+def test_ngram_hash_matches_string_grams(rows):
+    """_ngram_hash_col must stay the hash twin of _ngram_col (same
+    whitespace tokenizer, same <n empty contract) — the contamination
+    oracle's string-gram equivalence rests on it."""
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.curation import (
+        _ngram_col, _ngram_hash_col)
+    df = rows([(1, "a b c d e"), (2, "one two"), (3, "x  y\tz  x y"),
+               (4, "")],
+              "i long, t string")
+    out = df.select(
+        "i", F.size(_ngram_col(F.col("t"), 3)).alias("ns"),
+        F.size(_ngram_hash_col(F.col("t"), 3)).alias("nh")).collect()
+    for r in out:
+        assert r["ns"] == r["nh"], r
+    # and both see through whitespace runs identically
+    row3 = [r for r in out if r["i"] == 3][0]
+    # distinct 3-grams of "x y z x y": xyz, yzx, zxy
+    assert row3["ns"] == 3

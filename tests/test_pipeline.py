@@ -414,3 +414,55 @@ def test_cli_backfill_periods_and_markers(spark, tmp_path, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc2 == 0
     assert [p["status"] for p in out2["periods"]] == ["skipped", "skipped"]
+
+
+def test_backfill_handled_failure_still_fails_period(spark, tmp_path):
+    """A run_on='failure' handler makes Pipeline.run return normally —
+    but the period is NOT loaded, so backfill must record 'failed'
+    (with the cause) and leave it unmarked for the next catch-up."""
+    from bi_etl_and_integration_spark.pipeline import Pipeline, backfill
+    p = Pipeline("handled")
+
+    @p.stage("load")
+    def load(ctx):
+        raise RuntimeError("upstream 500")
+
+    @p.stage("alert", depends_on=["load"], run_on="failure")
+    def alert(ctx):
+        pass
+
+    state = str(tmp_path / "state")
+    out = backfill(p, spark, start="2024-01-01", end="2024-01-02",
+                   state_dir=state, grain="day")
+    assert out[0]["status"] == "failed"
+    assert "load" in out[0]["error"]
+    # unmarked -> retried by the next catch-up, not skipped
+    out2 = backfill(p, spark, start="2024-01-01", end="2024-01-02",
+                    state_dir=state, grain="day")
+    assert out2[0]["status"] == "failed"
+
+
+def test_backfill_truncated_period_not_marked_complete(spark, tmp_path):
+    """An end-truncated final period runs but must NOT claim the full
+    period's marker: the next catch-up (larger end) re-runs it over
+    the idempotent writers, picking up the remainder."""
+    from bi_etl_and_integration_spark.pipeline import Pipeline, backfill
+    seen = []
+    p = Pipeline("intraday")
+
+    @p.stage("load")
+    def load(ctx):
+        seen.append((ctx.params["period_start"],
+                     ctx.params["period_end"]))
+
+    state = str(tmp_path / "state")
+    out = backfill(p, spark, start="2024-01-01",
+                   end="2024-01-01T18:00:00",
+                   state_dir=state, grain="day")
+    assert [r["status"] for r in out] == ["ran_partial"]
+    out2 = backfill(p, spark, start="2024-01-01", end="2024-01-02",
+                    state_dir=state, grain="day")
+    assert [r["status"] for r in out2] == ["ran"]
+    # the re-run covered the WHOLE day, replacing the partial load
+    assert seen == [("2024-01-01T00:00:00", "2024-01-01T18:00:00"),
+                    ("2024-01-01T00:00:00", "2024-01-02T00:00:00")]

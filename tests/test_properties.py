@@ -351,7 +351,8 @@ def test_normalize_text_matches_unicodedata(spark, texts):
                                "doc_id long, text string")
     got = {r["doc_id"]: r["text"]
            for r in normalize_text(df, "text", form="NFKC").collect()}
-    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ctrl = re.compile(
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u0080-\\u009f]")
     for i, t in enumerate(texts):
         want = unicodedata.normalize("NFKC", t)
         want = ctrl.sub("", want)
