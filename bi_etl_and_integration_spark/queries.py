@@ -3479,3 +3479,23 @@ def q65(spark, cat):
                        dec_round(F.col("value").cast("double"), 3)
                        .alias("value"))
             .orderBy("event_type"))
+
+
+@q("q66_skyline",
+   "SELECT p_partkey, p_retailprice, p_size FROM part a "
+   "WHERE NOT EXISTS (SELECT 1 FROM part b "
+   "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size "
+   "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)) "
+   "ORDER BY p_partkey")
+def q66(spark, cat):
+    """Skyline / Pareto front (EDBT 2023 'Integration of Skyline
+    Queries into Spark SQL' capability): the parts no other part beats
+    on BOTH cheapest price and largest size.  The engine runs the
+    two-phase distributed sort-filter-skyline; the oracle executes the
+    quadratic NOT EXISTS *specification* (like q15/q55, a
+    spec-oracle: the scale argument in one number, not an
+    engine-vs-engine race)."""
+    out = rel_ops.skyline(
+        cat.part.select("p_partkey", "p_retailprice", "p_size"),
+        {"p_retailprice": "min", "p_size": "max"})
+    return out.orderBy("p_partkey")

@@ -180,3 +180,26 @@ def test_weighted_sample_determinism_and_bias(rows):
     got = weighted_sample(g, "w", 4, "id", by=["grp"]).collect()
     from collections import Counter
     assert Counter(r["grp"] for r in got) == {"g0": 4, "g1": 4}
+
+
+def test_skyline_dominance(rows):
+    from bi_etl_and_integration_spark.operators.relational import (
+        skyline)
+    import pytest
+    # minimize cost, maximize quality
+    df = rows([(1, 5.0, 5), (2, 5.0, 5),   # identical frontier rows:
+               #                             neither strictly dominates
+               #                             the other -> BOTH kept
+               (3, 10.0, 5),               # dominated by 1/2 (cost)
+               (4, 20.0, 9),               # best quality
+               (5, 21.0, 9),               # dominated by 4
+               (6, 5.0, 4),                # dominated by 1/2 (quality)
+               (7, None, 9)],              # NULL dim -> excluded
+              "id long, cost double, quality long")
+    got = sorted(r["id"] for r in skyline(
+        df, {"cost": "min", "quality": "max"}).collect())
+    assert got == [1, 2, 4]
+    with pytest.raises(ValueError, match="at least one"):
+        skyline(df, {})
+    with pytest.raises(ValueError, match="min/max"):
+        skyline(df, {"cost": "down"})

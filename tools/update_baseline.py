@@ -43,7 +43,8 @@ def table(det: dict) -> str:
 #: engine runs the real algorithm — their DuckDB time measures the
 #: spec, not the engine, so the honest corpus ratio is reported both
 #: with and without them
-SPEC_ORACLES = ("q15_fuzzy_lookup", "q55_window_funnel")
+SPEC_ORACLES = ("q15_fuzzy_lookup", "q55_window_funnel",
+                "q66_skyline")
 
 
 def spec_note(det: dict) -> str:
