@@ -435,7 +435,11 @@ def score_quality(df: DataFrame, model, *,
 
     The fitted coefficients are inlined into the plan as LITERALS and
     the sigmoid is built from native expressions — the whole scoring
-    pass stays inside whole-stage codegen.  Deliberately NOT
+    pass stays inside whole-stage codegen (the published
+    model-to-relational-expression compilation idea: "Machine Learning
+    Inference Pipeline Execution Using Pure SQL Based on Operator
+    Fusion", ICDE 2025 — the optimizer then fuses scoring with the
+    surrounding scan/filter operators for free).  Deliberately NOT
     ``model.transform``: MLlib's transform routes through a ScalaUDF
     (interpreted vector assembly per row), and on this Spark build a
     ScalaUDF planned after any ``Observation`` has been used on the
