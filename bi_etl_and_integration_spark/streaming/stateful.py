@@ -168,3 +168,63 @@ def _duration_ms(text: str) -> int:
            "hour": 3_600_000, "hours": 3_600_000,
            "day": 86_400_000, "days": 86_400_000}[unit.lower()]
     return int(float(qty) * per)
+
+
+def stateful_top_k(stream_df: DataFrame, keys: Sequence[str],
+                   value_col: str, *, k: int = 10,
+                   m: int = 1000) -> DataFrame:
+    """Streaming heavy hitters: per key group, the running top-``k``
+    values of ``value_col`` by frequency across the WHOLE stream —
+    the continuous twin of ``aggregate.approx_top_k``, sharing its
+    bounded space-saving sketch (Metwally et al. 2005).
+
+    State per key is AT MOST ``m`` (value, count) counters plus the
+    eviction floor, regardless of the column's cardinality — the
+    property that keeps the state store finite at 100 TB/day ingest
+    (an exact streaming count would grow state per distinct value
+    forever).  Counts are exact while a key group has seen <= m
+    distinct values; beyond that each count is the standard
+    space-saving upper bound.  Emits one row per (key, rank) per
+    micro-batch that touched the key, ranks 1..k by (count desc,
+    value) — deterministic under replay of the same batch sequence.
+    """
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        _space_saving_update)
+    keys = list(keys)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream_df.select(*keys).schema.fields)
+    out_ddl = (f"{key_fields}, rank int, value string, est_count long")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            vals, cnts, floor = state.get
+            sketch = pd.Series(list(cnts), index=list(vals),
+                               dtype="int64")
+        else:
+            sketch, floor = None, 0
+        for pdf in pdfs:
+            vc = pdf[value_col].dropna().astype(str).value_counts()
+            if len(vc):
+                sketch, floor = _space_saving_update(sketch, floor,
+                                                     vc, m)
+        if sketch is None:
+            return
+        state.update((list(sketch.index), [int(c) for c in sketch],
+                      int(floor)))
+        top = (sketch.rename("c").rename_axis("v").reset_index()
+               .sort_values(["c", "v"], ascending=[False, True],
+                            kind="mergesort")
+               .head(k))
+        out = pd.DataFrame({
+            **{kc: [kv] * len(top) for kc, kv in zip(keys, key)},
+            "rank": range(1, len(top) + 1),
+            "value": top["v"].to_numpy(),
+            "est_count": top["c"].to_numpy("int64")})
+        yield out
+
+    return (stream_df.groupBy(*keys)
+            .applyInPandasWithState(
+                fn, out_ddl,
+                "vals array<string>, cnts array<long>, floor long",
+                "update", GroupStateTimeout.NoTimeout))

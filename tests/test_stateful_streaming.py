@@ -153,3 +153,44 @@ def test_component_design_time_validation(rows):
 def test_component_registry_unknown():
     with pytest.raises(KeyError, match="unknown component"):
         component("nope")
+
+
+def test_stateful_top_k_bounded_counters(spark, rows, tmp_path):
+    """Heavy hitters across micro-batches: counts accumulate in the
+    bounded space-saving state; with m smaller than the distinct count
+    every stored count stays an upper bound and the true heavy hitter
+    still ranks first."""
+    from bi_etl_and_integration_spark.streaming.stateful import (
+        stateful_top_k)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k int, v string"
+    b1 = rows([(1, "a"), (1, "a"), (1, "b"), (2, "z")], schema)
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", "8").parquet(src)
+    out = stateful_top_k(stream, ["k"], "v", k=2, m=2)
+    q = (out.writeStream.format("memory").queryName("hh")
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+        first = {(r["k"], r["rank"]): (r["value"], r["est_count"])
+                 for r in spark.table("hh").collect()}
+        assert first[(1, 1)] == ("a", 2)
+        assert first[(1, 2)] == ("b", 1)
+        assert first[(2, 1)] == ("z", 1)
+        # batch 2: 'a' keeps growing; 'c' evicts 'b' (m=2) entering at
+        # floor+1 (upper bound)
+        b2 = rows([(1, "a"), (1, "c"), (1, "c")], schema)
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows2 = [r.asDict() for r in spark.table("hh").collect()]
+        latest = {}
+        for r in rows2:
+            latest[(r["k"], r["rank"])] = (r["value"], r["est_count"])
+        assert latest[(1, 1)] == ("a", 3)
+        v, c = latest[(1, 2)]
+        assert v == "c" and c >= 2          # space-saving upper bound
+    finally:
+        q.stop()
