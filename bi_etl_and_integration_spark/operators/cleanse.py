@@ -458,3 +458,31 @@ def skew_report(df: DataFrame, key_cols: Sequence[str], *,
                     .alias("x_mean"))
             .orderBy(F.col("n_rows").desc(), *key_cols)
             .limit(top))
+
+
+def standardize(df: DataFrame, value_col: str,
+                by: Sequence[str] | None = None, *,
+                out_col: str | None = None) -> DataFrame:
+    """Group-wise z-score standardization ((x - mean) / stddev_samp
+    within the ``by`` group) — the feature-scaling staple of every
+    learned-quality/embedding pipeline, and the transform half of
+    :func:`flag_outliers` (same statistics, returned as a value
+    instead of a fence verdict).
+
+    Same scale-safe plan: ONE tiny stats aggregate + a broadcast
+    join-back, the wide input never shuffles.  Groups with NULL/zero
+    spread and NULL inputs yield NULL (a constant column has no
+    z-score; silently emitting 0 would fabricate information).
+    """
+    by = list(by or [])
+    v = F.col(value_col)
+    stats = [F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sd")]
+    if by:
+        grp = df.groupBy(*by).agg(*stats)
+        joined = df.join(F.broadcast(grp), by, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*stats)))
+    z = F.when(F.col("__sd").isNotNull() & (F.col("__sd") > 0),
+               (v - F.col("__mu")) / F.col("__sd"))
+    return (joined.withColumn(out_col or f"{value_col}_z", z)
+            .drop("__mu", "__sd"))

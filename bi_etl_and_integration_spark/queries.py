@@ -3499,3 +3499,21 @@ def q66(spark, cat):
         cat.part.select("p_partkey", "p_retailprice", "p_size"),
         {"p_retailprice": "min", "p_size": "max"})
     return out.orderBy("p_partkey")
+
+
+@q("x40_standardize",
+   "WITH s AS (SELECT event_type, AVG(value) AS mu, "
+   "STDDEV_SAMP(value) AS sd FROM events GROUP BY event_type) "
+   "SELECT e.event_id, e.event_type, "
+   + R("CASE WHEN s.sd IS NOT NULL AND s.sd > 0 "
+       "THEN (e.value - s.mu) / s.sd END", 6)
+   + " AS value_z FROM events e LEFT JOIN s USING (event_type) "
+   "ORDER BY e.event_id")
+def x40(spark, cat):
+    """Group-wise z-score feature scaling (one stats aggregate +
+    broadcast join-back; the events table never shuffles) — the
+    transform twin of q53's outlier fences, value-verified per row."""
+    out = cl_ops.standardize(cat.events, "value", ["event_type"])
+    return (out.select("event_id", "event_type",
+                       dec_round("value_z", 6).alias("value_z"))
+            .orderBy("event_id"))

@@ -207,3 +207,17 @@ def test_skew_report_orders_and_ratios(rows):
     assert hot["n_rows"] == 60
     assert abs(hot["share_of_rows"] - 0.6) < 1e-12
     assert abs(hot["x_mean"] - 60 / 25) < 1e-12   # mean key load = 25
+
+
+def test_standardize_groupwise_and_degenerate(rows):
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        standardize)
+    df = rows([("a", 1.0), ("a", 3.0), ("b", 7.0), ("c", None)],
+              "g string, v double")
+    out = {(r["g"], r["v"]): r["v_z"] for r in standardize(
+        df, "v", ["g"]).collect()}
+    # group a: mean 2, sd_samp sqrt(2) -> z = ±0.7071...
+    assert abs(out[("a", 1.0)] + 0.7071067811865475) < 1e-12
+    assert abs(out[("a", 3.0)] - 0.7071067811865475) < 1e-12
+    assert out[("b", 7.0)] is None      # single row: sd NULL
+    assert out[("c", None)] is None
