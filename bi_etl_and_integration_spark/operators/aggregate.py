@@ -566,18 +566,26 @@ def topn_others(df: DataFrame, key: str, value: Column, *, n: int = 3,
     """
     from pyspark.sql.window import Window
     agg = df.groupBy(key).agg(value.alias(value_col))
-    # a REAL category named exactly like the roll-up label would be
-    # silently merged with the tail row — fail loudly instead (the
-    # probe runs on the already-shrunk |keys|-row aggregate)
-    if agg.where(F.col(key) == others_label).limit(1).count():
-        raise ValueError(
-            f"topn_others: a real {key!r} value equals the others "
-            f"label {others_label!r}; pass a different others_label")
-    # single-partition window is FINE here: it ranks the |keys|-row
-    # aggregate, never the input (contrast ntile_buckets' warning)
+    # single-partition windows are FINE here: they rank/scan the
+    # |keys|-row aggregate, never the input (contrast ntile_buckets'
+    # warning)
     w = Window.orderBy(F.col(value_col).desc(), F.col(key).asc())
+    every = Window.partitionBy()
+    # a REAL category named exactly like the roll-up label would be
+    # silently merged with the tail row — fail loudly instead.  The
+    # guard is IN the plan (raise_error over a window max on the
+    # shrunk aggregate), not an eager probe action: the input is
+    # still scanned exactly once, at evaluation time.
+    collided = F.max((F.col(key) == others_label).cast("int")) \
+        .over(every) == 1
     ranked = agg.withColumn("__rk", F.row_number().over(w))
-    lab = F.when(F.col("__rk") <= n, F.col(key)) \
+    lab = F.when(
+        collided,
+        F.raise_error(F.lit(
+            f"topn_others: a real {key} value equals the others "
+            f"label {others_label!r}; pass a different others_label"))
+        .cast(agg.schema[key].dataType)) \
+        .when(F.col("__rk") <= n, F.col(key)) \
         .otherwise(F.lit(others_label))
     return (ranked.select(lab.alias(key), value_col)
             .groupBy(key).agg(F.sum(value_col).alias(value_col)))

@@ -328,6 +328,18 @@ def reconcile(source: DataFrame, target: DataFrame, keys: Sequence[str],
                     .alias(changed_col))
 
 
+def _group_stats_join(df: DataFrame, by: Sequence[str],
+                      stats: "list[Column]") -> DataFrame:
+    """Shared shape of the group-statistics operators (flag_outliers,
+    standardize): ONE tiny stats aggregate per ``by`` group + a
+    broadcast join-back, so the wide input never shuffles (no-group
+    case degrades to a 1-row broadcast cross join)."""
+    if by:
+        grp = df.groupBy(*by).agg(*stats)
+        return df.join(F.broadcast(grp), list(by), "left")
+    return df.crossJoin(F.broadcast(df.agg(*stats)))
+
+
 def flag_outliers(df: DataFrame, value_col: str,
                   by: Sequence[str] | None = None, *,
                   method: str = "zscore", k: float = 3.0,
@@ -374,12 +386,7 @@ def flag_outliers(df: DataFrame, value_col: str,
         drop = ["__qs"]
     else:
         raise ValueError(f"flag_outliers: unknown method {method!r}")
-    if by:
-        grp = df.groupBy(*by).agg(*stats)
-        joined = df.join(F.broadcast(grp), by, "left")
-    else:
-        grp = df.agg(*stats)
-        joined = df.crossJoin(F.broadcast(grp))
+    joined = _group_stats_join(df, by, stats)
     return joined.withColumn(
         flag_col, F.coalesce(is_out, F.lit(False))).drop(*drop)
 
@@ -477,11 +484,7 @@ def standardize(df: DataFrame, value_col: str,
     by = list(by or [])
     v = F.col(value_col)
     stats = [F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sd")]
-    if by:
-        grp = df.groupBy(*by).agg(*stats)
-        joined = df.join(F.broadcast(grp), by, "left")
-    else:
-        joined = df.crossJoin(F.broadcast(df.agg(*stats)))
+    joined = _group_stats_join(df, by, stats)
     z = F.when(F.col("__sd").isNotNull() & (F.col("__sd") > 0),
                (v - F.col("__mu")) / F.col("__sd"))
     return (joined.withColumn(out_col or f"{value_col}_z", z)

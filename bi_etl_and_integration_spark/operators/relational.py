@@ -441,7 +441,17 @@ def skyline(df: DataFrame, dims: "dict[str, str]") -> DataFrame:
         m = np.column_stack([
             (-pdf[c].to_numpy(dtype="float64") if dims[c] == "max"
              else pdf[c].to_numpy(dtype="float64")) for c in cols])
-        order = np.argsort(m.sum(axis=1), kind="stable")
+        # sort by dim-sum, tie-broken LEXICOGRAPHICALLY by the dims: a
+        # dominator's exact sum is strictly smaller, but float64
+        # rounding can TIE the two sums (e.g. around 2^53) and a
+        # stable sum-only sort could then place the dominated row
+        # first and wrongly accept it.  Under a sum tie a dominator is
+        # lexicographically smaller (all dims <=, one <), so this
+        # order provably puts every dominator before what it
+        # dominates.  np.lexsort: last key is primary.
+        order = np.lexsort(
+            tuple(m[:, d] for d in reversed(range(m.shape[1])))
+            + (m.sum(axis=1),))
         m = m[order]
         keep_idx: list[int] = []
         sky = np.empty((0, m.shape[1]))
@@ -469,6 +479,8 @@ def skyline(df: DataFrame, dims: "dict[str, str]") -> DataFrame:
 
 def _skyline_merge(batches, kernel):
     import pandas as pd
-    pdf = pd.concat(list(batches), ignore_index=True)
-    if len(pdf):
-        yield kernel(pdf)
+    parts = [b for b in batches if len(b)]
+    if not parts:          # empty input / all rows NULL-dropped:
+        return             # empty skyline, not a pd.concat([]) crash
+    pdf = pd.concat(parts, ignore_index=True)
+    yield kernel(pdf)

@@ -106,6 +106,11 @@ class Pipeline:
         ctx.metrics[st.name] = {"seconds": time.monotonic() - t0,
                                 "attempts": attempt + (err is None),
                                 "status": status[st.name]}
+        if err is not None:
+            # keep the cause inspectable after run() returns — a
+            # failure absorbed by a run_on='failure' handler would
+            # otherwise be reduced to a bare 'failed' status
+            ctx.metrics[st.name]["error"] = repr(err)
         return err
 
     def _decide(self, st: Stage, status: dict) -> str | None:
@@ -404,8 +409,10 @@ def backfill(pipeline: Pipeline, spark: SparkSession, *,
                 status = ctx.metrics.get("__status", {})
                 bad = [s for s, v in status.items() if v == "failed"]
                 if bad:
+                    causes = {s: ctx.metrics.get(s, {}).get("error")
+                              for s in bad}
                     raise RuntimeError(
-                        f"stage(s) failed (handler ran): {bad}")
+                        f"stage(s) failed (handler ran): {causes}")
             except Exception as e:
                 row["status"] = "failed"
                 # keep the cause — a 30-day catch-up that reports one

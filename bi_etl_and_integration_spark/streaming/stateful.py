@@ -172,17 +172,21 @@ def _duration_ms(text: str) -> int:
 
 def stateful_top_k(stream_df: DataFrame, keys: Sequence[str],
                    value_col: str, *, k: int = 10,
-                   m: int = 1000) -> DataFrame:
+                   m: int = 1000,
+                   ttl_minutes: int | None = None) -> DataFrame:
     """Streaming heavy hitters: per key group, the running top-``k``
     values of ``value_col`` by frequency across the WHOLE stream —
     the continuous twin of ``aggregate.approx_top_k``, sharing its
     bounded space-saving sketch (Metwally et al. 2005).
 
     State per key is AT MOST ``m`` (value, count) counters plus the
-    eviction floor, regardless of the column's cardinality — the
-    property that keeps the state store finite at 100 TB/day ingest
-    (an exact streaming count would grow state per distinct value
-    forever).  Counts are exact while a key group has seen <= m
+    eviction floor, regardless of the column's cardinality; the OTHER
+    axis — distinct KEY GROUPS — is bounded by ``ttl_minutes`` (a key
+    idle that long drops its sketch; same dial as
+    :func:`stateful_seen_filter`), so total state is
+    m × active-keys-per-TTL-window, finite at 100 TB/day ingest on
+    churning key spaces.  Without a TTL, keys accrete for the stream's
+    lifetime — fine for small fixed key domains only.  Counts are exact while a key group has seen <= m
     distinct values; beyond that each count is the standard
     space-saving upper bound.  Emits one row per (key, rank) per
     micro-batch that touched the key, ranks 1..k by (count desc,
@@ -196,7 +200,13 @@ def stateful_top_k(stream_df: DataFrame, keys: Sequence[str],
         for f in stream_df.select(*keys).schema.fields)
     out_ddl = (f"{key_fields}, rank int, value string, est_count long")
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_minutes
+               else GroupStateTimeout.NoTimeout)
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             vals, cnts, floor = state.get
             sketch = pd.Series(list(cnts), index=list(vals),
@@ -212,6 +222,8 @@ def stateful_top_k(stream_df: DataFrame, keys: Sequence[str],
             return
         state.update((list(sketch.index), [int(c) for c in sketch],
                       int(floor)))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
         top = (sketch.rename("c").rename_axis("v").reset_index()
                .sort_values(["c", "v"], ascending=[False, True],
                             kind="mergesort")
@@ -227,4 +239,4 @@ def stateful_top_k(stream_df: DataFrame, keys: Sequence[str],
             .applyInPandasWithState(
                 fn, out_ddl,
                 "vals array<string>, cnts array<long>, floor long",
-                "update", GroupStateTimeout.NoTimeout))
+                "update", timeout))

@@ -350,8 +350,10 @@ def test_topn_others_label_collision_rejected(rows):
         topn_others)
     import pytest
     df = rows([("other", 100), ("a", 1)], "k string, v long")
-    with pytest.raises(ValueError, match="others_label"):
-        topn_others(df, "k", F.sum("v"), n=1)
+    # lazy in-plan guard: raises at evaluation, never a second eager
+    # scan at call time
+    with pytest.raises(Exception, match="others_label"):
+        topn_others(df, "k", F.sum("v"), n=1).collect()
     out = {r["k"]: r["value"] for r in topn_others(
         df, "k", F.sum("v"), n=1, others_label="__tail").collect()}
     assert out == {"other": 100, "__tail": 1}

@@ -203,3 +203,20 @@ def test_skyline_dominance(rows):
         skyline(df, {})
     with pytest.raises(ValueError, match="min/max"):
         skyline(df, {"cost": "down"})
+
+
+def test_skyline_empty_and_sum_tie(rows, spark):
+    from bi_etl_and_integration_spark.operators.relational import (
+        skyline)
+    # empty input (everything NULL-dropped) -> empty result, no crash
+    df = rows([(1, None, 1)], "id long, cost double, q long")
+    assert skyline(df, {"cost": "min", "q": "max"}).count() == 0
+    # float sum tie around 2^53: j=(2^53, 0) dominates i=(2^53, 1) but
+    # both row-sums round to 2^53 — the lexicographic tie-break must
+    # still put the dominator first
+    big = float(2 ** 53)
+    df2 = rows([(1, big, 1.0), (2, big, 0.0)],
+               "id long, a double, b double")
+    got = sorted(r["id"] for r in skyline(
+        df2, {"a": "min", "b": "min"}).collect())
+    assert got == [2]
