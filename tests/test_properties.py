@@ -376,3 +376,33 @@ def test_moving_matches_bruteforce_window(spark, vals, width):
     want = {i: sum(vals[max(0, i - width + 1):i + 1])
             for i in range(len(vals))}
     assert got == want
+
+
+@SETTINGS
+@given(pts=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                    min_size=0, max_size=18),
+       directions=st.tuples(st.sampled_from(["min", "max"]),
+                            st.sampled_from(["min", "max"])))
+def test_skyline_matches_bruteforce(spark, pts, directions):
+    from bi_etl_and_integration_spark.operators.relational import (
+        skyline)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+        "id long, a double, b double")
+    got = sorted(r["id"] for r in skyline(
+        df, {"a": directions[0], "b": directions[1]}).collect())
+
+    def norm(p):
+        return tuple((-v if d == "max" else v)
+                     for v, d in zip(p, directions))
+
+    npts = [norm(p) for p in pts]
+
+    def dominated(i):
+        pi = npts[i]
+        return any(all(x <= y for x, y in zip(pj, pi))
+                   and any(x < y for x, y in zip(pj, pi))
+                   for j, pj in enumerate(npts) if j != i)
+
+    want = sorted(i for i in range(len(pts)) if not dominated(i))
+    assert got == want
