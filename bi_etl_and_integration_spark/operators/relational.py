@@ -399,7 +399,8 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .limit(k).drop("__wk"))
 
 
-def skyline(df: DataFrame, dims: "dict[str, str]") -> DataFrame:
+def skyline(df: DataFrame, dims: "dict[str, str]", *,
+            k_band: int = 1) -> DataFrame:
     """Skyline / Pareto-front operator (the EDBT 2023 "Integration of
     Skyline Queries into Spark SQL" capability, via the classic
     two-phase distributed algorithm): keep every row NOT dominated by
@@ -421,15 +422,25 @@ def skyline(df: DataFrame, dims: "dict[str, str]") -> DataFrame:
     testing only against the ALREADY-ACCEPTED skyline prefix —
     O(n·|skyline|) vectorized numpy, never the n x n matrix.
 
-    The skyline SET is algorithm-independent (pure dominance
-    semantics), so a brute-force NOT EXISTS oracle certifies it
-    value-for-value.
+    ``k_band`` generalizes to the k-SKYBAND (rows dominated by FEWER
+    than ``k_band`` others; 1 = the skyline).  Counting dominators
+    against the accepted set only is exact by the standard skyband
+    lemma — a row outside the k-skyband has >= k dominators INSIDE it
+    (well-founded induction on the dominance order), so a row with
+    < k accepted dominators has no others; the same lemma makes the
+    two-phase local pruning safe for any k.
+
+    The skyline/skyband SET is algorithm-independent (pure dominance
+    semantics), so a brute-force NOT EXISTS / dominator-count oracle
+    certifies it value-for-value.
     """
     if not dims:
         raise ValueError("skyline: need at least one dimension")
     bad = {c: d for c, d in dims.items() if d not in ("min", "max")}
     if bad:
         raise ValueError(f"skyline: directions must be min/max: {bad}")
+    if k_band < 1:
+        raise ValueError("skyline: k_band must be >= 1")
     cols = list(dims)
     clean = df.na.drop(subset=cols)
 
@@ -460,9 +471,11 @@ def skyline(df: DataFrame, dims: "dict[str, str]") -> DataFrame:
             if len(keep_idx):
                 le = (sky <= r).all(axis=1)
                 lt = (sky < r).any(axis=1)
-                if bool((le & lt).any()):
+                # dominator count among ACCEPTED rows is the true
+                # count for any row still below k (skyband lemma);
+                # equal rows never strictly dominate — both kept
+                if int((le & lt).sum()) >= k_band:
                     continue
-                # equal rows never strictly dominate; both kept
             keep_idx.append(i)
             sky = np.vstack([sky, r])
         return pdf.iloc[order[keep_idx]]

@@ -3517,3 +3517,21 @@ def x40(spark, cat):
     return (out.select("event_id", "event_type",
                        dec_round("value_z", 6).alias("value_z"))
             .orderBy("event_id"))
+
+
+@q("q66b_skyband",
+   "SELECT a.p_partkey, a.p_retailprice, a.p_size FROM part a "
+   "WHERE (SELECT COUNT(*) FROM part b "
+   "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size "
+   "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)) "
+   "< 3 ORDER BY a.p_partkey")
+def q66b(spark, cat):
+    """3-skyband (rows beaten by at most two others on cheapest-price
+    + largest-size): the 'near-frontier' recommendation set the
+    skyline literature generalizes to.  Same two-phase engine with
+    the dominator-count kernel; the oracle executes the quadratic
+    correlated-count specification (spec-oracle like q66)."""
+    out = rel_ops.skyline(
+        cat.part.select("p_partkey", "p_retailprice", "p_size"),
+        {"p_retailprice": "min", "p_size": "max"}, k_band=3)
+    return out.orderBy("p_partkey")

@@ -406,3 +406,26 @@ def test_skyline_matches_bruteforce(spark, pts, directions):
 
     want = sorted(i for i in range(len(pts)) if not dominated(i))
     assert got == want
+
+
+@SETTINGS
+@given(pts=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                    min_size=0, max_size=15),
+       k=st.integers(1, 4))
+def test_skyband_matches_bruteforce_dominator_count(spark, pts, k):
+    from bi_etl_and_integration_spark.operators.relational import (
+        skyline)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+        "id long, a double, b double")
+    got = sorted(r["id"] for r in skyline(
+        df, {"a": "min", "b": "min"}, k_band=k).collect())
+
+    def n_dominators(i):
+        pi = pts[i]
+        return sum(1 for j, pj in enumerate(pts) if j != i
+                   and all(x <= y for x, y in zip(pj, pi))
+                   and any(x < y for x, y in zip(pj, pi)))
+
+    want = sorted(i for i in range(len(pts)) if n_dominators(i) < k)
+    assert got == want

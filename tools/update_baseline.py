@@ -44,7 +44,7 @@ def table(det: dict) -> str:
 #: spec, not the engine, so the honest corpus ratio is reported both
 #: with and without them
 SPEC_ORACLES = ("q15_fuzzy_lookup", "q55_window_funnel",
-                "q66_skyline")
+                "q66_skyline", "q66b_skyband")
 
 
 def spec_note(det: dict) -> str:
