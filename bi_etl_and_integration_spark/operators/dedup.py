@@ -458,7 +458,8 @@ def _dim(df: DataFrame, vec_col: str) -> int:
 
 def dedup_canonicalize(df: DataFrame, pairs: DataFrame, *,
                        id_col: str = "doc_id",
-                       canonical_col: str = "canonical_id") -> DataFrame:
+                       canonical_col: str = "canonical_id",
+                       prefer: Column | None = None) -> DataFrame:
     """End-to-end near-dup RESOLUTION: turn a pair list (``id_a``,
     ``id_b`` from any of this module's pair generators) into a
     per-document canonical assignment — the step that actually
@@ -475,15 +476,36 @@ def dedup_canonicalize(df: DataFrame, pairs: DataFrame, *,
     enter the graph) and keeps the minimum id per component.
 
     Returns every row of ``df`` plus ``canonical_col`` (= own id for
-    non-duplicated docs) and ``is_dup`` (true iff this row loses to a
-    lower-id component member — ``WHERE NOT is_dup`` is the deduped
-    corpus).  Determinism: min-id canonical election is order-free.
+    non-duplicated docs) and ``is_dup`` (true iff this row loses the
+    election — ``WHERE NOT is_dup`` is the deduped corpus).
+
+    ``prefer`` picks WHICH duplicate survives: the cluster member with
+    the greatest ``prefer`` value (ties -> lowest id) — the published
+    practice of keeping the longest / highest-quality copy rather
+    than an arbitrary one.  Default (None) elects the minimum id.
+    The election is one extra aggregate over the CLUSTERED rows only
+    (docs appearing in a pair), never the corpus; either way it is
+    order-free deterministic.  The tie-break negates the id, so ids
+    must be numeric when ``prefer`` is used.
     """
     from bi_etl_and_integration_spark.operators.fuzzy import (
         connected_components)
     comp = connected_components(pairs, "id_a", "id_b")
     comp = comp.select(F.col("id").alias(id_col),
                        F.col("component").alias("__comp"))
+    if prefer is not None:
+        members = (df.select(F.col(id_col), prefer.alias("__pref"))
+                   .join(comp, id_col))
+        # argmax(prefer, tie -> min id) per component, as a max over
+        # (pref, -id) structs — one agg, no window
+        winner = (members.groupBy("__comp")
+                  .agg(F.max(F.struct(
+                      F.col("__pref"),
+                      (-F.col(id_col)).alias("__negid")))
+                      .alias("__w"))
+                  .select(F.col("__comp"),
+                          (-F.col("__w.__negid")).alias("__win")))
+        comp = comp.join(winner, "__comp")             .select(F.col(id_col), F.col("__win").alias("__comp"))
     out = (df.join(comp, id_col, "left")
            .withColumn(canonical_col,
                        F.coalesce(F.col("__comp"), F.col(id_col)))

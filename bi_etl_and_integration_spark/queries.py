@@ -3535,3 +3535,45 @@ def q66b(spark, cat):
         cat.part.select("p_partkey", "p_retailprice", "p_size"),
         {"p_retailprice": "min", "p_size": "max"}, k_band=3)
     return out.orderBy("p_partkey")
+
+
+@q("x36b_dedup_keep_longest",
+   r"WITH RECURSIVE base AS (SELECT doc_id AS id, list_filter("
+   r"string_split(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', "
+   r"'g'), ' '), x -> x != '') AS toks FROM documents), "
+   "sh AS (SELECT id, CASE WHEN len(toks) < 3 "
+   "THEN [array_to_string(toks, ' ')] "
+   "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+   "i -> array_to_string(toks[i:i+2], ' '))) END AS sh, "
+   "array_to_string(toks[1:3], ' ') AS blk FROM base), "
+   "pr AS (SELECT a.id AS ia, b.id AS ib FROM sh a "
+   "JOIN sh b ON a.blk = b.blk AND a.id < b.id "
+   "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+   "GREATEST(len(list_distinct(a.sh || b.sh)), 1) >= 0.5), "
+   "und AS (SELECT ia AS a, ib AS b FROM pr "
+   "UNION SELECT ib, ia FROM pr), "
+   "reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM und) n "
+   "UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b), "
+   "comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a), "
+   "win AS (SELECT c.comp, d.doc_id AS wid, ROW_NUMBER() OVER ("
+   "PARTITION BY c.comp ORDER BY d.n_chars DESC, d.doc_id) AS rk "
+   "FROM comp c JOIN documents d ON d.doc_id = c.id), "
+   "lab AS (SELECT c.id, w.wid FROM comp c "
+   "JOIN win w ON w.comp = c.comp AND w.rk = 1) "
+   "SELECT d.doc_id, COALESCE(l.wid, d.doc_id) AS canonical_id, "
+   "COALESCE(l.wid, d.doc_id) <> d.doc_id AS is_dup "
+   "FROM documents d LEFT JOIN lab l ON l.id = d.doc_id "
+   "ORDER BY d.doc_id")
+def x36b(spark, cat):
+    """x36's end-to-end near-dup resolution with the published
+    keep-the-LONGEST-copy election (``prefer=n_chars``, ties to the
+    lower id) instead of min-id: the survivor of each cluster is the
+    most content-rich duplicate.  Oracle: same recursive-CTE closure
+    plus an explicit per-component argmax."""
+    pairs = dd_ops.ngram_jaccard_dedup(cat.documents, "text", "doc_id",
+                                       n=3, threshold=0.5)
+    out = dd_ops.dedup_canonicalize(
+        cat.documents.select("doc_id", "n_chars"), pairs,
+        id_col="doc_id", prefer=F.col("n_chars"))
+    return (out.select("doc_id", "canonical_id", "is_dup")
+            .orderBy("doc_id"))

@@ -182,3 +182,16 @@ def test_dedup_canonicalize_components(rows):
                    7: (7, False)}
     kept = sorted(k for k, (_, d) in out.items() if not d)
     assert kept == [1, 4, 5, 7]
+
+
+def test_dedup_canonicalize_prefer_election(rows):
+    from pyspark.sql import functions as F
+    from bi_etl_and_integration_spark.operators.dedup import (
+        dedup_canonicalize)
+    docs = rows([(1, 10), (2, 99), (3, 99), (4, 5)],
+                "doc_id long, nc long")
+    pairs = rows([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["canonical_id"] for r in dedup_canonicalize(
+        docs, pairs, prefer=F.col("nc")).collect()}
+    # cluster {1,2,3}: max nc is 99 shared by 2 and 3 -> lower id 2
+    assert out == {1: 2, 2: 2, 3: 2, 4: 4}
