@@ -429,3 +429,44 @@ def test_skyband_matches_bruteforce_dominator_count(spark, pts, k):
 
     want = sorted(i for i in range(len(pts)) if n_dominators(i) < k)
     assert got == want
+
+
+@SETTINGS
+@given(data=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2),
+                               st.integers(-50, 50)),
+                     min_size=0, max_size=20))
+def test_with_totals_equals_detail_plus_grand_total(spark, data):
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        with_totals)
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k1 int, k2 int, v long")
+    out = with_totals(df, ["k1", "k2"], {"s": F.sum("v")}).collect()
+    detail = {(r["k1"], r["k2"]): r["s"] for r in out
+              if not r["is_total"]}
+    totals = [r["s"] for r in out if r["is_total"]]
+    want = {}
+    for k1, k2, v in data:
+        want[(k1, k2)] = want.get((k1, k2), 0) + v
+    assert detail == want
+    assert totals == [sum(v for _, _, v in data)]
+
+
+@SETTINGS
+@given(data=st.lists(st.tuples(st.integers(0, 2),
+                               st.sampled_from(["a", "b", "c"]),
+                               st.integers(-20, 20)),
+                     min_size=0, max_size=20))
+def test_sum_map_matches_dict_fold(spark, data):
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        sum_map)
+    if not data:
+        return
+    df = spark.createDataFrame(data, "g int, k string, v long")
+    got = {r["g"]: r["summed_map"] for r in sum_map(
+        df, ["g"], "k", F.sum("v")).collect()}
+    want: dict = {}
+    for g, k, v in data:
+        want.setdefault(g, {})
+        want[g][k] = want[g].get(k, 0) + v
+    assert got == want
