@@ -470,3 +470,58 @@ def test_sum_map_matches_dict_fold(spark, data):
         want.setdefault(g, {})
         want[g][k] = want[g].get(k, 0) + v
     assert got == want
+
+
+@SETTINGS
+@given(data=st.lists(st.tuples(st.integers(1, 3),
+                               st.sampled_from(["v", "c", "p", "x"])),
+                     min_size=0, max_size=20))
+def test_retention_flags_match_set_logic(spark, data):
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        retention)
+    if not data:
+        return
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(minutes=i), t)
+         for i, (u, t) in enumerate(data)],
+        "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: (r["r_v"], r["r_c"], r["r_p"])
+           for r in retention(
+               df, [("v", F.col("event_type") == "v"),
+                    ("c", F.col("event_type") == "c"),
+                    ("p", F.col("event_type") == "p")]).collect()}
+    seen: dict = {}
+    for u, t in data:
+        seen.setdefault(u, set()).add(t)
+    for u, types in seen.items():
+        anchor = "v" in types
+        assert got[u] == (anchor, anchor and "c" in types,
+                          anchor and "p" in types)
+    assert set(got) == set(seen)
+
+
+@SETTINGS
+@given(data=st.lists(st.tuples(st.integers(1, 3),
+                               st.sampled_from(["a", "b", "c"])),
+                     min_size=0, max_size=15))
+def test_transitions_match_pairwise_fold(spark, data):
+    from bi_etl_and_integration_spark.operators.windows import (
+        transitions)
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, i, t0 + dt.timedelta(minutes=i), t)
+         for i, (u, t) in enumerate(data)],
+        "user_id long, event_id long, ts timestamp, event_type string")
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in transitions(df, tiebreak=["event_id"]).collect()}
+    per_user: dict = {}
+    for i, (u, t) in enumerate(data):
+        per_user.setdefault(u, []).append(t)
+    want: dict = {}
+    for types in per_user.values():
+        for a, b in zip(types, types[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
