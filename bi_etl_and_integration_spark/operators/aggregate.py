@@ -91,13 +91,24 @@ def percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
     each row counts as an integral frequency (the repeated-value
     semantics of Spark's 3-arg ``percentile``) — the row-weighted
     median/p-family without materializing the expansion.  Exact mode
-    only (the sketch aggregate takes no frequency)."""
+    only (the sketch aggregate takes no frequency).  Weights must be
+    positive integers: a fractional or non-positive weight raises at
+    execution (plan-side guard) rather than silently truncating the
+    frequency and shifting the quantile."""
     if weight_col is not None and approx:
         raise ValueError("percentiles: weight_col requires approx=False "
                          "(approx_percentile takes no frequency)")
     fn = "approx_percentile" if approx else "percentile"
+    if weight_col is not None:
+        # BIGINT (not INT: weights > 2^31 must not overflow) behind an
+        # integrality/positivity guard that fails LOUDLY per row.
+        w = (f"IF({weight_col} > 0 AND {weight_col} = "
+             f"FLOOR({weight_col}), CAST({weight_col} AS BIGINT), "
+             f"CAST(raise_error(CONCAT('percentiles: weight_col must "
+             f"be a positive integer, got ', "
+             f"CAST({weight_col} AS STRING))) AS BIGINT))")
     extra = (f", {accuracy}" if approx
-             else (f", CAST({weight_col} AS INT)" if weight_col else ""))
+             else (f", {w}" if weight_col else ""))
     arr = ",".join(repr(float(p)) for p in ps)
     packed = df.groupBy(*keys).agg(
         F.expr(f"{fn}({value_col}, array({arr}){extra})").alias("__ps"))

@@ -240,9 +240,15 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, *,
 
     The join key is the 64-bit gram hash (:func:`_ngram_hash_col`) —
     measured ~2x cheaper than string grams end-to-end and a far
-    smaller shuffle; per-doc distinct counts are unchanged unless two
-    distinct grams of ONE document collide in 64 bits (~n_grams²/2⁶⁴,
-    negligible at any real document size)."""
+    smaller shuffle.  Collision exposure is two-sided: (a) two
+    distinct grams of ONE document colliding perturbs that doc's
+    ``n_matched`` (~doc_grams²/2⁶⁴, negligible); (b) a corpus gram
+    colliding with a DIFFERENT benchmark gram falsely flags a clean
+    doc — expected false positives ~ corpus_grams × bench_grams / 2⁶⁴,
+    so at 10¹² corpus grams × 10⁷ benchmark grams expect ~0.5 spurious
+    matches corpus-wide.  Callers joining against very large benchmark
+    suites who need zero false flags should re-verify flagged docs on
+    the string grams (flagged set is tiny, recheck is cheap)."""
     d = docs.select(F.col(id_col),
                     F.explode(_ngram_hash_col(F.col(text_col), n))
                     .alias("_cg"))

@@ -433,6 +433,16 @@ def skyline(df: DataFrame, dims: "dict[str, str]", *,
     The skyline/skyband SET is algorithm-independent (pure dominance
     semantics), so a brute-force NOT EXISTS / dominator-count oracle
     certifies it value-for-value.
+
+    Precision contract: the kernel compares dims as float64.  Values
+    exactly representable in float64 (all doubles/floats, ints up to
+    2^53, decimals within 15 significant digits) compare exactly;
+    int64 beyond 2^53 or higher-precision decimals round to the
+    nearest float64 first, so two values closer than one ulp compare
+    EQUAL and dominance at that resolution is decided on the rounded
+    grid (the lexsort tie-break keeps the decision consistent, not
+    exact).  Rescale or truncate such columns upstream if sub-ulp
+    distinctions must count.
     """
     if not dims:
         raise ValueError("skyline: need at least one dimension")

@@ -639,10 +639,11 @@ def semantic_dedup(df: DataFrame,
     inline proof sketch below).  Returns the surviving rows of ``df``
     plus ``cluster_col``.
 
-    Note: the cluster assignment stays cached for the session (it
-    backs the lazily-returned result); a job deduping MANY corpora in
-    one session should release it between calls
-    (``spark.catalog.clearCache()`` or consume + discard the result).
+    Note: the cluster-assignment cache is released before returning
+    (the dominated-id set is eagerly localCheckpoint-ed so the result
+    no longer depends on it) — repeated calls in one session do not
+    accrete cached partitions; the returned plan re-evaluates the
+    assignment fold once when consumed.
     """
     # persist: the assignment expression (k x dim literal folds per
     # row) feeds the size guard, the dominance pass, and the final
@@ -712,5 +713,15 @@ def semantic_dedup(df: DataFrame,
                  .groupBy(cluster_col)
                  .applyInPandas(dominated_fn, f"__dom {id_t}")
                  .select(F.col("__dom").alias(id_col))
-                 .distinct())
+                 .distinct()
+                 # eager, executor-local materialization: cuts the
+                 # lineage back to `assigned` so the cache can be
+                 # RELEASED here instead of accreting per call (the
+                 # dominated-id set is the small output of the
+                 # dominance pass, never the corpus)
+                 .localCheckpoint(eager=True))
+    # the size guard + dominance pass (the two extra consumers the
+    # persist existed for) have run; the final anti-join re-evaluates
+    # the assignment fold exactly once at consume time
+    assigned.unpersist()
     return assigned.join(dominated, id_col, "left_anti")

@@ -430,10 +430,16 @@ def backfill(pipeline: Pipeline, spark: SparkSession, *,
                 # next backfill that can see the rest of it — period
                 # stages are idempotent overwriters, so the re-run
                 # replaces the partial load.  O_EXCL so two
-                # concurrent backfills cannot both claim a period.
-                fd = os.open(marker,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                # concurrent backfills cannot both claim a period
+                # up-front; if a concurrent backfill won the marker
+                # AFTER this one already ran the period, both ran it
+                # (idempotently) — record it, don't crash the loop.
+                try:
+                    fd = os.open(marker,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                except FileExistsError:
+                    pass
                 row["status"] = "ran"
             else:
                 row["status"] = "ran_partial"

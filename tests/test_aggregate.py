@@ -331,6 +331,28 @@ def test_percentiles_weighted_repeated_value_semantics(rows):
         percentiles(df, ["k"], "v", [0.5], approx=True, weight_col="w")
 
 
+def test_percentiles_weighted_guards_bad_weights(rows):
+    """Fractional / non-positive weights must fail LOUDLY, not silently
+    truncate the frequency; BIGINT weights beyond 2^31 must work."""
+    from pyspark.sql.utils import CapturedException
+    from bi_etl_and_integration_spark.operators.aggregate import (
+        percentiles)
+    import pytest
+    frac = rows([("g", 10.0, 1.5)], "k string, v double, w double")
+    with pytest.raises(CapturedException,
+                       match="positive integer"):
+        percentiles(frac, ["k"], "v", [0.5], weight_col="w").collect()
+    neg = rows([("g", 10.0, -2)], "k string, v double, w long")
+    with pytest.raises(CapturedException,
+                       match="positive integer"):
+        percentiles(neg, ["k"], "v", [0.5], weight_col="w").collect()
+    big = rows([("g", 10.0, 2**33), ("g", 20.0, 2**33 + 2)],
+               "k string, v double, w long")
+    out = percentiles(big, ["k"], "v", [0.5],
+                      weight_col="w").collect()[0]
+    assert out["p50"] == pytest.approx(20.0)  # heavier value wins
+
+
 def test_topn_others_rolls_tail(rows):
     from pyspark.sql import functions as F
     from bi_etl_and_integration_spark.operators.aggregate import (

@@ -394,6 +394,29 @@ def test_backfill_catchup_skips_done_periods(spark, tmp_path):
                  state_dir=state)
 
 
+def test_backfill_marker_race_records_ran(spark, tmp_path):
+    """A concurrent backfill creating the completion marker WHILE this
+    one runs the period must not crash the catch-up loop: the stage
+    simulates the racer by pre-creating its own marker mid-run; the
+    period still records 'ran' (idempotent writers make the double run
+    safe)."""
+    import os
+    from bi_etl_and_integration_spark.pipeline import Pipeline, backfill
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    p = Pipeline("bf_race")
+
+    @p.stage("load")
+    def load(ctx):
+        tag = ctx.params["period_start"].replace("-", "") \
+            .replace(":", "")
+        open(os.path.join(state, f"_done_day_{tag}"), "w").close()
+
+    out = backfill(p, spark, start="2024-01-01", end="2024-01-02",
+                   state_dir=state, grain="day")
+    assert [r["status"] for r in out] == ["ran"]
+
+
 def test_cli_backfill_periods_and_markers(spark, tmp_path, capsys):
     import json
     from bi_etl_and_integration_spark.__main__ import main
