@@ -72,27 +72,49 @@ def row_count(df: DataFrame, name: str = "rows",
     return df.observe(obs, F.count(F.lit(1)).alias(name)), obs
 
 
-def profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def profile(df: DataFrame, columns: Sequence[str] | None = None, *,
+            exact_distinct: bool = False,
+            rsd: float = 0.05) -> DataFrame:
     """Data Profiling: one aggregation pass computing per-column null
     count/ratio, approx distinct, min/max — the pre-ETL analysis the
-    reference prescribes (candidate keys = distinct ≈ rowcount)."""
+    reference prescribes (candidate keys = distinct ≈ rowcount).
+
+    ``exact_distinct=True`` adds an ``exact_distinct`` column (true
+    COUNT DISTINCT per profiled column, still one aggregation pass) —
+    the audit mode that certifies the sketch: at profile scale the
+    extra distinct aggregates are affordable, and downstream checks
+    can band-compare ``approx_distinct`` against it.  Default off:
+    at 100 TB the whole point of the sketch is NOT paying k exact
+    distinct aggregations.
+
+    ``rsd`` is the sketch's relative standard deviation (Spark
+    default 0.05); memory grows ~1/rsd², so 0.01 costs ~100 KB per
+    column — cheap for audit runs, tune up for wide fire-hose
+    profiles.  Note rsd is one SIGMA, not a bound: a band check at
+    k×rsd is a k-sigma assertion."""
     cols = list(columns or df.columns)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        aggs.append(F.approx_count_distinct(c, rsd)
+                    .alias(f"{c}__distinct"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__exact"))
         aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
         aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
     row = df.agg(*aggs)
     per_col = []
     for c in cols:
-        per_col.append(F.struct(
+        fields = [
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
             F.col(f"{c}__distinct").alias("approx_distinct"),
             F.col(f"{c}__min").alias("min"),
-            F.col(f"{c}__max").alias("max")))
+            F.col(f"{c}__max").alias("max")]
+        if exact_distinct:
+            fields.insert(4, F.col(f"{c}__exact").alias("exact_distinct"))
+        per_col.append(F.struct(*fields))
     return (row.select(F.explode(F.array(*per_col)).alias("p"))
             .select("p.*"))
 
