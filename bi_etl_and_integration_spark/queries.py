@@ -2871,13 +2871,19 @@ def x25(spark, cat):          # optimizer/fp-order specific
    "WHERE parent IS NULL "
    "UNION ALL SELECT e.id, h.root_id, h.depth + 1, "
    "list_append(h.path, e.id) FROM edges e JOIN h ON e.parent = h.id) "
-   "SELECT id, root_id, depth, path FROM h ORDER BY id")
+   "SELECT id, root_id, depth, array_to_string(path, ',') AS path "
+   "FROM h ORDER BY id")
 def q51(spark, cat):
     """Parent-child hierarchy flattening (Kimball parent-child
     dimension) via pointer doubling — O(log depth) shuffle rounds vs
     the recursive CTE's O(depth) sequential dependency; the oracle IS
     that recursive CTE.  The 3-level tree here (region > nation >
-    customer, id-spaces offset apart) resolves in 2 rounds."""
+    customer, id-spaces offset apart) resolves in 2 rounds.
+
+    The root->leaf path is projected to a ','-joined STRING on both
+    sides (SURVEY §2.12 convention: no raw array/map columns in
+    declared query output — the driver's pandas canonicalizer cannot
+    sort unhashable list cells; r03 FAIL)."""
     from bi_etl_and_integration_spark.operators.dimensional import (
         flatten_hierarchy)
     edges = (
@@ -2891,7 +2897,12 @@ def q51(spark, cat):
             (F.lit(100) + F.col("c_custkey")).cast("bigint").alias("id"),
             (F.lit(10) + F.col("c_nationkey")).cast("bigint")
             .alias("parent"))))
-    return flatten_hierarchy(edges, "id", "parent").orderBy("id")
+    flat = flatten_hierarchy(edges, "id", "parent")
+    return (flat.select(
+        "id", "root_id", "depth",
+        F.array_join(F.transform("path", lambda x: x.cast("string")),
+                     ",").alias("path"))
+        .orderBy("id"))
 
 
 @q("q52_inferred_members",
@@ -3453,27 +3464,34 @@ def q63(spark, cat):
 
 @q("x37_sum_map",
    "WITH i AS (SELECT l_returnflag, l_linestatus, "
-   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v "
+   "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS v "
    "FROM lineitem GROUP BY 1, 2) "
    "SELECT l_returnflag, "
-   "list(l_linestatus ORDER BY l_linestatus) AS map_keys, "
-   "list(v ORDER BY l_linestatus) AS map_vals "
+   "string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS map_keys, "
+   "string_agg(CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR), ',' "
+   "ORDER BY l_linestatus) AS map_vals "
    "FROM i GROUP BY l_returnflag ORDER BY l_returnflag")
 def x37(spark, cat):
     """ClickHouse ``sumMap`` parity: per return flag, the
     linestatus -> total-quantity mapping, key-wise summed.  The sums
     run in DECIMAL so they are order-free exact across engines (no
-    float fold to align); the map is projected to sorted parallel
-    arrays, the engine-portable shape the oracle rebuilds with
-    ordered list aggregation."""
+    float fold to align); the map is projected to sorted,
+    ','-joined STRINGS (SURVEY §2.12 convention: no raw array/map
+    columns in declared query output — the driver's pandas
+    canonicalizer cannot sort unhashable list cells; r03 FAIL).
+    DECIMAL(18,2)->VARCHAR preserves the 2-digit scale identically in
+    Spark and DuckDB, so the joined strings compare byte-exact."""
     out = agg_ops.sum_map(
         cat.lineitem, ["l_returnflag"], "l_linestatus",
         F.sum(F.col("l_quantity").cast("decimal(18,2)")))
-    return (out.select("l_returnflag", "map_keys",
-                       F.transform("map_vals",
-                                   lambda v: v.cast("double"))
-                       .alias("map_vals"))
-            .orderBy("l_returnflag"))
+    return (out.select(
+        "l_returnflag",
+        F.array_join("map_keys", ",").alias("map_keys"),
+        F.array_join(
+            F.transform("map_vals",
+                        lambda v: v.cast("decimal(18,2)")
+                        .cast("string")), ",").alias("map_vals"))
+        .orderBy("l_returnflag"))
 
 
 @q("x38_url_parts",
