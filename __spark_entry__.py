@@ -18,17 +18,16 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # The driver verifies the FIRST 50 ``queries()`` entries per round
 # (CORRECTNESS_r01/r02 each stopped at entry 50 — `_ordered()` below
 # self-rotates the window onto whatever still lacks a verdict).
-# Rounds 1+2 proved 96 hash-green rows.  Round 3 front-loads, in
-# order: the three queries UPGRADED from rows-only to value oracles
-# this round (q10b/q21c band-certified profile + HLL, q26b band),
-# the two NEW checkpointed-stateful streaming twins (q41d/q41e), the
-# curation block x17–x24 (x17 missed r02 via the 51-entry off-by-one,
-# now unit-test-pinned), the oracle-bearing LLM extensions x26–x40,
-# and the ClickHouse-parity analytics q51–q66.  Deferred to round 4:
-# q38d + the six multi-join showcases q43–q48 + the q61b/q66b/x36b
-# siblings (their base operators verify this round) + the 14
-# rows-only-by-construction entries.  EXACTLY 50 names (pinned by
-# tests/test_entry_window.py).
+# Rounds 1–3 proved 144 hash/rows-green rows.  Round 4's window is
+# fully computed by `_ordered()` from the committed verdict files:
+# the two r03 FAILs (q51/x37, both fixed — array outputs projected
+# to joined strings) re-verify first, then every never-checked query
+# — q38d, the multi-join showcases q43–q48, q61b/q66b/x36b, the new
+# q53c sketch-IQR band query, and the 14 rows-only-by-construction
+# entries — then the proven tail re-certifies.  After this round
+# every declared query holds a driver verdict.  ``_VERIFY_FIRST`` is
+# now only the TIE-BREAK order within those groups; EXACTLY 50 names
+# (pinned by tests/test_entry_window.py).
 _VERIFY_FIRST = [
     # rows-only -> value-oracle upgrades (band treatment)
     "q10b_profile", "q21c_uniq_states", "q26b_approx_distinct",

@@ -120,12 +120,25 @@ def main() -> None:
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
 
+    # Streaming twins run real checkpointed micro-batch jobs; their
+    # wall time is the streaming-runtime floor, not plan cost.  They
+    # are timed and reported, but under a separate total so the batch
+    # corpus number stays round-over-round comparable.
+    from bi_etl_and_integration_spark.queries import STREAMING_QUERIES
+    batch_s = round(sum(t for n, t in times.items()
+                        if t >= 0 and n not in STREAMING_QUERIES), 3)
+    streaming_s = round(sum(t for n, t in times.items()
+                            if t >= 0 and n in STREAMING_QUERIES), 3)
     out = {
-        "metric": "declared-corpus wall time, warm session, "
+        "metric": "declared-corpus BATCH wall time, warm session, "
                   "spark local[*] (SURVEY §2.12 + extras; steady-state: "
-                  "min of two timed runs after warm-up)",
-        "value": round(sum(t for t in times.values() if t >= 0), 3),
+                  "min of two timed runs after warm-up; streaming twins "
+                  "reported separately under streaming_s)",
+        "value": batch_s,
         "unit": "sec",
+        "streaming_s": streaming_s,
+        "streaming_queries": sorted(n for n in times
+                                    if n in STREAMING_QUERIES),
         "queries": times,
         "shuffle_mb": shuffle_mb,
         "spill_mb": spill_mb,
@@ -205,10 +218,12 @@ def main() -> None:
     print(json.dumps(out), file=sys.stderr)
 
     summary = {
-        "metric": "declared-corpus wall time, warm session (detail: "
+        "metric": "declared-corpus BATCH wall time, warm session "
+                  "(streaming twins under streaming_s; detail: "
                   "BENCH_DETAIL.json)",
         "value": out["value"],
         "unit": "sec",
+        "streaming_s": streaming_s,
         "sf": out["sf"],
         "n_queries": len(times),
         "n_errors": sum(1 for t in times.values() if t < 0),

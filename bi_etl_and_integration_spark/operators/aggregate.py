@@ -102,11 +102,16 @@ def percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
     if weight_col is not None:
         # BIGINT (not INT: weights > 2^31 must not overflow) behind an
         # integrality/positivity guard that fails LOUDLY per row.
+        # COALESCE in the message: CONCAT('...', CAST(NULL AS STRING))
+        # is NULL, which would fire raise_error with an EMPTY message
+        # for the NULL-weight case — the loud failure must stay
+        # diagnosable for NULLs too.
         w = (f"IF({weight_col} > 0 AND {weight_col} = "
              f"FLOOR({weight_col}), CAST({weight_col} AS BIGINT), "
              f"CAST(raise_error(CONCAT('percentiles: weight_col must "
              f"be a positive integer, got ', "
-             f"CAST({weight_col} AS STRING))) AS BIGINT))")
+             f"COALESCE(CAST({weight_col} AS STRING), 'NULL'))) "
+             f"AS BIGINT))")
     extra = (f", {accuracy}" if approx
              else (f", {w}" if weight_col else ""))
     arr = ",".join(repr(float(p)) for p in ps)

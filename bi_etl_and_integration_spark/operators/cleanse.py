@@ -384,6 +384,7 @@ def _group_stats_join(df: DataFrame, by: Sequence[str],
 def flag_outliers(df: DataFrame, value_col: str,
                   by: Sequence[str] | None = None, *,
                   method: str = "zscore", k: float = 3.0,
+                  approx: bool = False, accuracy: int = 10_000,
                   flag_col: str = "is_outlier") -> DataFrame:
     """Group-wise statistical outlier detection — the data-profiling
     follow-through the reference's DQ chapter stops short of
@@ -394,6 +395,18 @@ def flag_outliers(df: DataFrame, value_col: str,
     method='iqr':    x outside [q1 - k*iqr, q3 + k*iqr] with exact
                      interpolated quartiles (k defaults to 1.5 — pass
                      it explicitly).
+
+    ``approx=True`` (iqr only) swaps the exact quartiles for
+    ``approx_percentile`` — this is the 100 TB path.  The exact
+    ``percentile`` aggregate buffers a value→count map PER GROUP whose
+    size is the group's value cardinality (fine for audit runs on
+    bounded domains, unbounded for e.g. float measurements), while the
+    KLL-style sketch behind ``approx_percentile`` is fixed-size
+    (~``accuracy`` entries, default 10k ⇒ rank error ≤ 0.01 %) and
+    merges associatively in the partial-aggregation step.  Same plan
+    shape, bounded state.  Quartile landing between two data points
+    differs from exact interpolation by at most one rank-error step —
+    irrelevant for a k·IQR fence.
 
     Plan shape: one hash aggregate over ``by`` producing the per-group
     statistics (a few rows per group), then ONE join back — AQE
@@ -415,10 +428,16 @@ def flag_outliers(df: DataFrame, value_col: str,
         drop = ["__mu", "__sd"]
     elif method == "iqr":
         # ONE array-form percentile aggregate — two scalar percentile
-        # calls each build their own per-group value->count map over
-        # the full input (measured ~2x the aggregate cost at sf0.1)
-        stats = [F.expr(f"percentile({value_col}, array(0.25, 0.75))")
-                 .alias("__qs")]
+        # calls each build their own per-group state over the full
+        # input (measured ~2x the aggregate cost at sf0.1)
+        if approx:
+            stats = [F.expr(
+                f"approx_percentile({value_col}, array(0.25, 0.75), "
+                f"{int(accuracy)})").alias("__qs")]
+        else:
+            stats = [F.expr(
+                f"percentile({value_col}, array(0.25, 0.75))")
+                .alias("__qs")]
         q1 = F.col("__qs").getItem(0)
         q3 = F.col("__qs").getItem(1)
         iqr = q3 - q1

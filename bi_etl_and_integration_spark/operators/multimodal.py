@@ -5,12 +5,15 @@ BASELINE.json north star).
 Design: media are opaque ``binary`` columns inside a struct-typed
 envelope; decode / feature-extract run as Arrow-batched ``mapInPandas``
 operators so bytes stream through in columnar batches without JVM<->
-Python per-row overhead.  Codecs: PNG and WAV decode/encode are REAL, implemented on the
-stdlib alone (``operators.multimodal_codecs`` — zlib/struct/wave), so
-decode -> feature-extract -> resize round-trips genuinely execute here;
-``decode_stub=True`` remains available for payloads in formats the
-container can't decode (JPEG etc. need Pillow — that swap point is
-``_decode_image_bytes``).
+Python per-row overhead.  Codecs: PNG and WAV decode/encode are REAL,
+implemented on the stdlib alone (``operators.multimodal_codecs`` —
+zlib/struct/wave), and baseline-sequential JPEG is REAL via the
+pure-numpy codec (``operators.multimodal_jpeg`` — T.81 SOF0 both
+directions), so decode -> feature-extract -> resize round-trips
+genuinely execute here for PNG and JPEG alike; ``decode_stub=True``
+remains available for payloads in formats the container can't decode
+(progressive JPEG, WebP, video frames — the swap point for real codec
+libs is ``_decode_image_bytes``).
 """
 
 from __future__ import annotations
@@ -40,17 +43,26 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def _decode_image_bytes(payload: bytes) -> dict:
-    """Real decode: PNG via the stdlib codec; other formats need
-    Pillow (not in-container) and raise so callers can quarantine."""
+    """Real decode: PNG via the stdlib codec, baseline-sequential JPEG
+    via the pure-numpy codec (``multimodal_jpeg``); remaining formats
+    (and non-baseline JPEG modes — progressive, arithmetic, 12-bit)
+    raise so callers can quarantine."""
     from bi_etl_and_integration_spark.operators import multimodal_codecs as mc
+    from bi_etl_and_integration_spark.operators import multimodal_jpeg as mj
     if mc.is_png(payload or b""):
         img = mc.decode_png(payload)
         mean, feat = mc.image_feature_vector(img)
         return {"width": img.shape[1], "height": img.shape[0],
                 "mean_byte": mean, "feature": feat}
+    if mj.is_jpeg(payload or b""):
+        img = mj.decode_jpeg(payload)   # NotImplementedError on SOF2 etc.
+        mean, feat = mc.image_feature_vector(img)
+        return {"width": img.shape[1], "height": img.shape[0],
+                "mean_byte": mean, "feature": feat}
     raise NotImplementedError(
-        "only PNG decodes without Pillow; use decode_stub=True for "
-        "synthetic payloads or install Pillow for JPEG and friends")
+        "undecodable image format (PNG and baseline JPEG are the "
+        "in-container codecs); use decode_stub=True for synthetic "
+        "payloads or bring Pillow for the rest")
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -93,22 +105,34 @@ def image_features(df: DataFrame, *, payload_col: str = "payload",
 def resize_images(df: DataFrame, width: int, height: int, *,
                   payload_col: str = "payload",
                   decode_stub: bool = False) -> DataFrame:
-    """Resize: the real path decodes PNG payloads, nearest-neighbor
-    resizes and re-encodes (stdlib codec), rewriting width/height
-    metadata to match; ``decode_stub=True`` passes payloads through
-    and only rewrites metadata (for synthetic/non-PNG fixtures)."""
+    """Resize: the real path sniffs the container (PNG or baseline
+    JPEG), decodes, nearest-neighbor resizes and re-encodes in the
+    SAME format, rewriting width/height metadata to match;
+    ``decode_stub=True`` passes payloads through and only rewrites
+    metadata (for synthetic/undecodable fixtures)."""
     out_schema = df.schema
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from bi_etl_and_integration_spark.operators import (
             multimodal_codecs as mc)
+        from bi_etl_and_integration_spark.operators import (
+            multimodal_jpeg as mj)
+
+        def one(p: bytes) -> bytes:
+            if mc.is_png(p or b""):
+                return mc.encode_png(mc.resize_nearest(
+                    mc.decode_png(p), width, height))
+            if mj.is_jpeg(p or b""):
+                return mj.encode_jpeg(mc.resize_nearest(
+                    mj.decode_jpeg(p), width, height))
+            raise NotImplementedError(
+                "undecodable image format (PNG and baseline JPEG are "
+                "the in-container codecs)")
+
         for pdf in batches:
             pdf = pdf.copy()
             if not decode_stub:
-                pdf[payload_col] = [
-                    mc.encode_png(mc.resize_nearest(
-                        mc.decode_png(p), width, height))
-                    for p in pdf[payload_col]]
+                pdf[payload_col] = [one(p) for p in pdf[payload_col]]
             if "width" in pdf:
                 pdf["width"] = width
             if "height" in pdf:

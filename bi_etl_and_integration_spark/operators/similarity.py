@@ -601,6 +601,10 @@ def rrf_fuse(rankings: list[tuple[DataFrame, str]], *, id_col: str,
 
 
 _EPS = 1e-9  # BLAS-vs-sequential-fold disagreement band (see below)
+#: target floats per cosine block in the dominance pass (~512 MB of
+#: float64); closure-captured at plan build, so tests can shrink it
+#: to force multi-block execution on small clusters
+_DOM_BLOCK_FLOATS = 64_000_000
 
 
 def semantic_dedup(df: DataFrame,
@@ -608,7 +612,7 @@ def semantic_dedup(df: DataFrame,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    threshold: float = 0.9,
                    cluster_col: str = "cluster",
-                   max_cluster_rows: int = 2_000_000) -> DataFrame:
+                   max_cluster_rows: int = 100_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate PRUNING — cluster the embedding space, then inside
     each cluster drop every item whose cosine similarity to a
@@ -629,7 +633,12 @@ def semantic_dedup(df: DataFrame,
     literal — a narrow zero-shuffle map.  ``max_cluster_rows`` is the
     same loud hot-bucket guard the LSH family uses: a degenerate
     cluster (k too small for the corpus) fails with instructions
-    instead of burning an executor on n²/2 pair computations.
+    instead of burning an executor on n²/2 pair computations.  The
+    default (100k) is sized so the guard fires BEFORE the executor
+    allocates anything dangerous: the per-cluster pass computes the
+    cosine matrix in row blocks of ≤ ~64M floats (512 MB), never the
+    full n×n at once, so the binding constraint is the n×dim vector
+    stack (100k × 1k dims ≈ 800 MB float64), not an n² allocation.
 
     Determinism contract (the oracle's): the survivor set equals the
     one the exact double-sequential-fold cosine
@@ -640,10 +649,15 @@ def semantic_dedup(df: DataFrame,
     plus ``cluster_col``.
 
     Note: the cluster-assignment cache is released before returning
-    (the dominated-id set is eagerly localCheckpoint-ed so the result
-    no longer depends on it) — repeated calls in one session do not
+    (the dominated-id set is eagerly checkpointed so the result no
+    longer depends on it) — repeated calls in one session do not
     accrete cached partitions; the returned plan re-evaluates the
-    assignment fold once when consumed.
+    assignment fold once when consumed.  With
+    ``sc.setCheckpointDir(...)`` set the checkpoint is RELIABLE
+    (survives executor loss); otherwise it falls back to
+    ``localCheckpoint``, whose executor-local blocks have no lineage
+    fallback — fine in local mode, set a checkpoint dir on a real
+    cluster with dynamic allocation or spot executors.
     """
     # persist: the assignment expression (k x dim literal folds per
     # row) feeds the size guard, the dominance pass, and the final
@@ -674,8 +688,11 @@ def semantic_dedup(df: DataFrame,
     # the survivor set is the one the all-exact plan produces.
     id_t = assigned.schema[id_col].dataType.simpleString()
     tau = float(threshold)
+    block_floats = _DOM_BLOCK_FLOATS  # closure-captured: test dial
 
     def dominated_fn(pdf):
+        import math
+
         import numpy as np
         import pandas as pd
         n = len(pdf)
@@ -686,25 +703,39 @@ def semantic_dedup(df: DataFrame,
         ids = pdf[id_col].to_numpy()
         v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
         nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
-        den = np.maximum(np.outer(nrm, nrm), 1e-12)
-        cos = (v @ v.T) / den
-        tri = np.tril(np.ones((n, n), dtype=bool), -1)  # j < i
-        ge = (cos >= tau) & tri
-        band = (np.abs(cos - tau) <= _EPS) & tri
-        for i, j in zip(*np.nonzero(band)):
-            # exact sequential fold, identical op order to the
-            # cosine_similarity expression (double acc, left-to-right)
-            d = na = nb = 0.0
-            for x, y in zip(v[i], v[j]):
-                d += x * y
-                na += x * x
-                nb += y * y
-            import math
-            # math.sqrt is IEEE correctly-rounded (as is the JVM's);
-            # pow(x, 0.5) carries no such guarantee
-            exact = d / max(math.sqrt(na) * math.sqrt(nb), 1e-12)
-            ge[i, j] = exact >= tau
-        dom = ids[ge.any(axis=1)]
+        # Row-blocked: the full n×n cosine matrix is never allocated —
+        # each block is (b × n) with b sized to ~64M floats (512 MB),
+        # so memory is O(block × n), not O(n²); a 100k-row cluster
+        # peaks at ~512 MB of matrix instead of 80 GB.
+        block = max(256, block_floats // n)
+        dominated = np.zeros(n, dtype=bool)
+        for a in range(1, n, block):        # row 0 has no j < i
+            b = min(a + block, n)
+            # clamp the PRODUCT (not each norm): matches the exact
+            # fold's max(sqrt(na)*sqrt(nb), 1e-12) denominator
+            cos = (v[a:b] @ v.T) / np.maximum(
+                np.outer(nrm[a:b], nrm), 1e-12)
+            # mask to j < i (global row index a+r)
+            cols = np.arange(n)
+            tri = cols[None, :] < (np.arange(a, b))[:, None]
+            ge = (cos >= tau) & tri
+            band = (np.abs(cos - tau) <= _EPS) & tri
+            for r, j in zip(*np.nonzero(band)):
+                # exact sequential fold, identical op order to the
+                # cosine_similarity expression (double acc,
+                # left-to-right)
+                i = a + r
+                d = na = nb = 0.0
+                for x, y in zip(v[i], v[j]):
+                    d += x * y
+                    na += x * x
+                    nb += y * y
+                # math.sqrt is IEEE correctly-rounded (as is the
+                # JVM's); pow(x, 0.5) carries no such guarantee
+                exact = d / max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+                ge[r, j] = exact >= tau
+            dominated[a:b] = ge.any(axis=1)
+        dom = ids[dominated]
         return pd.DataFrame({"__dom": dom})
 
     dominated = (assigned.select(F.col(cluster_col),
@@ -713,13 +744,21 @@ def semantic_dedup(df: DataFrame,
                  .groupBy(cluster_col)
                  .applyInPandas(dominated_fn, f"__dom {id_t}")
                  .select(F.col("__dom").alias(id_col))
-                 .distinct()
-                 # eager, executor-local materialization: cuts the
-                 # lineage back to `assigned` so the cache can be
-                 # RELEASED here instead of accreting per call (the
-                 # dominated-id set is the small output of the
-                 # dominance pass, never the corpus)
-                 .localCheckpoint(eager=True))
+                 .distinct())
+    # Eager materialization cuts the lineage back to `assigned` so the
+    # cache can be RELEASED below instead of accreting per call (the
+    # dominated-id set is the small output of the dominance pass,
+    # never the corpus).  When the session has a checkpoint dir, use a
+    # RELIABLE checkpoint: localCheckpoint pins blocks executor-local
+    # with no lineage fallback, so on a real cluster losing any
+    # executor (dynamic allocation, spot nodes — the 100 TB regime)
+    # before the result is consumed would fail the query.  Without a
+    # checkpoint dir (local dev) fall back to localCheckpoint and
+    # accept that single-process risk profile.
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        dominated = dominated.checkpoint(eager=True)
+    else:
+        dominated = dominated.localCheckpoint(eager=True)
     # the size guard + dominance pass (the two extra consumers the
     # persist existed for) have run; the final anti-join re-evaluates
     # the assignment fold exactly once at consume time

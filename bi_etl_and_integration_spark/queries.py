@@ -43,6 +43,16 @@ from bi_etl_and_integration_spark.streaming.windows import (
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
+#: Queries that run a REAL Structured Streaming job (checkpointed
+#: micro-batches + file sink).  Their wall time is the micro-batch
+#: floor (trigger drains, state-store commits, sink listing) — a
+#: fixed streaming-runtime cost, not plan cost — so bench.py reports
+#: them under a separate ``streaming_s`` total to keep the batch
+#: corpus number comparable round over round.
+STREAMING_QUERIES: frozenset[str] = frozenset({
+    "q41d_stateful_sessionize", "q41e_stateful_topk",
+})
+
 
 def dec_round(c, p: int = 2):
     """Cross-engine-stable rounding: a double like 2.675 is stored as
@@ -1111,11 +1121,13 @@ def q26(spark, cat):
    "TRUE AS approx_in_band FROM lineitem")
 def q26b(spark, cat):
     """approx_count_distinct certified by the band treatment: exact
-    distinct hash-compared, HLL estimate asserted within ±5% of it
-    (default rsd 0.05) — approximate-by-design no longer means
-    unverifiable."""
+    distinct hash-compared, HLL estimate asserted within ±5% of it.
+    The sketch runs at rsd 0.01, making the ±5% band a 5-SIGMA
+    assertion (the q10b treatment) — at the default rsd 0.05 the same
+    band is a 1-sigma check that a regenerated or rescaled dataset
+    would fail roughly a third of the time with no code change."""
     agg = cat.lineitem.agg(
-        F.approx_count_distinct("l_partkey").alias("nk_approx"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("nk_approx"),
         F.count_distinct(F.col("l_partkey")).alias("nk_exact"))
     band = (F.abs(F.col("nk_approx") - F.col("nk_exact"))
             <= 0.05 * F.col("nk_exact"))
@@ -1861,13 +1873,21 @@ def q41(spark, cat):
 
 
 def _run_stream(df_out, *, sink: str, ckpt: str, name: str,
-                mode: str, appends=None):
+                mode: str, appends=None,
+                await_no_data_batch: bool = False):
     """Drive a streaming DataFrame to completion over a staged file
     source: start, drain, apply each deferred append (a callable that
-    adds files to the source), drain after each, then TWO trailing
-    drains so event-time timeouts (which fire on the micro-batch AFTER
-    the watermark advances) flush.  Used by the stateful-twin driver
-    queries; bounded test/driver harness, not a serving path."""
+    adds files to the source), drain after each.  Used by the
+    stateful-twin driver queries; bounded test/driver harness, not a
+    serving path.
+
+    ``await_no_data_batch``: event-time timeouts flush on the no-data
+    micro-batch AFTER the watermark advances, and
+    ``processAllAvailable`` only guarantees SOURCE data was consumed —
+    on a slow or differently-configured runner the final flush can
+    lag it.  When set, poll ``lastProgress`` until a zero-input batch
+    has actually run (bounded 30 s) instead of trusting a fixed extra
+    drain."""
     spark = df_out.sparkSession
     for live in spark.streams.active:
         if live.name == name:
@@ -1883,6 +1903,15 @@ def _run_stream(df_out, *, sink: str, ckpt: str, name: str,
             append()
             query.processAllAvailable()
         query.processAllAvailable()
+        if await_no_data_batch:
+            import time as _t
+            deadline = _t.monotonic() + 30.0
+            while _t.monotonic() < deadline:
+                lp = query.lastProgress
+                if lp is not None and lp.get("numInputRows", 0) == 0:
+                    break
+                _t.sleep(0.2)
+                query.processAllAvailable()
     finally:
         query.stop()
 
@@ -1918,7 +1947,12 @@ def q41d(spark, cat):
     src, ckpt, out = (os.path.join(base, d)
                       for d in ("src", "ckpt", "out"))
     ev = cat.events.select("user_id", "ts", "value")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    lo, hi, min_uid = ev.agg(F.min("ts"), F.max("ts"),
+                             F.min("user_id")).first()
+    # watermark-advancing sentinel key DERIVED from the data (min-1 is
+    # provably absent) — a hardcoded -1 would silently drop a real
+    # user's sessions if the generated events ever contained it
+    sentinel_uid = int(min_uid) - 1
     split = lo + (hi - lo) / 2
     ev.where(F.col("ts") <= F.lit(split)).write.parquet(src)
     stream = (spark.readStream.schema(ev.schema).parquet(src))
@@ -1932,13 +1966,14 @@ def q41d(spark, cat):
     def sentinel():
         import datetime as dt
         spark.createDataFrame(
-            [(-1, hi + dt.timedelta(days=30), 0.0)], ev.schema) \
-            .write.mode("append").parquet(src)
+            [(sentinel_uid, hi + dt.timedelta(days=30), 0.0)],
+            ev.schema).write.mode("append").parquet(src)
 
     _run_stream(sess, sink=out, ckpt=ckpt, name="q41d_sess",
-                mode="append", appends=[late_half, sentinel])
+                mode="append", appends=[late_half, sentinel],
+                await_no_data_batch=True)
     got = spark.read.parquet(out)
-    return (got.where(F.col("user_id") != -1)
+    return (got.where(F.col("user_id") != sentinel_uid)
             .select("user_id",
                     F.col("session_start").cast("timestamp_ntz")
                     .alias("session_start"),
@@ -2588,6 +2623,52 @@ def x11(spark, cat):
             .orderBy("media_id"))
 
 
+@q("x41_jpeg_features",
+   "SELECT doc_id AS media_id, "
+   "CAST(8 * (doc_id % 2 + 1) AS INT) AS width, "
+   "CAST(8 AS INT) AS height, "
+   "CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_byte "
+   "FROM documents WHERE doc_id % 10 = 0 ORDER BY media_id")
+def x41(spark, cat):
+    """REAL JPEG decode through the Arrow feature path, value-oracled
+    from the construction rule (the x38 philosophy): each selected doc
+    becomes a flat-gray baseline JPEG (dimensions and gray level
+    derived from ``doc_id``), encoded AND decoded by the pure-numpy
+    T.81 codec on executors.  A flat field is DC-only, and at quality
+    95 the luminance DC quantizer (2) divides every level-shifted DC
+    exactly, so the decoded mean equals the constructed gray level
+    bit-for-bit — the oracle restates width/height/mean independently
+    from the id arithmetic, certifying the encoder's marker/Huffman/
+    bit-writer plumbing, the decoder, and the mapInPandas batching in
+    one hash row.  Per-image work is bounded (≤ two 8×8 blocks);
+    the %10 subset keeps the corpus bench honest about per-row Python
+    codec cost."""
+    from bi_etl_and_integration_spark.operators.multimodal import (
+        image_features)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bi_etl_and_integration_spark.operators.multimodal_jpeg import (
+            encode_jpeg)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_jpeg(np.full((8, 8 * (int(i) % 2 + 1)),
+                                    (int(i) * 37) % 256, np.uint8),
+                            quality=95)
+                for i in ids]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = (cat.documents.where(F.col("doc_id") % 10 == 0)
+             .select("doc_id")
+             .mapInPandas(gen, "media_id long, payload binary"))
+    feats = image_features(media)            # REAL decode path
+    return (feats.select("media_id", "width", "height", "mean_byte")
+            .orderBy("media_id"))
+
+
 # ===================================================== corpus curation
 
 #: the 49-word stopword lexicon restated as a SQL IN-list (x09 pattern)
@@ -2966,6 +3047,44 @@ def q53b(spark, cat):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.sum(F.col("is_outlier").cast("int")).cast("bigint")
                  .alias("n_outliers"))
+            .orderBy("l_returnflag"))
+
+
+@q("q53c_outliers_iqr_sketch",
+   "WITH s AS (SELECT l_returnflag, "
+   "quantile_cont(l_extendedprice, 0.25) AS q1, "
+   "quantile_cont(l_extendedprice, 0.75) AS q3 "
+   "FROM lineitem GROUP BY l_returnflag) "
+   "SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "TRUE AS sketch_in_band "
+   "FROM lineitem l LEFT JOIN s USING (l_returnflag) "
+   "GROUP BY l.l_returnflag ORDER BY l.l_returnflag")
+def q53c(spark, cat):
+    """The 100 TB IQR path certified against the exact one: the
+    ``approx_percentile`` sketch fence (bounded state per group —
+    exact ``percentile`` buffers a per-group value→count map whose
+    size is the group's value cardinality) must reproduce the exact
+    Tukey-fence outlier count within max(10, 1%) per group.  At
+    accuracy 10k the sketch's rank error is 1e-4, so the band is a
+    wide-margin assertion; the oracle pins the exact row counts and
+    the band boolean at TRUE."""
+    exact = (cl_ops.flag_outliers(cat.lineitem, "l_extendedprice",
+                                  ["l_returnflag"], method="iqr", k=1.5)
+             .groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                  F.sum(F.col("is_outlier").cast("int"))
+                  .alias("__n_exact")))
+    approx = (cl_ops.flag_outliers(cat.lineitem, "l_extendedprice",
+                                   ["l_returnflag"], method="iqr",
+                                   k=1.5, approx=True, accuracy=10_000)
+              .groupBy("l_returnflag")
+              .agg(F.sum(F.col("is_outlier").cast("int"))
+                   .alias("__n_approx")))
+    band = (F.abs(F.col("__n_approx") - F.col("__n_exact"))
+            <= F.greatest(F.lit(10), 0.01 * F.col("n_rows")))
+    return (exact.join(approx, "l_returnflag")
+            .select("l_returnflag", "n_rows",
+                    band.alias("sketch_in_band"))
             .orderBy("l_returnflag"))
 
 

@@ -166,6 +166,25 @@ def test_flag_outliers_iqr_global(rows):
     assert flagged == [100.0]
 
 
+def test_flag_outliers_iqr_approx_matches_exact(rows):
+    """The 100 TB sketch path (approx_percentile fence) must agree
+    with the exact fence on cleanly separated data — at accuracy 10k
+    on a small group the sketch quartiles are rank-exact."""
+    from bi_etl_and_integration_spark.operators.cleanse import (
+        flag_outliers)
+    data = ([("a", float(x)) for x in range(1, 50)] + [("a", 5000.0)]
+            + [("b", float(x)) for x in range(100, 200)]
+            + [("b", -9000.0)])
+    df = rows(data, "g string, v double")
+    exact = {(r["g"], r["v"]) for r in flag_outliers(
+        df, "v", ["g"], method="iqr", k=1.5).collect()
+        if r["is_outlier"]}
+    approx = {(r["g"], r["v"]) for r in flag_outliers(
+        df, "v", ["g"], method="iqr", k=1.5, approx=True).collect()
+        if r["is_outlier"]}
+    assert exact == approx == {("a", 5000.0), ("b", -9000.0)}
+
+
 def test_mask_columns_specs(rows):
     from bi_etl_and_integration_spark.operators.cleanse import (
         mask_columns)

@@ -163,3 +163,91 @@ def test_audio_features_wav_roundtrip(rows):
     assert abs(got[1]["zero_cross_rate"] - 2 * 440 / 8000) < 0.01
     assert got[2]["duration_ms"] == 500
     assert got[2]["rms"] == 0.0
+
+
+def test_jpeg_roundtrip_rgb_and_gray():
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators import (
+        multimodal_jpeg as mj)
+    x = np.linspace(0, 255, 48)
+    img = np.zeros((40, 48, 3))
+    img[..., 0] = x[None, :]
+    img[..., 1] = np.linspace(0, 255, 40)[:, None]
+    img[..., 2] = 128 + 80 * np.sin(np.arange(48)[None, :] / 9.0)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    for q, sub, tol in [(95, False, 2.0), (85, False, 3.0),
+                        (85, True, 6.0)]:
+        payload = mj.encode_jpeg(img, quality=q, subsample=sub)
+        assert mj.is_jpeg(payload)
+        out = mj.decode_jpeg(payload)
+        assert out.shape == img.shape
+        err = abs(out.astype(float) - img.astype(float)).mean()
+        assert err < tol, (q, sub, err)
+    gray = img[..., 0]
+    out = mj.decode_jpeg(mj.encode_jpeg(gray, quality=90))
+    assert out.shape == (40, 48, 1)
+    assert abs(out[..., 0].astype(float) - gray).mean() < 1.5
+
+
+def test_jpeg_odd_dimensions_and_padding():
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators import (
+        multimodal_jpeg as mj)
+    rng = np.random.default_rng(5)
+    img = (rng.normal(128, 20, size=(19, 13, 3))
+           .clip(0, 255).astype(np.uint8))
+    for sub in (False, True):
+        out = mj.decode_jpeg(mj.encode_jpeg(img, quality=90,
+                                            subsample=sub))
+        assert out.shape == img.shape
+
+
+def test_jpeg_progressive_quarantines():
+    import struct
+
+    import pytest
+
+    from bi_etl_and_integration_spark.operators import (
+        multimodal_jpeg as mj)
+    # minimal stream up to a progressive SOF2 marker
+    payload = (b"\xff\xd8"
+               + b"\xff\xc2" + struct.pack(">H", 11)
+               + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1])
+               + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="baseline"):
+        mj.decode_jpeg(payload)
+
+
+def test_image_features_real_jpeg_path(rows):
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators import (
+        multimodal_jpeg as mj)
+    imgs = [np.full((8, 8, 3), v, dtype=np.uint8) for v in (0, 128, 255)]
+    df = rows([(i, bytearray(mj.encode_jpeg(im, quality=95)))
+               for i, im in enumerate(imgs)],
+              "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mm.image_features(df).collect()}
+    assert got[1]["width"] == 8 and got[1]["height"] == 8
+    # flat fields survive quantization exactly
+    assert got[1]["mean_byte"] == 128.0
+    assert len(got[0]["feature"]) == 8
+
+
+def test_resize_images_real_jpeg_keeps_format(rows):
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators import (
+        multimodal_jpeg as mj)
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    df = rows([(1, bytearray(mj.encode_jpeg(img, quality=95)), 16, 16)],
+              "media_id long, payload binary, width int, height int")
+    out = mm.resize_images(df, 8, 8).collect()[0]
+    assert out["width"] == 8 and out["height"] == 8
+    back_payload = bytes(out["payload"])
+    assert mj.is_jpeg(back_payload)      # re-encoded in the SAME format
+    back = mj.decode_jpeg(back_payload)
+    assert back.shape == (8, 8, 3)
+    assert abs(back.astype(float) - 200.0).max() < 3.0

@@ -265,3 +265,50 @@ def test_semantic_dedup_drops_dominated(rows):
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 10, 11]
     with pytest.raises(ValueError, match="cap"):
         semantic_dedup(df, cents, threshold=0.9, max_cluster_rows=2)
+
+
+def test_semantic_dedup_guard_fires_before_allocation(rows):
+    """The hot-cluster guard must raise BEFORE the dominance pass can
+    allocate anything n²-shaped: an oversized cluster errors out of
+    the driver-side size check, never reaching numpy."""
+    import pytest
+    from bi_etl_and_integration_spark.operators.similarity import (
+        semantic_dedup)
+    n = 50
+    df = rows([(i, [1.0, float(i % 3)]) for i in range(n)],
+              "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="cap 10"):
+        semantic_dedup(df, [(0, [1.0, 0.0])], threshold=0.99,
+                       max_cluster_rows=10)
+
+
+def test_semantic_dedup_blocked_pass_matches_single_block(
+        rows, monkeypatch):
+    """Forcing the dominance pass to run multi-block (block floor of
+    256 rows < 600-row cluster) must produce the same survivor set as
+    the default single-block path — keep-first dominance semantics
+    hold across block boundaries."""
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators import similarity
+    rng = np.random.default_rng(7)
+    # 600 vectors in one cluster: 200 unique directions x 3 copies
+    base = rng.normal(size=(200, 4))
+    vecs = []
+    for i in range(600):
+        v = base[i % 200] * (1.0 + (i // 200))     # same direction
+        vecs.append((i, [float(x) for x in v]))
+    df = rows(vecs, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    single = sorted(r["vec_id"] for r in similarity.semantic_dedup(
+        df, cents, threshold=0.999).collect())
+    monkeypatch.setattr(similarity, "_DOM_BLOCK_FLOATS", 1)
+    multi = sorted(r["vec_id"] for r in similarity.semantic_dedup(
+        df, cents, threshold=0.999).collect())
+    # block boundaries must not change the survivor set
+    assert single == multi
+    # keep-first: every scaled copy (id >= 200) is dominated by its
+    # base direction; a couple of base directions are themselves
+    # coincidentally near-parallel, so survivors ⊆ [0, 200), not ==
+    assert max(single) < 200
+    assert len(single) >= 190

@@ -65,3 +65,65 @@ def test_make_scale_preserves_shard_invariants(tmp_path):
             f"FROM '/root/testdata/sf0.001/{t}.parquet'").fetchone()
         lo, hi = minmax(t, c)
         assert lo == src_lo and hi == src_hi + (src_hi + 1), (t, lo, hi)
+
+
+def _load_detail():
+    import json
+    with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as fh:
+        return json.load(fh)
+
+
+def test_baseline_table3_matches_bench_detail():
+    """Stale-artifact guard (VERDICT r3 item 3): BASELINE.md table 3
+    is generated from BENCH_DETAIL.json by tools/update_baseline.py —
+    if a committed BENCH_DETAIL no longer matches the committed
+    table, someone changed queries/bench without regenerating the
+    reporting, which is exactly how the round-3 q10b regression went
+    unreported.  Tolerance covers the 3-decimal rounding only."""
+    import re
+    det = _load_detail()
+    base = open(os.path.join(ROOT, "BASELINE.md")).read()
+    try:
+        table3 = base.split("## Table 3 ")[1].split("## Table 4")[0]
+    except IndexError:
+        raise AssertionError("BASELINE.md lost its Table 3 heading")
+    rows = dict(re.findall(
+        r"^\| (\w+) \| (?:[\d.]+|—) \| ([\d.]+|ERROR) \|",
+        table3, re.M))
+    assert rows, "could not parse any Table 3 rows"
+    missing = [k for k in det["queries"] if k not in rows]
+    extra = [k for k in rows if k not in det["queries"]]
+    assert not missing, f"Table 3 missing bench queries: {missing[:5]}"
+    assert not extra, f"Table 3 has rows not in BENCH_DETAIL: {extra[:5]}"
+    drift = {k: (rows[k], det["queries"][k]) for k in rows
+             if rows[k] != "ERROR"
+             and abs(float(rows[k]) - det["queries"][k]) > 0.0015}
+    assert not drift, f"Table 3 drifted from BENCH_DETAIL: {drift}"
+
+
+def test_bench_detail_covers_declared_corpus():
+    """BENCH_DETAIL must time every declared query — a query added to
+    queries.py without a fresh full bench run leaves the committed
+    perf reporting silently incomplete."""
+    sys.path.insert(0, ROOT)
+    from bi_etl_and_integration_spark.queries import QUERIES
+    det = _load_detail()
+    missing = sorted(set(QUERIES) - set(det["queries"]))
+    assert not missing, (
+        f"BENCH_DETAIL.json is stale: no timing for {missing} — "
+        f"re-run `python bench.py` (full) and commit the sidecar")
+
+
+def test_correctness_local_covers_declared_corpus():
+    """CORRECTNESS_LOCAL.md must be regenerated (oracle_check.py
+    --write-md) in the same change that adds or renames queries."""
+    sys.path.insert(0, ROOT)
+    from bi_etl_and_integration_spark.queries import QUERIES
+    text = open(os.path.join(ROOT, "CORRECTNESS_LOCAL.md")).read()
+    assert f"({len(QUERIES)} queries)" in text, (
+        "CORRECTNESS_LOCAL.md header does not match the declared "
+        f"corpus size ({len(QUERIES)}) — regenerate with "
+        "`python tools/oracle_check.py /root/testdata/sf0.01 "
+        "--write-md`")
+    missing = [n for n in QUERIES if n not in text]
+    assert not missing, f"no local verdict line for: {missing[:5]}"
