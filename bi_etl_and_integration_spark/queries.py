@@ -1121,16 +1121,18 @@ def q26(spark, cat):
    "TRUE AS approx_in_band FROM lineitem")
 def q26b(spark, cat):
     """approx_count_distinct certified by the band treatment: exact
-    distinct hash-compared, HLL estimate asserted within ±5% of it.
-    The sketch runs at rsd 0.01, making the ±5% band a 5-SIGMA
-    assertion (the q10b treatment) — at the default rsd 0.05 the same
-    band is a 1-sigma check that a regenerated or rescaled dataset
-    would fail roughly a third of the time with no code change."""
+    distinct hash-compared, HLL estimate asserted within ±10% of it
+    at rsd 0.02 — a 5-SIGMA assertion (the q10b treatment).  At the
+    default rsd 0.05 the original ±5% band was a 1-sigma check that a
+    regenerated or rescaled dataset would fail roughly a third of the
+    time with no code change; rsd 0.01 keeps 5 sigma at ±5% but its
+    ~100 KB register array through the Expand partials measured 3.2 s
+    — rsd 0.02 (±10% band) is the same confidence at ~16 KB state."""
     agg = cat.lineitem.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("nk_approx"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("nk_approx"),
         F.count_distinct(F.col("l_partkey")).alias("nk_exact"))
     band = (F.abs(F.col("nk_approx") - F.col("nk_exact"))
-            <= 0.05 * F.col("nk_exact"))
+            <= 0.10 * F.col("nk_exact"))
     return agg.select("nk_exact", band.alias("approx_in_band"))
 
 
