@@ -512,3 +512,114 @@ def dedup_canonicalize(df: DataFrame, pairs: DataFrame, *,
            .drop("__comp"))
     return out.withColumn("is_dup",
                           F.col(canonical_col) != F.col(id_col))
+
+
+def substring_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *,
+                    window: int = 100, stride: int = 50,
+                    min_repeats: int = 2,
+                    out_col: str | None = None) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr): remove every text span whose
+    ``window``-char content occurs ``min_repeats``+ times ANYWHERE in
+    the corpus, keeping the occurrence in the lowest-id document.
+    Sub-document granularity is what MinHash/SimHash (document-level)
+    cannot express: a boilerplate paragraph shared by a million
+    otherwise-unique pages survives document-level dedup entirely.
+
+    Spark-first plan — the suffix-array construction of the paper is
+    replaced by the standard blocked approximation at window
+    granularity, all JVM-side:
+
+    1. narrow map: per doc, xxhash64 of each window at ``stride``
+       offsets (sequence + explode — no Python);
+    2. ONE shuffle: groupBy(hash) -> occurrence count + min-id owner
+       (map-side combine collapses within-partition repeats first);
+    3. join windows ⋈ repeated-hashes (shuffle on hash), drop the
+       owner doc's rows — only DUPLICATED windows flow, a tiny
+       fraction of the corpus;
+    4. per doc: sort + merge overlapping [s, s+window) spans and cut
+       them out of the text — both as ``aggregate`` higher-order
+       folds over the per-doc span array (bounded by spans-per-doc,
+       never corpus-sized state);
+    5. left join back: docs with no duplicated window pass through
+       untouched.
+
+    ``stride < window`` guarantees any duplicated run of length
+    >= window + stride - 1 is covered by at least one aligned window;
+    smaller stride tightens the boundary slop (<= stride - 1 chars on
+    each side of a duplicated run may survive).  64-bit hash
+    collisions can merge unrelated windows (~n²/2^65 — same exposure
+    as x20's decontamination join, documented not hidden).
+
+    Owner semantics: the MINIMUM ``id_col`` among docs containing a
+    given window keeps ALL its occurrences (document-granular
+    keep-first; the paper's positional all-but-first is not stable
+    under distributed reordering).  Ids must be numeric.
+
+    Returns ``df`` with ``out_col`` (default: replaces ``text_col``)
+    cleaned and ``n_removed_chars``.
+    """
+    if stride > window:
+        raise ValueError("substring_dedup: stride must be <= window "
+                         "(gaps would let duplicated runs escape)")
+    out_col = out_col or text_col
+    t, i = text_col, id_col
+    wins = (df.select(
+        F.col(i),
+        F.explode(F.expr(
+            f"sequence(0, greatest(length({t}) - {window}, 0), "
+            f"{stride})")).alias("__s"),
+        F.col(t))
+        .select(F.col(i), F.col("__s"),
+                F.xxhash64(F.expr(
+                    f"substring({t}, __s + 1, {window})")).alias("__h")))
+    owners = (wins.groupBy("__h")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.min(F.col(i)).alias("__owner"))
+              .where(F.col("__n") >= min_repeats)
+              .select("__h", "__owner"))
+    spans = (wins.join(owners, "__h")
+             .where(F.col(i) != F.col("__owner"))
+             .groupBy(i)
+             .agg(F.sort_array(F.collect_list("__s")).alias("__ss")))
+    # merge sorted starts into disjoint [a, b) intervals
+    merged = F.expr(f"""
+        aggregate(
+          __ss,
+          CAST(array() AS array<struct<a: int, b: int>>),
+          (acc, s) -> CASE
+            WHEN size(acc) > 0 AND element_at(acc, -1).b >= s THEN
+              concat(slice(acc, 1, size(acc) - 1),
+                     array(named_struct(
+                       'a', element_at(acc, -1).a,
+                       'b', greatest(element_at(acc, -1).b,
+                                     s + {window}))))
+            ELSE concat(acc, array(named_struct('a', s,
+                                                'b', s + {window})))
+          END)""")
+    cleaned = df.join(spans.select(F.col(i), merged.alias("__m")),
+                      i, "left")
+    # cut merged spans: fold (cursor, kept-text) over the intervals,
+    # then append the tail after the last span
+    cut = F.expr(f"""
+        aggregate(
+          __m,
+          named_struct('pos', 0, 'out', CAST('' AS string)),
+          (st, iv) -> named_struct(
+            'pos', greatest(st.pos, iv.b),
+            'out', concat(st.out,
+                          substring({t}, st.pos + 1,
+                                    greatest(iv.a - st.pos, 0)))),
+          st -> concat(st.out, substring({t}, st.pos + 1,
+                                         length({t}))))""")
+    return (cleaned
+            .withColumn("__clean",
+                        F.when(F.col("__m").isNull(), F.col(t))
+                        .otherwise(cut))
+            .withColumn("n_removed_chars",
+                        (F.length(t) - F.length("__clean"))
+                        .cast("int"))
+            .drop("__m", *([t] if out_col == t else []))
+            .withColumnRenamed("__clean", out_col))

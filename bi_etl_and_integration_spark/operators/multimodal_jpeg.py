@@ -151,7 +151,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Raises ``ValueError`` on non-JPEG/corrupt input and
     ``NotImplementedError`` on non-baseline modes (progressive SOF2,
     arithmetic, 12-bit) — quarantine-routable, same contract as
-    ``decode_png``."""
+    ``decode_png``.  Truncated/garbled streams surface as ValueError
+    (never a raw struct/index error), so the quarantine split in the
+    calling operators stays total."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}") \
+            from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if not is_jpeg(payload):
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -204,6 +214,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
+            if h == 0 or w == 0 or h * w > 268_435_456:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} out of range (corrupt "
+                    f"SOF, or beyond the 256 MP in-memory decode cap)")
             comps = []
             for c in range(nc):
                 cid, hv, tq_ = body[6 + 3 * c:9 + 3 * c]

