@@ -525,3 +525,42 @@ def test_transitions_match_pairwise_fold(spark, data):
         for a, b in zip(types, types[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+@SETTINGS
+@given(
+    offs=st.lists(st.integers(0, 120), min_size=2, max_size=4),
+    tail=st.integers(0, 60),
+    seed=st.integers(0, 10_000),
+)
+def test_substring_dedup_excises_planted_block_everywhere(
+        spark, offs, tail, seed):
+    """Plant one shared 150-char block at RANDOM offsets inside
+    otherwise-unique docs: after dedup at window 50 / stride 25, the
+    block's interior (which aligned windows always cover, wherever
+    the block sits) must survive ONLY in the owner doc, and docs
+    without the block are byte-identical untouched."""
+    from bi_etl_and_integration_spark.operators.dedup import (
+        substring_dedup)
+    import random
+    rng = random.Random(seed)
+    block = "#" * 150
+    alpha = "abcdefghij"
+    docs = []
+    for i, off in enumerate(offs):
+        uniq = "".join(rng.choice(alpha) for _ in range(off + 170 + tail))
+        docs.append((i, uniq[:off] + block + uniq[off:]))
+    n_clean = len(offs) + 2
+    for i in range(len(offs), n_clean):
+        docs.append((i, "".join(rng.choice(alpha) for _ in range(150))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(
+        df, "text", "doc_id", window=50, stride=25).collect()}
+    interior = "#" * 52   # window + stride slop margin inside the block
+    assert interior in out[0]["text"]            # owner keeps
+    for i in range(1, len(offs)):
+        assert interior not in out[i]["text"], (i, offs)
+        assert out[i]["n_removed_chars"] >= 50
+    for i in range(len(offs), n_clean):          # clean docs: untouched
+        assert out[i]["text"] == dict(docs)[i]
+        assert out[i]["n_removed_chars"] == 0
