@@ -52,6 +52,14 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         #    SFs) from collapsing to one task and serializing the host
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        # -- open-cost floor: the default 4 MB floor beats
+        #    minPartitionNum for small single-file tables — a 6 MB
+        #    documents file split into TWO partitions, serializing
+        #    regex-heavy narrow maps onto 2 of 32 cores (x27 at sf10:
+        #    8.7 s -> 1.9 s with 1 MB).  At 100 TB this knob is inert
+        #    (file sizes dwarf any open cost); it only exists to keep
+        #    small-file CPU-bound maps parallel on the bench host.
+        .config("spark.sql.files.openCostInBytes", "1048576")
         # -- timestamps: naive (NTZ) end-to-end, matching reference + oracle
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

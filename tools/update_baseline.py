@@ -105,10 +105,10 @@ def delta_stats(det: dict) -> str:
             f"{max(deltas)*1000:.0f} ms, {beats} queries outright faster")
 
 
-def growth_table(det: dict, sf1: dict) -> str:
-    """10× data growth multipliers per engine (sf0.1 → sf1)."""
+def growth_table(det: dict, sf1: dict, label: str = "sf1/sf0.1") -> str:
+    """10× data growth multipliers per engine."""
     import statistics as st
-    lines = ["| query | spark sf1/sf0.1 | duckdb sf1/sf0.1 |",
+    lines = [f"| query | spark {label} | duckdb {label} |",
              "| --- | --- | --- |"]
     gs, gd = [], []
     for k in sf1["queries"]:
@@ -182,6 +182,23 @@ its own quadratic theta-join executing the oracle's *specification* SQL at sf1; 
 Spark side runs the blocked rewrite — the per-operator scale argument, in one number.
 
 {table(sf1)}
+"""
+    sf10_path = os.path.join(ROOT, "BENCH_SF10.json")
+    if os.path.exists(sf10_path):
+        sf10 = json.load(open(sf10_path))
+        out += f"""
+## Table 5 — second decade: sf1 → sf10 growth ({len(sf10["queries"])}-query linear-operator set, 60M-row lineitem / 10M-row events)
+
+Extends the growth evidence across TWO decades (sf0.1 → sf1 → sf10,
+2.3 GB parquet).  At this size the Spark job floor is amortized and
+the numbers measure plan scaling directly.  The quadratic-spec
+oracles (q15/q55/q66*) and the x36 recursive-CTE family are excluded
+by construction — their DuckDB side would measure the specification,
+not the engine.
+
+{growth_table(sf1, sf10, "sf10/sf1")}
+
+{table(sf10)}
 """
     with open(os.path.join(ROOT, "BASELINE.md"), "w") as fh:
         fh.write(out)
