@@ -541,3 +541,70 @@ def normalize_text(df: DataFrame, text_col: str = "text", *,
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col or text_col, c)
+
+
+def concat_chunk_pack(df: DataFrame, count_col: str, order_col: str, *,
+                      budget: int) -> DataFrame:
+    """Deterministic concat-and-chunk packing: lay every item's tokens
+    end-to-end in ``order_col`` order and cut fixed ``budget``-token
+    training sequences ACROSS item boundaries — the GPT-style
+    pretraining packer (documents concatenated with EOS, then chunked),
+    complementing :func:`pack_sequences`' greedy no-split bins.
+    Deterministic given the ordering column, hence exactly
+    SQL-oracle-able, unlike the partition-local greedy packer.
+
+    Adds per item: ``start_off`` (global token offset), ``first_seq``
+    / ``last_seq`` (ids of the sequences the item lands in, item
+    spans last_seq - first_seq + 1 of them; a zero-count item spans
+    its insertion point only, first == last).
+
+    Plan shape — the global running sum WITHOUT the single-reducer
+    cliff (an unpartitioned ``Window.orderBy`` moves the whole table
+    to ONE partition): classic two-phase distributed prefix sum —
+    ``repartitionByRange(order_col)`` (sampled range boundaries, the
+    same exchange a global sort uses), per-partition cumsum via a
+    window PARTITIONED on the stable post-range partition id, then a
+    partition-count-sized offset table (one row per partition —
+    driver-bounded by construction) broadcast-joined back.  Two
+    shuffles of the data + one broadcast, any input size.
+    """
+    from pyspark.sql import Window
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n_parts, F.col(order_col))
+              .withColumn("__pid", F.spark_partition_id()))
+    wp = (Window.partitionBy("__pid").orderBy(order_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranged.withColumn(
+        "__lcum", F.sum(F.col(count_col).cast("bigint")).over(wp))
+    # materialize BEFORE reading the totals: the offset table below is
+    # only valid for the exact partitioning this evaluation produced,
+    # and an unmaterialized plan would re-run the range exchange when
+    # the result is consumed (checkpoint, reliable when a dir is set —
+    # same contract as flatten_hierarchy's per-round materialization)
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        local = local.checkpoint(eager=True)
+    else:
+        local = local.localCheckpoint(eager=True)
+    totals = (local.groupBy("__pid")
+              .agg(F.max("__lcum").alias("__ptot"))
+              .orderBy("__pid").collect())        # == #partitions rows
+    tot_by_pid = {r["__pid"]: r["__ptot"] for r in totals}
+    off, offsets = 0, []
+    for pid in range(n_parts):       # empty partitions still need rows
+        offsets.append((pid, off))
+        off += int(tot_by_pid.get(pid, 0) or 0)
+    sess = df.sparkSession
+    off_df = sess.createDataFrame(offsets, "__pid int, __off long")
+    cum = F.col("__lcum") + F.col("__off")
+    start = cum - F.col(count_col)
+    last = F.when(F.col(count_col) > 0,
+                  F.expr(f"(({'__lcum'} + __off) - 1) div {budget}")) \
+        .otherwise(F.expr(f"(({'__lcum'} + __off) - "
+                          f"{count_col}) div {budget}"))
+    return (local.join(F.broadcast(off_df), "__pid")
+            .withColumn("start_off", start.cast("bigint"))
+            .withColumn("first_seq",
+                        F.expr(f"(__lcum + __off - {count_col}) "
+                               f"div {budget}").cast("bigint"))
+            .withColumn("last_seq", last.cast("bigint"))
+            .drop("__pid", "__lcum", "__off"))

@@ -2500,6 +2500,37 @@ def x15(spark, cat):
     return tx_ops.pack_sequences(chunks, "n_tokens", budget=128)
 
 
+@q("x15b_concat_chunk_packing",
+   "WITH t AS (SELECT doc_id, CAST(len(list_filter("
+   "string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens "
+   "FROM documents), "
+   "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+   "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+   "SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS "
+   "start_off, CAST((cum - n_tokens) // 128 AS BIGINT) AS first_seq, "
+   "CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 128 "
+   "ELSE (cum - n_tokens) // 128 END AS BIGINT) AS last_seq "
+   "FROM c ORDER BY doc_id")
+def x15b(spark, cat):
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    packer: documents laid end-to-end in doc order, fixed 128-token
+    sequences cut across boundaries) — deterministic given the order
+    column, so unlike x15's partition-local greedy bins it carries a
+    FULL value oracle: DuckDB recomputes the global running sum
+    directly, certifying the two-phase distributed prefix sum
+    (range exchange + per-partition window + broadcast offset table)
+    against the single-node reference."""
+    toks = cat.documents.select(
+        "doc_id",
+        tx_ops.token_count("text", "whitespace").cast("bigint")
+        .alias("n_tokens"))
+    packed = tx_ops.concat_chunk_pack(toks, "n_tokens", "doc_id",
+                                      budget=128)
+    return (packed.select("doc_id", "n_tokens", "start_off",
+                          "first_seq", "last_seq")
+            .orderBy("doc_id"))
+
+
 @q("x13_heavy_hitters",
    "WITH tok AS (SELECT LOWER(UNNEST(list_filter(STRING_SPLIT(text,' '), "
    "x -> x != ''))) AS value FROM documents) "

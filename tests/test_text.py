@@ -236,3 +236,25 @@ def test_normalize_text_nfc_control_whitespace(rows):
         .collect()[0]["text"] == "fin"
     with pytest.raises(ValueError, match="unknown form"):
         normalize_text(df, "text", form="NFX")
+
+
+def test_concat_chunk_pack_matches_serial_fold(rows):
+    """The two-phase distributed prefix sum must equal the serial
+    cumsum — including zero-count items and counts that straddle
+    sequence boundaries."""
+    from bi_etl_and_integration_spark.operators.text import (
+        concat_chunk_pack)
+    counts = [5, 0, 130, 1, 127, 128, 0, 3, 260, 7]
+    df = rows(list(enumerate(counts)), "item_id long, n long")
+    out = {r["item_id"]: r for r in concat_chunk_pack(
+        df, "n", "item_id", budget=128).collect()}
+    cum = 0
+    for i, n in enumerate(counts):
+        start = cum
+        cum += n
+        assert out[i]["start_off"] == start, i
+        assert out[i]["first_seq"] == start // 128, i
+        exp_last = (cum - 1) // 128 if n > 0 else start // 128
+        assert out[i]["last_seq"] == exp_last, i
+    # every token accounted for: total == serial total
+    assert sum(counts) == cum
