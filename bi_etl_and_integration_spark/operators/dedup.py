@@ -328,6 +328,84 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
             .where(F.col("jaccard_sim") >= threshold))
 
 
+def exact_jaccard_join(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, n: int = 3,
+                       threshold: float = 0.5) -> DataFrame:
+    """EXACT set-similarity self-join: ALL pairs with n-gram shingle
+    Jaccard >= ``threshold``, guaranteed complete — no LSH, no
+    blocking heuristic, no all-pairs stage.
+
+    This is the prefix-filtering algorithm (Bayardo et al., WWW 2007
+    "Scaling Up All Pairs Similarity Search"; distributed formulation
+    per Vernica et al., SIGMOD 2010 "Efficient Parallel Set-Similarity
+    Joins Using MapReduce"): order every document's shingle set by a
+    GLOBAL canonical order (document frequency ascending — rarest
+    first — ties by shingle value), and emit only each document's
+    PREFIX of ``|s| - ceil(t*|s|) + 1`` shingles as join keys.
+    Completeness: a pair at Jaccard >= t overlaps in >= ceil(t*|s|)
+    elements of each side, so fewer than the prefix length of either
+    side's elements can be missing from the other — the two prefixes
+    must share an element under any consistent total order.  The
+    frequency order makes the shared element as RARE as possible, so
+    per-key join groups stay small (the published candidate-count
+    minimizer).
+
+    Pipeline (3 shuffles, never O(n²)): shingle df counts (groupBy) →
+    per-doc frequency-sorted shingle array (join + groupBy) → prefix
+    explode + equi-self-join on (shingle, length-filter
+    ``t*|a| <= |b|``) → pair-dedup → exact Jaccard verify on the full
+    sorted arrays.  The length filter is PPJoin's: |b| < t*|a| caps
+    J(a,b) <= |b|/|a| < t, so those candidates never verify.
+
+    This is the exact-reference generator the LSH recall
+    certifications (x02/x02b) measure against; it is also a
+    production exact-dedup path in its own right for thresholds high
+    enough that prefixes stay short (at t=0.8, prefix = 20% of each
+    doc's shingles).
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b, jaccard_sim
+    rounded to 4 decimals AFTER thresholding on the unrounded value.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = df.select(F.col(id_col).alias("id"),
+                     hashed_shingles(F.col(text_col), n).alias("__hs"))
+    ex = base.select("id", F.explode("__hs").alias("__h"))
+    freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # canonical order (df asc, shingle asc) packed into ONE sortable
+    # long: df caps at 2^31 rows per shingle and __h < 2^31-1 already
+    ranked = (ex.join(freq, "__h")
+              .groupBy("id")
+              .agg(F.sort_array(F.collect_list(
+                  F.col("__df") * F.lit(1 << 31) + F.col("__h")))
+                  .alias("__sorted")))
+    sz = F.size("__sorted")
+    plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    pref = ranked.select(
+        "id", sz.alias("__len"),
+        F.explode(F.slice("__sorted", 1, plen)).alias("__k"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, (F.col("a.__k") == F.col("b.__k")) &
+                   (F.col("a.id") < F.col("b.id")) &
+                   (F.col("b.__len") >= F.lit(threshold) * F.col("a.__len")) &
+                   (F.col("a.__len") >= F.lit(threshold) * F.col("b.__len")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sets = ranked.select("id", "__sorted")
+    verify = (cand
+              .join(sets.select(F.col("id").alias("id_a"),
+                                F.col("__sorted").alias("__sa")), "id_a")
+              .join(sets.select(F.col("id").alias("id_b"),
+                                F.col("__sorted").alias("__sb")), "id_b"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    jac = (inter / F.greatest(union, F.lit(1))).cast("double")
+    return (verify.where(jac >= threshold)
+            .select("id_a", "id_b",
+                    F.round(jac, 4).alias("jaccard_sim")))
+
+
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", *, threshold: float = 0.95,
                     n_planes: int = 8, seed: int = 42,

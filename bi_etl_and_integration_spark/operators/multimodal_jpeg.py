@@ -232,6 +232,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:        # SOS
             ns = body[0]
+            # a legal baseline stream MAY split components across
+            # several scans (non-interleaved); this decoder reads one
+            # interleaved scan only — quarantine the mode explicitly
+            # instead of dying on a td/ta KeyError mid-entropy-decode
+            if frame is not None and ns < len(frame[2]):
+                raise NotImplementedError(
+                    f"non-interleaved baseline scan ({ns} of "
+                    f"{len(frame[2])} components in first SOS); "
+                    "single interleaved scan only")
             scan_comps = []
             for c in range(ns):
                 cid, tdta = body[1 + 2 * c:3 + 2 * c]
@@ -377,12 +386,18 @@ def _build_huffman(freq: dict[int, int]) -> tuple[list[int], list[int],
             if others[v2] is None:
                 break
             v2 = others[v2]
-    bits = [0] * 33
+    # size the length histogram from the actual max code length — a
+    # pathologically skewed symbol distribution (huge image, near-
+    # degenerate frequencies) can exceed 32 bits, and a fixed 33-slot
+    # array would die in an unwrapped IndexError here
+    max_len = max(codesize.values(), default=0)
+    bits = [0] * (max(max_len, 32) + 1)
     for s, ln in codesize.items():
         if ln:
             bits[ln] += 1
-    # adjust lengths > 16 (T.81 Figure K.3)
-    for ln in range(32, 16, -1):
+    # adjust lengths > 16 (T.81 Figure K.3), starting at the longest
+    # length actually produced
+    for ln in range(len(bits) - 1, 16, -1):
         while bits[ln] > 0:
             j = ln - 2
             while bits[j] == 0:

@@ -612,7 +612,7 @@ def semantic_dedup(df: DataFrame,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    threshold: float = 0.9,
                    cluster_col: str = "cluster",
-                   max_cluster_rows: int = 100_000) -> DataFrame:
+                   max_cluster_rows: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate PRUNING — cluster the embedding space, then inside
     each cluster drop every item whose cosine similarity to a
@@ -634,11 +634,13 @@ def semantic_dedup(df: DataFrame,
     same loud hot-bucket guard the LSH family uses: a degenerate
     cluster (k too small for the corpus) fails with instructions
     instead of burning an executor on n²/2 pair computations.  The
-    default (100k) is sized so the guard fires BEFORE the executor
-    allocates anything dangerous: the per-cluster pass computes the
-    cosine matrix in row blocks of ≤ ~64M floats (512 MB), never the
-    full n×n at once, so the binding constraint is the n×dim vector
-    stack (100k × 1k dims ≈ 800 MB float64), not an n² allocation.
+    guard fires BEFORE the executor allocates anything dangerous: the
+    per-cluster pass computes the cosine matrix in row blocks of
+    ≤ ~64M floats (512 MB), never the full n×n at once, so the
+    binding constraint is the n×dim vector STACK — hence the default
+    cap scales with the embedding width, ``100M floats // dim``
+    (~800 MB float64; floor 100k rows): 1.5M rows at dim 64, ~100k
+    at dim 1024.  Pass an explicit ``max_cluster_rows`` to pin it.
 
     Determinism contract (the oracle's): the survivor set equals the
     one the exact double-sequential-fold cosine
@@ -664,6 +666,9 @@ def semantic_dedup(df: DataFrame,
     # anti-join — without the persist it is re-evaluated three times
     # (HOF folds run interpreted, so re-evaluation is the dominant
     # cost, measured at sf0.1)
+    if max_cluster_rows is None:
+        dim = len(centroids[0][1]) if centroids else 1
+        max_cluster_rows = max(100_000, 100_000_000 // max(dim, 1))
     assigned = kmeans_assign(df, centroids, vec_col=vec_col,
                              out_col=cluster_col).persist()
     sizes = assigned.groupBy(cluster_col).agg(

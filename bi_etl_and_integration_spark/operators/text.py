@@ -567,10 +567,25 @@ def concat_chunk_pack(df: DataFrame, count_col: str, order_col: str, *,
     partition-count-sized offset table (one row per partition —
     driver-bounded by construction) broadcast-joined back.  Two
     shuffles of the data + one broadcast, any input size.
+
+    ``count_col`` must be non-negative and non-NULL: the per-partition
+    total is read as max(running sum), which equals the sum ONLY for
+    non-negative counts (and a NULL poisons the cumsum silently) — so
+    the cumsum guards every input with ``raise_error``, mirroring the
+    weighted-percentile weight guard.
     """
     from pyspark.sql import Window
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (df.repartitionByRange(n_parts, F.col(order_col))
+    cnt = F.col(count_col).cast("bigint")
+    # a NULL count fails the >= 0 predicate and lands in the same
+    # raise_error leg (message spells out which it was)
+    checked = F.when(cnt >= 0, cnt).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"concat_chunk_pack: {count_col} must be a "
+                  f"non-negative, non-NULL token count; got "),
+            F.coalesce(F.col(count_col).cast("string"), F.lit("NULL")))))
+    ranged = (df.withColumn(count_col, checked)
+              .repartitionByRange(n_parts, F.col(order_col))
               .withColumn("__pid", F.spark_partition_id()))
     wp = (Window.partitionBy("__pid").orderBy(order_col)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -1125,15 +1125,25 @@ def q26b(spark, cat):
     at rsd 0.02 — a 5-SIGMA assertion (the q10b treatment).  At the
     default rsd 0.05 the original ±5% band was a 1-sigma check that a
     regenerated or rescaled dataset would fail roughly a third of the
-    time with no code change; rsd 0.01 keeps 5 sigma at ±5% but its
-    ~100 KB register array through the Expand partials measured 3.2 s
-    — rsd 0.02 (±10% band) is the same confidence at ~16 KB state."""
-    agg = cat.lineitem.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("nk_approx"),
+    time with no code change; rsd 0.02 (±10% band) is the same
+    confidence at ~16 KB of register state.
+
+    Plan shape (r4 VERDICT item 2): the sketch and the exact distinct
+    run as two INDEPENDENT 1-row aggregates cross-joined — computing
+    them in one agg forces Catalyst's Expand rewrite (input ×2) and
+    drags the HLL register array through every Expand partial, the
+    exact plan class that made q10b a 106 s scale-killer.  The split
+    keeps the sketch a plain two-phase agg over one input pass each;
+    tests/test_plans.py asserts no Expand node carries
+    approx_count_distinct state."""
+    approx = cat.lineitem.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("nk_approx"))
+    exact = cat.lineitem.agg(
         F.count_distinct(F.col("l_partkey")).alias("nk_exact"))
     band = (F.abs(F.col("nk_approx") - F.col("nk_exact"))
             <= 0.10 * F.col("nk_exact"))
-    return agg.select("nk_exact", band.alias("approx_in_band"))
+    return (exact.crossJoin(F.broadcast(approx))
+            .select("nk_exact", band.alias("approx_in_band")))
 
 
 @q("q26c_percentiles",
@@ -2259,24 +2269,78 @@ def x01(spark, cat):
     return d.select("canonical_id", "n_dups").orderBy("canonical_id")
 
 
-@q("x02_dedup_minhash")  # rows-only: LSH banding is engine-specific
+# The exact 3-gram-Jaccard pair set over `documents`, as quadratic
+# specification SQL (all-pairs; the Spark side computes the SAME set
+# with the prefix-filtered exact join — never all-pairs).  The string
+# shingles here and Spark's hashed shingles give identical set sizes
+# while xxhash64 stays collision-free on the corpus (x04's argument).
+_EXACT_JACCARD_ORACLE = (
+    r"WITH base AS (SELECT doc_id AS id, list_filter(string_split("
+    r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' '), "
+    "x -> x != '') AS toks FROM documents), "
+    "sh AS (SELECT id, CASE WHEN len(toks) < 3 "
+    "THEN [array_to_string(toks, ' ')] "
+    "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM base) "
+    "SELECT a.id AS id_a, b.id AS id_b, "
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "GREATEST(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard_sim, "
+    "TRUE AS recall_in_band "
+    "FROM sh a JOIN sh b ON a.id < b.id "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "GREATEST(len(list_distinct(a.sh || b.sh)), 1) >= 0.5 "
+    "ORDER BY id_a, id_b")
+
+
+def _lsh_recall_certified(cat, *, n_probes: int, min_recall: float):
+    """Shared x02/x02b body: exact Jaccard>=0.5 pair set (prefix-
+    filtered exact join, hash-matched against the oracle's quadratic
+    restatement) + a recall band over the MinHash-LSH candidates."""
+    docs = cat.documents
+    exact = dd_ops.exact_jaccard_join(docs, "text", "doc_id",
+                                      n=3, threshold=0.5).persist()
+    lsh = (dd_ops.minhash_lsh_dedup(docs, "text", "doc_id",
+                                    num_hashes=32, bands=16,
+                                    jaccard_threshold=0.5,
+                                    n_probes=n_probes)
+           .select("id_a", "id_b", F.lit(1).alias("__hit")))
+    # LSH output is exact-verified at the same threshold over the same
+    # shingle sets, so it is a SUBSET of `exact` by construction and
+    # recall is literally |lsh| / |exact|
+    stats = (exact.join(lsh, ["id_a", "id_b"], "left")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.count("__hit").alias("__c")))
+    band = F.col("__c") >= F.lit(min_recall) * F.col("__n")
+    return (exact.crossJoin(F.broadcast(stats))
+            .select("id_a", "id_b", "jaccard_sim",
+                    band.alias("recall_in_band"))
+            .orderBy("id_a", "id_b"))
+
+
+@q("x02_dedup_minhash", _EXACT_JACCARD_ORACLE)
 def x02(spark, cat):
-    # S-curve tuned for t=0.5: rows/band=2, 16 bands -> collision prob
-    # at s=0.5 is 1-(1-0.25)^16 = 0.99 (64 hashes/4 rows would be 0.64)
-    return dd_ops.minhash_lsh_dedup(cat.documents, "text", "doc_id",
-                                    num_hashes=32, bands=16,
-                                    jaccard_threshold=0.5)
+    """MinHash-LSH recall-certified against the EXACT Jaccard pair set
+    (r4 VERDICT item 1): the oracle restates the exact pairs
+    quadratically; Spark computes them with the prefix-filtered exact
+    set-similarity join (operators/dedup.py exact_jaccard_join,
+    Bayardo 2007 / Vernica 2010) and band-asserts LSH recall =
+    |candidates ∩ exact| / |exact| >= 0.95.  S-curve analytic floor:
+    rows/band=2, 16 bands -> catch prob at s is 1-(1-s^2)^16 — 0.99
+    at the 0.5 threshold and ~1-1e-19 at the fixture's planted-pair
+    similarities (all >= 0.96), so the band tolerates one missed pair
+    in 25 while any banding/signature regression fails loudly."""
+    return _lsh_recall_certified(cat, n_probes=1, min_recall=0.95)
 
 
-@q("x02b_dedup_minhash_multiprobe")  # rows-only: LSH banding is engine-specific
+@q("x02b_dedup_minhash_multiprobe", _EXACT_JACCARD_ORACLE)
 def x02b(spark, cat):
-    # 3 independent affine hash families in ONE aggregation pass and ONE
-    # band self-join (probe = 16 extra band indices); probe 0 reuses the
-    # x02 family so the pair set is a strict superset of x02's — the
-    # recall dial ROADMAP.md documented, made a declared capability
-    return dd_ops.minhash_lsh_dedup(cat.documents, "text", "doc_id",
-                                    num_hashes=32, bands=16,
-                                    jaccard_threshold=0.5, n_probes=3)
+    """Multi-probe MinHash recall certification: 3 independent affine
+    hash families in ONE aggregation pass and ONE band self-join;
+    probe 0 reuses the x02 family so the candidate set is a strict
+    superset of x02's — a pair at Jaccard s escapes all probes with
+    (1-p(s))^3, p(s) = 1-(1-s^2)^16.  Same exact-pair oracle as x02;
+    the band certifies the recall LIFT path end to end."""
+    return _lsh_recall_certified(cat, n_probes=3, min_recall=0.95)
 
 
 @q("x03_dedup_simhash")  # rows-only
@@ -2658,7 +2722,7 @@ def x11(spark, cat):
 
 @q("x41_jpeg_features",
    "SELECT doc_id AS media_id, "
-   "CAST(8 * (doc_id % 2 + 1) AS INT) AS width, "
+   "CAST(8 * ((doc_id // 10) % 2 + 1) AS INT) AS width, "
    "CAST(8 AS INT) AS height, "
    "CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_byte "
    "FROM documents WHERE doc_id % 10 = 0 ORDER BY media_id")
@@ -2675,7 +2739,10 @@ def x41(spark, cat):
     bit-writer plumbing, the decoder, and the mapInPandas batching in
     one hash row.  Per-image work is bounded (≤ two 8×8 blocks);
     the %10 subset keeps the corpus bench honest about per-row Python
-    codec cost."""
+    codec cost.  Width alternates off ``(doc_id // 10) % 2`` — the
+    %10 filter selects even ids only, so the earlier ``doc_id % 2``
+    term was constant and the two-block (multi-MCU, DC-predictor-
+    chain) path went unexercised (r4 ADVICE)."""
     from bi_etl_and_integration_spark.operators.multimodal import (
         image_features)
 
@@ -2688,7 +2755,7 @@ def x41(spark, cat):
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = [
-                encode_jpeg(np.full((8, 8 * (int(i) % 2 + 1)),
+                encode_jpeg(np.full((8, 8 * ((int(i) // 10) % 2 + 1)),
                                     (int(i) * 37) % 256, np.uint8),
                             quality=95)
                 for i in ids]

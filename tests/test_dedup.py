@@ -255,3 +255,44 @@ def test_substring_dedup_idempotent_and_validates(rows):
     assert all(r["n_removed_chars"] == 0 for r in got.values())
     with pytest.raises(ValueError, match="stride"):
         substring_dedup(df, window=50, stride=51)
+
+
+def test_exact_jaccard_join_matches_brute_force(rows):
+    """Prefix-filter completeness: exact_jaccard_join must return the
+    IDENTICAL pair set (ids and similarity) as brute-force all-pairs
+    Jaccard over the same hashed shingle sets — including pairs whose
+    shared shingles are the corpus's most frequent (the ones a rare-
+    first prefix is most tempted to skip)."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(24):
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(30))))
+    # planted near-dups at several similarity levels
+    docs.append((100, docs[0][1] + " extra"))             # ~0.94
+    docs.append((101, " ".join(docs[1][1].split()[:18]))) # prefix cut
+    docs.append((102, docs[2][1]))                        # identical
+    df = rows(docs, DOCS)
+    for t in (0.3, 0.5, 0.8):
+        got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+               for r in dd.exact_jaccard_join(
+                   df, "text", "doc_id", n=3, threshold=t).collect()}
+        # brute force over the same hashed shingle definition
+        sh = {r["doc_id"]: set(r["sh"]) for r in df.select(
+            "doc_id", dd.hashed_shingles(F.col("text"), 3).alias("sh")
+        ).collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            j = len(sh[a] & sh[b]) / max(len(sh[a] | sh[b]), 1)
+            if j >= t:
+                want[(a, b)] = round(j, 4)
+        assert got == want, (t, got.keys() ^ want.keys())
+
+
+def test_exact_jaccard_join_validates_threshold(rows):
+    df = rows([(1, "a b c")], DOCS)
+    with pytest.raises(ValueError, match="threshold"):
+        dd.exact_jaccard_join(df, threshold=0.0)

@@ -266,3 +266,18 @@ def test_semantic_dedup_assignment_is_zero_shuffle(cat):
         "vec_id", F.slice("embedding", 1, 4).alias("embedding"))
     out = kmeans_assign(df, cents)
     assert plans.shuffle_count(out) == 0, plans.formatted_plan(out)
+
+
+def test_no_expand_carries_sketch_state(cat):
+    """r4 VERDICT item 2: a multi-COUNT(DISTINCT) aggregate plans as
+    Catalyst's Expand rewrite (input ×k), and dragging HLL sketch
+    registers (~16 KB each at rsd 0.02) through Expand partials is
+    the plan class that made q10b a 106 s scale-killer.  The sketch
+    queries (q26b band check, q10b profile) must therefore plan with
+    NO Expand node at all — each distinct/sketch runs as its own
+    two-phase aggregate."""
+    from bi_etl_and_integration_spark.queries import QUERIES
+    for name in ("q26b_approx_distinct", "q10b_profile"):
+        df = QUERIES[name](cat.spark, SF)
+        plan = plans.formatted_plan(df)
+        assert "Expand" not in plan, f"{name} plans an Expand:\n{plan}"

@@ -258,3 +258,22 @@ def test_concat_chunk_pack_matches_serial_fold(rows):
         assert out[i]["last_seq"] == exp_last, i
     # every token accounted for: total == serial total
     assert sum(counts) == cum
+
+
+def test_concat_chunk_pack_rejects_bad_counts(rows):
+    """r4 ADVICE: the per-partition total is read as max(running sum),
+    which equals the sum only for non-negative counts — a negative or
+    NULL count must fail LOUDLY, not corrupt every downstream offset."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from bi_etl_and_integration_spark.operators.text import (
+        concat_chunk_pack)
+    neg = rows([(0, 5), (1, -3)], "item_id long, n long")
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="non-negative"):
+        concat_chunk_pack(neg, "n", "item_id", budget=128).collect()
+    nul = rows([(0, 5), (1, None)], "item_id long, n long")
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="NULL"):
+        concat_chunk_pack(nul, "n", "item_id", budget=128).collect()
