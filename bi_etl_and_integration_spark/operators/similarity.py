@@ -395,7 +395,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", m: int = 8, nbits: int = 8,
             seed: int = 42, train_iters: int = 8,
-            train_size: int | None = None) -> DataFrame:
+            train_size: int | None = None,
+            shortlist: int | None = None) -> DataFrame:
     """PQ approximate cosine top-k via asymmetric distance computation
     (ADC): corpus vectors are L2-normalized and quantized to ``m``
     byte codes; each query builds an (m × 2^nbits) table of
@@ -410,9 +411,21 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     ``pq_encode`` and reuse across query batches.
 
     Output: (query_id, vec_id, adc_score, rank) — adc_score
-    approximates the cosine; ties break on neighbor id."""
+    approximates the cosine; ties break on neighbor id.
+
+    ``shortlist`` (> k) switches on exact RE-RANKING (IVFADC+R,
+    Jégou et al. 2011 §V): ADC selects ``shortlist`` candidates per
+    query, their FLOAT vectors are fetched by id (a broadcast join of
+    queries × shortlist rows against the corpus — bounded, never a
+    corpus shuffle) and exact cosine re-ranks the final top ``k``.
+    Output is then (query_id, vec_id, cosine_sim, rank): the exact
+    metric, with ADC deciding only which candidates are considered —
+    the standard dial that buys back most of the quantization recall
+    for one extra bounded join."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
+    if shortlist is not None and shortlist <= k:
+        raise ValueError(f"shortlist ({shortlist}) must exceed k ({k})")
     if train_size is None:
         train_size = max((1 << nbits) * 32, 4096)
     sample = (corpus.select(F.col(vec_col).alias("v"))
@@ -441,6 +454,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
         corpus.schema[id_col],
         StructField("adc_score", DoubleType(), True)])
     nq = len(qids)
+    adc_k = shortlist if shortlist is not None else k
 
     def scan(batches):
         import pandas as pd_
@@ -454,7 +468,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
             j_idx = np.arange(m)
             for qi in range(nq):
                 scores = luts[qi][j_idx[None, :], codes].sum(axis=1)
-                order = np.lexsort((ids, -scores))[:k]
+                order = np.lexsort((ids, -scores))[:adc_k]
                 parts_s[qi].append(scores[order])
                 parts_i[qi].append(ids[order])
         out_q, out_i, out_s = [], [], []
@@ -462,7 +476,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
             if parts_s[qi]:
                 s = np.concatenate(parts_s[qi])
                 i = np.concatenate(parts_i[qi])
-                order = np.lexsort((i, -s))[:k]
+                order = np.lexsort((i, -s))[:adc_k]
                 out_s.append(s[order])
                 out_i.append(i[order])
                 out_q.extend([qids[qi]] * len(order))
@@ -475,9 +489,29 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
         scan, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_score").desc(), F.col(id_col))
-    return (cand.withColumn("__rn", F.row_number().over(w))
+    ranked = (cand.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= adc_k))
+    if shortlist is None:
+        return ranked.select(query_id_col, id_col, "adc_score",
+                             F.col("__rn").alias("rank"))
+    # exact re-rank: fetch the shortlist rows' float vectors (the
+    # shortlist side is queries × shortlist rows — broadcast it, the
+    # corpus side is a semi-joined scan, never a corpus shuffle) and
+    # re-order by true cosine
+    qv = queries.select(F.col(query_id_col),
+                        F.col(vec_col).alias("__qv"))
+    fetched = (corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+               .join(F.broadcast(ranked.select(query_id_col, id_col)),
+                     id_col)
+               .join(F.broadcast(qv), query_id_col)
+               .withColumn("cosine_sim",
+                           cosine_similarity_udf()(F.col("__cv"),
+                                                   F.col("__qv"))))
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    return (fetched.withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= k)
-            .select(query_id_col, id_col, "adc_score",
+            .select(query_id_col, id_col, "cosine_sim",
                     F.col("__rn").alias("rank")))
 
 

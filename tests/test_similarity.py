@@ -312,3 +312,25 @@ def test_semantic_dedup_blocked_pass_matches_single_block(
     # coincidentally near-parallel, so survivors ⊆ [0, 200), not ==
     assert max(single) < 200
     assert len(single) >= 190
+
+
+def test_pq_topk_shortlist_reranks_exact(rows):
+    """IVFADC+R: with shortlist covering the whole corpus, the exact
+    re-rank must reproduce brute force EXACTLY (ids, ranks, and the
+    cosine metric itself) — ADC then only selects candidates.  Also
+    validates the shortlist > k contract."""
+    import math as m_
+    import pytest as pt
+    corpus = rows([(i, [m_.cos(i / 7.0 + j) for j in range(16)])
+                   for i in range(60)], EMB)
+    queries = rows([(q, [m_.cos(q * 13 / 7.0 + j) for j in range(16)])
+                    for q in range(2)],
+                   "query_id long, embedding array<float>")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in sim.brute_force_topk(corpus, queries, k=5).collect()}
+    rer = sim.pq_topk(corpus, queries, k=5, m=4, nbits=6,
+                      shortlist=60, train_size=60).collect()
+    assert {(r["query_id"], r["rank"]): r["vec_id"] for r in rer} == exact
+    assert all("cosine_sim" in r.asDict() for r in rer)
+    with pt.raises(ValueError, match="shortlist"):
+        sim.pq_topk(corpus, queries, k=5, shortlist=5)
