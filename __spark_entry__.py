@@ -18,21 +18,25 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # The driver verifies the FIRST 50 ``queries()`` entries per round
 # (CORRECTNESS_r01/r02 each stopped at entry 50 — `_ordered()` below
 # self-rotates the window onto whatever still lacks a verdict).
-# Rounds 1–3 proved 144 hash/rows-green rows.  Round 4's window is
-# fully computed by `_ordered()` from the committed verdict files:
-# the two r03 FAILs (q51/x37, both fixed — array outputs projected
-# to joined strings) re-verify first, then every never-checked query
-# — q38d, the multi-join showcases q43–q48, q61b/q66b/x36b, the new
-# q53c sketch-IQR band query, and the 14 rows-only-by-construction
-# entries — then the proven tail re-certifies.  After this round
-# every declared query holds a driver verdict.  ``_VERIFY_FIRST`` is
-# now only the TIE-BREAK order within those groups; EXACTLY 50 names
-# (pinned by tests/test_entry_window.py).
+# After round 4 ALL 174 queries hold a verdict (160 hash-green, 14
+# rows-only).  Round 5 upgraded nine of the rows-only entries to
+# value oracles — x02/x02b/x03/x05/x05b (LSH recall certification vs
+# the exact prefix-filtered join / provable constructions), x06/x06b
+# (ANN recall@10 vs exact brute force), x16 (real-JPEG-codec dedup)
+# and x25 (frozen-weight scoring) — and `_ordered()`'s
+# oracle-gained-but-never-hash-verified rule rotates exactly those
+# nine to the front automatically, followed by the queries whose
+# outputs changed this round (q26b re-planned, q41d re-scoped, x41
+# width fix) once their old hash verdicts age out, then the proven
+# tail re-certifies.  ``_VERIFY_FIRST`` is only the TIE-BREAK order
+# within those groups; EXACTLY 50 names (pinned by
+# tests/test_entry_window.py).
 _VERIFY_FIRST = [
-    # rows-only -> value-oracle upgrades (band treatment)
-    "q10b_profile", "q21c_uniq_states", "q26b_approx_distinct",
-    # checkpointed stateful streaming twins (new this round)
-    "q41d_stateful_sessionize", "q41e_stateful_topk",
+    # outputs changed in round 5 — need fresh hash verdicts first
+    "q26b_approx_distinct", "q41d_stateful_sessionize",
+    "x41_jpeg_features",
+    # band-upgrade + streaming entries from round 4's window
+    "q10b_profile", "q41e_stateful_topk",
     # corpus-curation block (operators/curation.py)
     "x17_pii_redaction", "x18_quality_filter", "x19_repetition_features",
     "x20_contamination_check", "x21_domain_mix", "x22_split_assignment",
