@@ -4035,17 +4035,25 @@ def x38(spark, cat):
    "CAST(COUNT(*) AS BIGINT), TRUE FROM lineitem "
    "ORDER BY is_total, l_returnflag, l_linestatus")
 def q64(spark, cat):
-    """ClickHouse ``WITH TOTALS`` parity: detail groups + one
-    grand-total row from a SINGLE rollup aggregation (grouping_id
-    filter drops rollup's intermediate level) — the oracle needs two
-    scans to say the same thing.  DECIMAL sums keep the total
-    order-free exact across engines."""
+    """ClickHouse ``WITH TOTALS`` parity, on the ALGEBRAIC merge path:
+    detail groups aggregate once (one exchange over the fact), the
+    grand-total row is re-aggregated from the |groups|-row result —
+    sum of DECIMAL sums and sum of counts are exact, so the totals
+    equal a second scan's bit-for-bit while the fact flows through
+    the hash aggregate ONCE (the default rollup path's Expand
+    duplicates every input row: measured 2× agg time at sf10).  The
+    oracle needs two scans to say the same thing."""
     out = agg_ops.with_totals(
         cat.lineitem, ["l_returnflag", "l_linestatus"],
-        {"sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-         .cast("double"),
-         "n": F.count(F.lit(1)).cast("bigint")})
-    return out.orderBy("is_total", "l_returnflag", "l_linestatus")
+        {"sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+         "n": F.count(F.lit(1)).cast("bigint")},
+        merge={"sum_qty": F.sum("sum_qty"),
+               "n": F.sum("n").cast("bigint")})
+    return (out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n", "is_total")
+        .orderBy("is_total", "l_returnflag", "l_linestatus"))
 
 
 @q("q26e_weighted_percentiles",

@@ -379,3 +379,30 @@ def test_topn_others_label_collision_rejected(rows):
     out = {r["k"]: r["value"] for r in topn_others(
         df, "k", F.sum("v"), n=1, others_label="__tail").collect()}
     assert out == {"other": 100, "__tail": 1}
+
+
+def test_with_totals_merge_path_matches_rollup(rows, spark):
+    """The algebraic merge fast path must produce the same rows as the
+    rollup path — and plan WITHOUT an Expand node (the rollup path
+    duplicates every input row once per kept level; merge re-aggregates
+    the |groups|-row result instead)."""
+    from bi_etl_and_integration_spark import plans
+    df = rows([("a", 1), ("a", 2), ("b", 3), (None, 4)],
+              "k string, v long")
+    aggs = {"s": F.sum("v"), "n": F.count(F.lit(1)).cast("bigint")}
+    roll = agg.with_totals(df, ["k"], aggs)
+    merged = agg.with_totals(df, ["k"], aggs,
+                             merge={"s": F.sum("s"),
+                                    "n": F.sum("n").cast("bigint")})
+    key = lambda r: (r["is_total"], r["k"] or "")  # noqa: E731
+    assert sorted([tuple(r) for r in roll.collect()], key=lambda t: (t[-1], t[0] or "")) \
+        == sorted([tuple(r) for r in merged.collect()], key=lambda t: (t[-1], t[0] or ""))
+    assert "Expand" not in plans.formatted_plan(merged)
+    assert "Expand" in plans.formatted_plan(roll)
+    # merge must cover every output column, and only known ones
+    with pytest.raises(ValueError, match="cover every"):
+        agg.with_totals(df, ["k"], aggs, merge={"s": F.sum("s")})
+    with pytest.raises(ValueError, match="unknown"):
+        agg.with_totals(df, ["k"], aggs,
+                        merge={"s": F.sum("s"), "n": F.sum("n"),
+                               "zz": F.sum("n")})
