@@ -565,10 +565,11 @@ def with_totals(df: DataFrame, keys: Sequence[str],
     and the totals row is derived from the |groups|-row aggregate
     instead of a second pass over the fact: one exchange over the
     data, no Expand, the totals re-aggregation touches k rows.
-    Caveat: on EMPTY input the rollup path emits one totals row with
-    count 0, while the merge path emits a totals row with NULL
-    merged values (Spark's empty-input global agg) — count-like
-    merges should ``coalesce(sum(n), 0)`` if empty inputs matter.
+    Caveat: on EMPTY input the two paths differ — rollup (a grouped
+    aggregate) emits NO rows at all, while the merge path emits one
+    totals row whose merged values are NULL (the totals leg is a
+    GLOBAL aggregate, which always yields a row) — count-like merges
+    should ``coalesce(sum(n), 0)`` if empty inputs matter.
     """
     keys = list(keys)
     if not keys:

@@ -106,6 +106,46 @@ def hashed_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(th) < n, whole).otherwise(hs))
 
 
+def _minhash_banded(base: DataFrame, *, num_hashes: int, bands: int,
+                    seed: int, n_probes: int) -> DataFrame:
+    """(id, band, bucket) LSH band keys from a (id, __hs) shingle table.
+
+    Shared by the self-join dedup, the frozen-corpus index, and the
+    incremental lookup — the SAME seeded affine families and band
+    hashing on every path, so an index built today matches a batch
+    banded tomorrow.  Generated-SQL, TWO expressions total: the
+    signature mins as one ARRAY agg, the band keys as one ARRAY of
+    xxhash64 over its slices — a single parse + analysis pass instead
+    of 64x4 py4j round-trips (~1 s of driver time per plan
+    construction); __h < p and a < p so the product stays under 2^62
+    — no ANSI overflow."""
+    import random
+    if num_hashes % bands != 0:
+        # a remainder would let global band windows straddle probe
+        # families, silently voiding the independent-family recall math
+        raise ValueError(f"num_hashes ({num_hashes}) must be a "
+                         f"multiple of bands ({bands})")
+    coeffs = []
+    for probe in range(max(1, n_probes)):
+        rnd = random.Random(seed + 7919 * probe)
+        coeffs += [(rnd.randrange(1, _P), rnd.randrange(0, _P))
+                   for _ in range(num_hashes)]
+    rows_per_band = num_hashes // bands
+    bands = bands * max(1, n_probes)
+    exploded = base.select("id", F.explode("__hs").alias("__h"))
+    sig_sql = "ARRAY(" + ", ".join(
+        f"MIN(PMOD(__h * {a}L + {b}L, {_P}L))"
+        for a, b in coeffs) + ") AS __sig"
+    sig = exploded.groupBy("id").agg(F.expr(sig_sql))
+    band_sql = "ARRAY(" + ", ".join(
+        "XXHASH64(" + ", ".join(
+            f"__sig[{j}]" for j in range(b * rows_per_band,
+                                         (b + 1) * rows_per_band)) + ")"
+        for b in range(bands)) + ")"
+    return sig.select(
+        "id", F.posexplode(F.expr(band_sql)).alias("band", "bucket"))
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
@@ -141,39 +181,11 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
        multi-probe the band windows could straddle probe families);
        callers with odd combinations must pick num_hashes = r x bands.
     """
-    import random
-    if num_hashes % bands != 0:
-        # a remainder would let global band windows straddle probe
-        # families, silently voiding the independent-family recall math
-        raise ValueError(f"num_hashes ({num_hashes}) must be a "
-                         f"multiple of bands ({bands})")
-    coeffs = []
-    for probe in range(max(1, n_probes)):
-        rnd = random.Random(seed + 7919 * probe)
-        coeffs += [(rnd.randrange(1, _P), rnd.randrange(0, _P))
-                   for _ in range(num_hashes)]
-    rows_per_band = num_hashes // bands
-    bands = bands * max(1, n_probes)
     base = df.select(F.col(id_col).alias("id"),
                      hashed_shingles(F.col(text_col), shingle_n)
                      .alias("__hs")).persist()  # consumed 3x (sig + verify)
-    exploded = base.select("id", F.explode("__hs").alias("__h"))
-    # generated-SQL, TWO expressions total: the 64 signature mins as one
-    # ARRAY agg, the band keys as one ARRAY of xxhash64 over its slices
-    # — a single parse + analysis pass instead of 64×4 py4j round-trips
-    # (~1 s of driver time per plan construction); __h < p and a < p so
-    # the product stays under 2^62 — no ANSI overflow
-    sig_sql = "ARRAY(" + ", ".join(
-        f"MIN(PMOD(__h * {a}L + {b}L, {_P}L))"
-        for a, b in coeffs) + ") AS __sig"
-    sig = exploded.groupBy("id").agg(F.expr(sig_sql))
-    band_sql = "ARRAY(" + ", ".join(
-        "XXHASH64(" + ", ".join(
-            f"__sig[{j}]" for j in range(b * rows_per_band,
-                                         (b + 1) * rows_per_band)) + ")"
-        for b in range(bands)) + ")"
-    banded = sig.select(
-        "id", F.posexplode(F.expr(band_sql)).alias("band", "bucket"))
+    banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
+                             seed=seed, n_probes=n_probes)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
@@ -185,6 +197,79 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                                 F.col("__hs").alias("sh_a")), "id_a")
               .join(base.select(F.col("id").alias("id_b"),
                                 F.col("__hs").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (verify.withColumn("jaccard_sim",
+                              (inter / F.greatest(union, F.lit(1)))
+                              .cast("double"))
+            .where(F.col("jaccard_sim") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard_sim", 4)
+                    .alias("jaccard_sim")))
+
+
+def minhash_index(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, num_hashes: int = 64,
+                  bands: int = 16, shingle_n: int = 3, seed: int = 42,
+                  n_probes: int = 1) -> tuple[DataFrame, DataFrame]:
+    """Build the FROZEN-CORPUS side of incremental near-dup: returns
+    ``(buckets, shingles)`` — ``buckets`` = (band, bucket, id) LSH
+    band keys, ``shingles`` = (id, __hs) hashed shingle sets for the
+    exact verify.  Write both to parquet ONCE (bucket table ideally
+    bucketed/sorted by (band, bucket)); every future crawl batch then
+    joins against the index without re-reading the corpus text — the
+    continuous-ingestion shape (CCNet/RefinedWeb-style rolling dedup)
+    where re-running the self-join over corpus+batch would re-pay the
+    full corpus shingle+signature cost per batch.
+
+    The same (num_hashes, bands, shingle_n, seed, n_probes) MUST be
+    passed to :func:`minhash_lookup` — the seeded families are the
+    contract between index and probe."""
+    base = df.select(F.col(id_col).alias("id"),
+                     hashed_shingles(F.col(text_col), shingle_n)
+                     .alias("__hs"))
+    buckets = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
+                              seed=seed, n_probes=n_probes)
+    return buckets, base
+
+
+def minhash_lookup(df: DataFrame, index: tuple[DataFrame, DataFrame],
+                   text_col: str = "text", id_col: str = "doc_id", *,
+                   num_hashes: int = 64, bands: int = 16,
+                   shingle_n: int = 3, jaccard_threshold: float = 0.8,
+                   seed: int = 42, n_probes: int = 1) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch against a
+    :func:`minhash_index` — returns (id_a = batch id, id_b = corpus
+    id, jaccard_sim >= threshold).
+
+    Plan shape: the batch is banded with the index's seeded families
+    (one agg over batch shingles only), candidates come from the
+    (band, bucket) equi-join against the index's bucket table — the
+    corpus text is never touched; the exact-Jaccard verify joins the
+    index's stored shingle sets for candidate corpus ids only.  Batch
+    cost is O(batch + matching buckets), independent of corpus size
+    beyond the join — the property that makes rolling dedup of a
+    growing 100 TB corpus affordable.  Recall is the self-join
+    S-curve (same families), certified by x43 against the exact
+    two-table prefix join."""
+    idx_buckets, idx_shingles = index
+    base = df.select(F.col(id_col).alias("id"),
+                     hashed_shingles(F.col(text_col), shingle_n)
+                     .alias("__hs")).persist()  # banding + verify
+    banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
+                             seed=seed, n_probes=n_probes)
+    cand = (banded.alias("a")
+            .join(idx_buckets.alias("b"),
+                  (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.bucket") == F.col("b.bucket")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    verify = (cand
+              .join(base.select(F.col("id").alias("id_a"),
+                                F.col("__hs").alias("sh_a")), "id_a")
+              .join(idx_shingles.select(F.col("id").alias("id_b"),
+                                        F.col("__hs").alias("sh_b")),
+                    "id_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (verify.withColumn("jaccard_sim",
@@ -330,7 +415,8 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
 
 def exact_jaccard_join(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", *, n: int = 3,
-                       threshold: float = 0.5) -> DataFrame:
+                       threshold: float = 0.5,
+                       other: DataFrame | None = None) -> DataFrame:
     """EXACT set-similarity self-join: ALL pairs with n-gram shingle
     Jaccard >= ``threshold``, guaranteed complete — no LSH, no
     blocking heuristic, no all-pairs stage.
@@ -365,39 +451,59 @@ def exact_jaccard_join(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b, jaccard_sim
     rounded to 4 decimals AFTER thresholding on the unrounded value.
+
+    ``other`` switches to the R-S (two-table) join: all pairs
+    (id_a from ``df``, id_b from ``other``) at Jaccard >= t — the
+    incremental-dedup shape (new batch vs frozen corpus).  The
+    canonical frequency order is computed over the UNION of both
+    sides (prefix completeness needs ONE total order), the id
+    inequality is dropped, and both sides keep the same prefix
+    length bound.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     base = df.select(F.col(id_col).alias("id"),
-                     hashed_shingles(F.col(text_col), n).alias("__hs"))
-    ex = base.select("id", F.explode("__hs").alias("__h"))
+                     hashed_shingles(F.col(text_col), n).alias("__hs"),
+                     F.lit(0).alias("__side"))
+    if other is not None:
+        base = base.unionByName(other.select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(F.col(text_col), n).alias("__hs"),
+            F.lit(1).alias("__side")))
+    ex = base.select("id", "__side", F.explode("__hs").alias("__h"))
     freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     # canonical order (df asc, shingle asc) packed into ONE sortable
     # long: df caps at 2^31 rows per shingle and __h < 2^31-1 already
     ranked = (ex.join(freq, "__h")
-              .groupBy("id")
+              .groupBy("id", "__side")
               .agg(F.sort_array(F.collect_list(
                   F.col("__df") * F.lit(1 << 31) + F.col("__h")))
                   .alias("__sorted")))
     sz = F.size("__sorted")
     plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
     pref = ranked.select(
-        "id", sz.alias("__len"),
+        "id", "__side", sz.alias("__len"),
         F.explode(F.slice("__sorted", 1, plen)).alias("__k"))
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (a.join(b, (F.col("a.__k") == F.col("b.__k")) &
-                   (F.col("a.id") < F.col("b.id")) &
-                   (F.col("b.__len") >= F.lit(threshold) * F.col("a.__len")) &
-                   (F.col("a.__len") >= F.lit(threshold) * F.col("b.__len")))
+    a = pref.where(F.col("__side") == 0).alias("a")
+    b = (pref.where(F.col("__side") == (1 if other is not None else 0))
+         .alias("b"))
+    pair_pred = ((F.col("a.__k") == F.col("b.__k")) &
+                 (F.col("b.__len") >= F.lit(threshold) * F.col("a.__len")) &
+                 (F.col("a.__len") >= F.lit(threshold) * F.col("b.__len")))
+    if other is None:
+        pair_pred = pair_pred & (F.col("a.id") < F.col("b.id"))
+    cand = (a.join(b, pair_pred)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    sets = ranked.select("id", "__sorted")
-    verify = (cand
-              .join(sets.select(F.col("id").alias("id_a"),
-                                F.col("__sorted").alias("__sa")), "id_a")
-              .join(sets.select(F.col("id").alias("id_b"),
-                                F.col("__sorted").alias("__sb")), "id_b"))
+    sets_a = (ranked.where(F.col("__side") == 0)
+              .select(F.col("id").alias("id_a"),
+                      F.col("__sorted").alias("__sa")))
+    sets_b = (ranked.where(F.col("__side")
+                           == (1 if other is not None else 0))
+              .select(F.col("id").alias("id_b"),
+                      F.col("__sorted").alias("__sb")))
+    verify = cand.join(sets_a, "id_a").join(sets_b, "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size(F.array_union("__sa", "__sb"))
     jac = (inter / F.greatest(union, F.lit(1))).cast("double")

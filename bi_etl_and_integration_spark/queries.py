@@ -2984,6 +2984,60 @@ def x41(spark, cat):
             .orderBy("media_id"))
 
 
+@q("x43_incremental_dedup",
+   r"WITH base AS (SELECT doc_id AS id, list_filter(string_split("
+   r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' '), "
+   "x -> x != '') AS toks FROM documents), "
+   "sh AS (SELECT id, CASE WHEN len(toks) < 3 "
+   "THEN [array_to_string(toks, ' ')] "
+   "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+   "i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM base), "
+   "ln AS (SELECT id, len(sh) AS l FROM sh), "
+   "ex AS (SELECT id, unnest(sh) AS s FROM sh), "
+   "p AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter "
+   "FROM ex a JOIN ex b ON a.s = b.s AND a.id % 2 = 1 AND b.id % 2 = 0 "
+   "GROUP BY 1, 2) "
+   "SELECT p.id_a, p.id_b, ROUND(CAST(inter AS DOUBLE) / "
+   "GREATEST(la.l + lb.l - inter, 1), 4) AS jaccard_sim, "
+   "TRUE AS recall_in_band "
+   "FROM p JOIN ln la ON la.id = p.id_a JOIN ln lb ON lb.id = p.id_b "
+   "WHERE CAST(inter AS DOUBLE) / GREATEST(la.l + lb.l - inter, 1) "
+   ">= 0.5 ORDER BY id_a, id_b")
+def x43(spark, cat):
+    """INCREMENTAL near-dup against a frozen-corpus MinHash index —
+    the continuous-ingestion shape (a rolling crawl dedups each new
+    batch against everything already kept without re-reading the
+    corpus text): even-id documents play the indexed corpus
+    (minhash_index: band/bucket table + stored shingle sets), odd-id
+    documents the incoming batch (minhash_lookup: banded with the
+    SAME seeded families, (band,bucket) equi-join, exact-Jaccard
+    verify against the index's shingles only).  Certified exactly
+    like x02: the exact batch-vs-corpus pair set comes from the
+    two-table prefix-filtered join (exact_jaccard_join(other=)) and
+    hash-matches the oracle's first-principles restatement; lookup
+    recall >= 0.95 rides the same r=2/b=16 S-curve."""
+    docs = cat.documents
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    exact = dd_ops.exact_jaccard_join(batch, "text", "doc_id",
+                                      n=3, threshold=0.5,
+                                      other=corpus).persist()
+    idx = dd_ops.minhash_index(corpus, "text", "doc_id",
+                               num_hashes=32, bands=16)
+    found = (dd_ops.minhash_lookup(batch, idx, "text", "doc_id",
+                                   num_hashes=32, bands=16,
+                                   jaccard_threshold=0.5)
+             .select("id_a", "id_b", F.lit(1).alias("__hit")))
+    stats = (exact.join(found, ["id_a", "id_b"], "left")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.count("__hit").alias("__c")))
+    band = F.col("__c") >= F.lit(0.95) * F.col("__n")
+    return (exact.crossJoin(F.broadcast(stats))
+            .select("id_a", "id_b", "jaccard_sim",
+                    band.alias("recall_in_band"))
+            .orderBy("id_a", "id_b"))
+
+
 @q("x42_substring_dedup",
    "SELECT doc_id, "
    "CAST(CASE WHEN doc_id = 0 THEN 100 ELSE 0 END "

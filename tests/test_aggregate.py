@@ -406,3 +406,18 @@ def test_with_totals_merge_path_matches_rollup(rows, spark):
         agg.with_totals(df, ["k"], aggs,
                         merge={"s": F.sum("s"), "n": F.sum("n"),
                                "zz": F.sum("n")})
+
+
+def test_with_totals_merge_empty_input_documented_nulls(rows, spark):
+    """Pins the documented empty-input nuance: rollup (a grouped
+    aggregate) emits NO rows, while the merge path's totals leg is a
+    GLOBAL aggregate and emits one totals row with NULL merged values
+    — callers who care coalesce in the merge exprs."""
+    df = rows([("a", 1)], "k string, v long").where(F.lit(False))
+    aggs = {"s": F.sum("v"), "n": F.count(F.lit(1)).cast("bigint")}
+    merged = agg.with_totals(df, ["k"], aggs,
+                             merge={"s": F.sum("s"),
+                                    "n": F.sum("n").cast("bigint")}).collect()
+    assert len(merged) == 1 and merged[0]["is_total"]
+    assert merged[0]["s"] is None and merged[0]["n"] is None
+    assert agg.with_totals(df, ["k"], aggs).collect() == []

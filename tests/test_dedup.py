@@ -296,3 +296,71 @@ def test_exact_jaccard_join_validates_threshold(rows):
     df = rows([(1, "a b c")], DOCS)
     with pytest.raises(ValueError, match="threshold"):
         dd.exact_jaccard_join(df, threshold=0.0)
+
+
+def test_exact_jaccard_join_short_doc_fallback(rows):
+    """Docs under n tokens shingle to the whole text (hashed_shingles
+    fallback): two identical 2-token docs must pair at 1.0 through the
+    prefix join, and a 2-token vs 30-token doc must not."""
+    long = " ".join(f"w{i}" for i in range(30))
+    df = rows([(1, "tiny doc"), (2, "tiny doc"), (3, long)], DOCS)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+           for r in dd.exact_jaccard_join(df, "text", "doc_id",
+                                          n=3, threshold=0.5).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_exact_jaccard_join_two_table_matches_brute_force(rows):
+    """R-S mode: exact_jaccard_join(other=) must return the identical
+    cross-table pair set as brute force — including a pair whose ids
+    collide across sides (ids are only unique per side)."""
+    import itertools
+    import random
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    mk = lambda: " ".join(rnd.choice(vocab) for _ in range(25))  # noqa: E731
+    a_docs = [(i, mk()) for i in range(10)]
+    b_docs = [(100 + i, mk()) for i in range(10)]
+    b_docs.append((200, a_docs[0][1] + " tail"))       # cross near-dup
+    a_docs.append((3, a_docs[1][1]))                   # within-A dup: must NOT pair
+    dfa, dfb = rows(a_docs, DOCS), rows(b_docs, DOCS)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+           for r in dd.exact_jaccard_join(dfa, "text", "doc_id", n=3,
+                                          threshold=0.5,
+                                          other=dfb).collect()}
+    sh = lambda df: {r["doc_id"]: set(r["sh"]) for r in df.select(  # noqa: E731
+        "doc_id", dd.hashed_shingles(F.col("text"), 3).alias("sh")).collect()}
+    sa, sb = sh(dfa), sh(dfb)
+    want = {}
+    for i, j in itertools.product(sa, sb):
+        jac = len(sa[i] & sb[j]) / max(len(sa[i] | sb[j]), 1)
+        if jac >= 0.5:
+            want[(i, j)] = round(jac, 4)
+    assert got == want, got.keys() ^ want.keys()
+
+
+def test_minhash_index_lookup_matches_self_join_cross_pairs(rows):
+    """Incremental lookup against a frozen index must find exactly the
+    CROSS-side subset of what the one-shot self-join finds over the
+    union (same seeded families => same band collisions)."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    corpus = [(0, base + "corpus one"), (2, "completely different text "
+                                         "about spark aggregation " * 4)]
+    batch = [(1, base + "batch copy"), (3, "unrelated short doc")]
+    dfc, dfb = rows(corpus, DOCS), rows(batch, DOCS)
+    kw = dict(num_hashes=32, bands=16, jaccard_threshold=0.5)
+    idx = dd.minhash_index(dfc, "text", "doc_id", num_hashes=32, bands=16)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+           for r in dd.minhash_lookup(dfb, idx, "text", "doc_id",
+                                      **kw).collect()}
+    union = dfc.unionByName(dfb)
+    self_pairs = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])):
+                  r["jaccard_sim"]
+                  for r in dd.minhash_lsh_dedup(union, "text", "doc_id",
+                                                **kw).collect()
+                  if r["id_a"] % 2 != r["id_b"] % 2}
+    # lookup keys are (batch_id=odd, corpus_id=even); self-join emits
+    # (min,max) — normalize to (odd, even)
+    norm = {(a if a % 2 else b, b if a % 2 else a): v
+            for (a, b), v in self_pairs.items()}
+    assert got == norm and got, (got, norm)
