@@ -281,3 +281,18 @@ def test_no_expand_carries_sketch_state(cat):
         df = QUERIES[name](cat.spark, SF)
         plan = plans.formatted_plan(df)
         assert "Expand" not in plan, f"{name} plans an Expand:\n{plan}"
+
+
+def test_exact_jaccard_join_never_all_pairs(cat):
+    """The prefix-filtered exact join's completeness must come from the
+    shingle-key equi-join, never a cartesian/nested-loop stage — at
+    100 TB an all-pairs fallback is the difference between a join and
+    a non-terminating query."""
+    from bi_etl_and_integration_spark.operators.dedup import (
+        exact_jaccard_join)
+    for other in (None, cat.documents.limit(10)):
+        df = exact_jaccard_join(cat.documents, "text", "doc_id",
+                                threshold=0.5, other=other)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
