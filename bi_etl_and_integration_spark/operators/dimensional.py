@@ -203,8 +203,15 @@ def flatten_hierarchy(edges: DataFrame, id_col: str = "id",
                            F.col("done").alias("__adone"))
         resolved = F.col("done")          # unqualified: left frame's col
         hit = F.col("__aid").isNotNull()  # ancestor row found
+        # shuffle-HASH join, not sort-merge: the probe side carries the
+        # growing path arrays and SMJ's per-round sort of them is where
+        # a 1.5M-node tree spilled at sf10 (measured 13.0 -> 11.6 s,
+        # spill gone); the hash build is one state-partition of (id,
+        # anc, path) rows — bounded by the same partition sizing SMJ
+        # needs anyway
         state = _materialize(
-            state.join(anc, state["anc"] == F.col("__aid"), "left")
+            state.join(anc.hint("shuffle_hash"),
+                       state["anc"] == F.col("__aid"), "left")
             .select(
                 F.col("id"),
                 F.when(resolved | ~hit, F.col("anc"))
