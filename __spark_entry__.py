@@ -32,9 +32,9 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # within those groups; EXACTLY 50 names (pinned by
 # tests/test_entry_window.py).
 _VERIFY_FIRST = [
-    # outputs changed in round 5 — need fresh hash verdicts first
+    # outputs or plans changed in round 5 — fresh hash verdicts first
     "q26b_approx_distinct", "q41d_stateful_sessionize",
-    "x41_jpeg_features",
+    "x41_jpeg_features", "q64_with_totals",
     # band-upgrade + streaming entries from round 4's window
     "q10b_profile", "q41e_stateful_topk",
     # corpus-curation block (operators/curation.py)
@@ -53,7 +53,7 @@ _VERIFY_FIRST = [
     "q55_window_funnel", "q56_cohort_retention", "q57_sessionize",
     "q58_period_over_period", "q59_date_dimension", "q60_skew_report",
     "q61_sequence_match", "q62_retention", "q63_transitions",
-    "q64_with_totals", "q65_topn_others", "q66_skyline",
+    "q65_topn_others", "q66_skyline",
     # round-2 additions still lacking a verdict
     "q26e_weighted_percentiles", "q28h_moving_avg",
     # env-capable source/sink round-trips (locally oracle-proven)
