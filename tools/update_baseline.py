@@ -187,7 +187,7 @@ Spark side runs the blocked rewrite — the per-operator scale argument, in one 
     if os.path.exists(sf10_path):
         sf10 = json.load(open(sf10_path))
         out += f"""
-## Table 5 — second decade: sf1 → sf10 growth ({len(sf10["queries"])}-query linear-operator set, 60M-row lineitem / 10M-row events)
+## Table 5 — second decade: sf1 → sf10 growth ({len(sf10["queries"])}-query set spanning scans, joins, windows, aggregation and dedup, 60M-row lineitem / 10M-row events)
 
 Extends the growth evidence across TWO decades (sf0.1 → sf1 → sf10,
 2.3 GB parquet).  At this size the Spark job floor is amortized and
