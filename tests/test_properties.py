@@ -564,3 +564,36 @@ def test_substring_dedup_excises_planted_block_everywhere(
     for i in range(len(offs), n_clean):          # clean docs: untouched
         assert out[i]["text"] == dict(docs)[i]
         assert out[i]["n_removed_chars"] == 0
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_exact_jaccard_join_complete_vs_brute_force(spark, data):
+    """Prefix-filter completeness as a property: on random corpora over
+    a TINY vocabulary (maximally-shared shingles — the regime where a
+    rare-first prefix is most tempted to skip a pair) the exact join
+    must equal brute-force all-pairs Jaccard, at a randomized
+    threshold.  Short docs exercise the whole-text shingle fallback."""
+    import itertools
+
+    from bi_etl_and_integration_spark.operators.dedup import (
+        exact_jaccard_join, hashed_shingles)
+    vocab = ["a", "b", "c", "d"]
+    n_docs = data.draw(st.integers(2, 12))
+    docs = [(i, " ".join(data.draw(st.sampled_from(vocab))
+                         for _ in range(data.draw(st.integers(1, 12)))))
+            for i in range(n_docs)]
+    t = data.draw(st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+           for r in exact_jaccard_join(df, "text", "doc_id",
+                                       n=3, threshold=t).collect()}
+    sh = {r["doc_id"]: set(r["sh"]) for r in df.select(
+        "doc_id", hashed_shingles(F.col("text"), 3).alias("sh")).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = len(sh[a] & sh[b]) / max(len(sh[a] | sh[b]), 1)
+        if j >= t:
+            want[(a, b)] = round(j, 4)
+    assert got == want, (t, got.keys() ^ want.keys())
