@@ -21,6 +21,8 @@ row-wise via higher-order functions — signatures never leave the JVM.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -207,32 +209,90 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                     .alias("jaccard_sim")))
 
 
+class MinhashParams(NamedTuple):
+    """Banding parameters shared by a :class:`MinhashIndex` and every
+    :func:`minhash_lookup` probe against it.  A mismatch doesn't
+    error at the join — it silently yields a near-empty candidate set
+    (different seeded families almost never collide), so recall
+    collapses to ~0; carrying the params inside the index makes the
+    contract mechanically checkable."""
+    num_hashes: int = 64
+    bands: int = 16
+    shingle_n: int = 3
+    seed: int = 42
+    n_probes: int = 1
+
+
+class MinhashIndex(NamedTuple):
+    """Frozen-corpus LSH index: ``buckets`` = (band, bucket, id) band
+    keys, ``shingles`` = (id, __hs) hashed shingle sets for the exact
+    verify, ``params`` = the banding family that produced them.
+    Reconstructable from persisted parquet:
+    ``MinhashIndex(spark.read.parquet(b), spark.read.parquet(s),
+    MinhashParams(...))``.  Unpacks as a plain tuple for legacy
+    two-field callers (``buckets, shingles, _ = index``)."""
+    buckets: DataFrame
+    shingles: DataFrame
+    params: MinhashParams
+
+
 def minhash_index(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", *, num_hashes: int = 64,
                   bands: int = 16, shingle_n: int = 3, seed: int = 42,
-                  n_probes: int = 1) -> tuple[DataFrame, DataFrame]:
+                  n_probes: int = 1) -> MinhashIndex:
     """Build the FROZEN-CORPUS side of incremental near-dup: returns
-    ``(buckets, shingles)`` — ``buckets`` = (band, bucket, id) LSH
+    a :class:`MinhashIndex` — ``buckets`` = (band, bucket, id) LSH
     band keys, ``shingles`` = (id, __hs) hashed shingle sets for the
-    exact verify.  Write both to parquet ONCE (bucket table ideally
-    bucketed/sorted by (band, bucket)); every future crawl batch then
-    joins against the index without re-reading the corpus text — the
+    exact verify, plus the banding ``params``.  Write both DataFrames
+    to parquet ONCE (bucket table ideally bucketed/sorted by
+    (band, bucket)); every future crawl batch then joins against the
+    index without re-reading the corpus text — the
     continuous-ingestion shape (CCNet/RefinedWeb-style rolling dedup)
     where re-running the self-join over corpus+batch would re-pay the
     full corpus shingle+signature cost per batch.
 
-    The same (num_hashes, bands, shingle_n, seed, n_probes) MUST be
-    passed to :func:`minhash_lookup` — the seeded families are the
-    contract between index and probe."""
+    :func:`minhash_lookup` validates its banding arguments against
+    ``params`` and raises on mismatch (a silent mismatch would
+    collapse recall to ~0, not error).  Fold a deduped batch's
+    survivors back in with :func:`minhash_index_append`."""
     base = df.select(F.col(id_col).alias("id"),
                      hashed_shingles(F.col(text_col), shingle_n)
                      .alias("__hs"))
+    params = MinhashParams(num_hashes, bands, shingle_n, seed, n_probes)
     buckets = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                               seed=seed, n_probes=n_probes)
-    return buckets, base
+    return MinhashIndex(buckets, base, params)
 
 
-def minhash_lookup(df: DataFrame, index: tuple[DataFrame, DataFrame],
+def minhash_index_append(index: MinhashIndex, df: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> MinhashIndex:
+    """Fold a new batch (typically a deduped batch's SURVIVORS) into a
+    :class:`MinhashIndex` — the maintenance half of the rolling-crawl
+    lifecycle: dedup batch against index (:func:`minhash_lookup`),
+    keep the non-duplicates, append them so the NEXT batch dedups
+    against corpus+survivors, all without ever rebuilding the index
+    or re-reading corpus text.
+
+    The batch is banded with the index's OWN stored params (no way to
+    drift), and both tables extend by plain unionByName — on a
+    persisted index this is an append-only parquet write of just the
+    batch's bucket/shingle rows.  Lookup-after-append is exactly
+    equal to a fresh full rebuild: band keys are per-document
+    (signature mins over the doc's own shingles — corpus-independent),
+    so union-of-bandings == banding-of-union."""
+    p = index.params
+    base = df.select(F.col(id_col).alias("id"),
+                     hashed_shingles(F.col(text_col), p.shingle_n)
+                     .alias("__hs"))
+    buckets = _minhash_banded(base, num_hashes=p.num_hashes,
+                              bands=p.bands, seed=p.seed,
+                              n_probes=p.n_probes)
+    return MinhashIndex(index.buckets.unionByName(buckets),
+                        index.shingles.unionByName(base), p)
+
+
+def minhash_lookup(df: DataFrame, index: MinhashIndex,
                    text_col: str = "text", id_col: str = "doc_id", *,
                    num_hashes: int = 64, bands: int = 16,
                    shingle_n: int = 3, jaccard_threshold: float = 0.8,
@@ -250,8 +310,23 @@ def minhash_lookup(df: DataFrame, index: tuple[DataFrame, DataFrame],
     beyond the join — the property that makes rolling dedup of a
     growing 100 TB corpus affordable.  Recall is the self-join
     S-curve (same families), certified by x43 against the exact
-    two-table prefix join."""
-    idx_buckets, idx_shingles = index
+    two-table prefix join.
+
+    Raises ValueError if the banding arguments disagree with the
+    index's stored :class:`MinhashParams` — a mismatch would not
+    error at the join, it would silently yield a near-empty candidate
+    set (recall ~0).  A legacy plain ``(buckets, shingles)`` tuple is
+    accepted without validation."""
+    if len(index) >= 3 and index[2] is not None:
+        stored, given = index[2], MinhashParams(
+            num_hashes, bands, shingle_n, seed, n_probes)
+        if stored != given:
+            raise ValueError(
+                "minhash_lookup params do not match the index they "
+                f"probe: index={stored}, lookup={given} — a mismatch "
+                "silently collapses recall to ~0; pass the index's "
+                "params (or rely on its defaults)")
+    idx_buckets, idx_shingles = index[0], index[1]
     base = df.select(F.col(id_col).alias("id"),
                      hashed_shingles(F.col(text_col), shingle_n)
                      .alias("__hs")).persist()  # banding + verify
@@ -413,6 +488,19 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
             .where(F.col("jaccard_sim") >= threshold))
 
 
+_CEIL_EPS = 1e-6
+"""Rounding slack for prefix-length / length-filter bounds in
+:func:`exact_jaccard_join`.  Double products ``t * |s|`` carry <= 0.5
+ulp relative error (~1.1e-16 * t * |s|), which can push ``ceil`` one
+past the exact rational ceiling or a ``>=`` comparison just past an
+exactly-at-threshold integer.  Subtracting this epsilon UNDER-estimates
+both bounds, which is always completeness-safe (longer prefixes, more
+admitted candidates — the exact verify pass discards the extras), and
+is far below the 1.0 quantum of the integer-valued true bound for any
+realistic shingle-set size (safe while 1.1e-16 * |s| < 1e-6, i.e.
+|s| < ~1e9 shingles per document)."""
+
+
 def exact_jaccard_join(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", *, n: int = 3,
                        threshold: float = 0.5,
@@ -480,16 +568,32 @@ def exact_jaccard_join(df: DataFrame, text_col: str = "text",
                   F.col("__df") * F.lit(1 << 31) + F.col("__h")))
                   .alias("__sorted")))
     sz = F.size("__sorted")
-    plen = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    # Overlap bound with rounding slack: ceil(t*|s|) computed on
+    # doubles can round ABOVE the exact rational ceiling (t=0.34,
+    # |s|=150 -> fl(51.0) = 51.000000000000004 -> ceil 52, true 51),
+    # shortening the prefix BELOW the completeness bound.  Subtracting
+    # a small epsilon before ceil can only UNDER-estimate the bound,
+    # which lengthens prefixes — completeness-preserving by
+    # construction (the exact verify step discards extras).  eps=1e-6
+    # absorbs the <= 0.5 ulp product error for any |s| < 1e9.
+    plen = (sz - F.ceil(F.lit(threshold) * sz - F.lit(_CEIL_EPS))
+            .cast("int") + 1)
     pref = ranked.select(
         "id", "__side", sz.alias("__len"),
         F.explode(F.slice("__sorted", 1, plen)).alias("__k"))
     a = pref.where(F.col("__side") == 0).alias("a")
     b = (pref.where(F.col("__side") == (1 if other is not None else 0))
          .alias("b"))
+    # PPJoin length filter with the same epsilon slack: t*|a| on
+    # doubles can round up past an exactly-at-threshold |b| (|a|=150,
+    # |b|=51, t=0.34: 51 >= 51.000000000000004 is false), rejecting a
+    # J == t pair.  The slack only ADMITS boundary candidates; the
+    # exact verify keeps the result set tight.
     pair_pred = ((F.col("a.__k") == F.col("b.__k")) &
-                 (F.col("b.__len") >= F.lit(threshold) * F.col("a.__len")) &
-                 (F.col("a.__len") >= F.lit(threshold) * F.col("b.__len")))
+                 (F.col("b.__len")
+                  >= F.lit(threshold) * F.col("a.__len") - F.lit(_CEIL_EPS)) &
+                 (F.col("a.__len")
+                  >= F.lit(threshold) * F.col("b.__len") - F.lit(_CEIL_EPS)))
     if other is None:
         pair_pred = pair_pred & (F.col("a.id") < F.col("b.id"))
     cand = (a.join(b, pair_pred)

@@ -89,10 +89,19 @@ def with_l2_normalized(df: DataFrame, vec_col: str,
             .drop("__l2"))
 
 
+_MAX_QUERY_ROWS = 10_000
+"""Default brute_force_topk query-side cap: the contract is a SMALL
+probe batch (the query set is broadcast/collected), and beyond ~10k
+queries the corpus x queries score matrix is the workload — use the
+LSH/IVF paths, which exist for exactly that regime."""
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
-                     arrow: bool = True) -> DataFrame:
+                     arrow: bool = True,
+                     max_query_rows: int = _MAX_QUERY_ROWS,
+                     force: bool = False) -> DataFrame:
     """Exact cosine top-k per query.
 
     ``arrow=True`` (default, the scale path): the query set — small by
@@ -109,7 +118,26 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     the sequential-fold oracle bit for bit — the audit path.
 
     Output: (query_id, vec_id, cosine_sim, rank), deterministic
-    tie-break on neighbor id (both paths)."""
+    tie-break on neighbor id (both paths).
+
+    Both paths put the WHOLE query set on one machine (driver collect
+    / broadcast), so the small-|Q| contract is enforced mechanically:
+    more than ``max_query_rows`` queries raises ValueError unless
+    ``force=True`` — a large query set belongs on the LSH/IVF join
+    paths (:func:`ann_ivf_search`), not here."""
+    # guard probe doubles as the arrow path's collect (no extra job)
+    probe = (queries.select(F.col(query_id_col), F.col(vec_col))
+             .take(max_query_rows + 1))
+    if len(probe) > max_query_rows:
+        if not force:
+            raise ValueError(
+                f"brute_force_topk: queries has > {max_query_rows} "
+                "rows; this operator collects/broadcasts the whole "
+                "query set (small-probe-batch contract). Use "
+                "ann_ivf_search / the LSH paths for large query "
+                "sets, raise max_query_rows, or pass force=True for "
+                "an audited exception")
+        probe = None  # forced big-Q: take() was truncated, re-collect
     if not arrow:
         q = F.broadcast(queries.select(F.col(query_id_col),
                                        F.col(vec_col).alias("__qv")))
@@ -127,7 +155,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
 
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    qrows = (probe if probe is not None else
+             queries.select(F.col(query_id_col), F.col(vec_col)).collect())
     if not qrows:
         raise ValueError("queries is empty")
     qids = [r[0] for r in qrows]
@@ -701,8 +730,13 @@ def semantic_dedup(df: DataFrame,
     # (HOF folds run interpreted, so re-evaluation is the dominant
     # cost, measured at sf0.1)
     if max_cluster_rows is None:
+        # memory-derived default: ~100M floats of stacked cluster
+        # (~800 MB float64).  The floor only backstops degenerate
+        # dims — at 10k it stays BELOW the memory bound up to dim
+        # 10_000, so wide embeddings keep the ~800 MB guarantee
+        # (the old 100k floor let dim-4096 clusters stack ~3.3 GB)
         dim = len(centroids[0][1]) if centroids else 1
-        max_cluster_rows = max(100_000, 100_000_000 // max(dim, 1))
+        max_cluster_rows = max(10_000, 100_000_000 // max(dim, 1))
     assigned = kmeans_assign(df, centroids, vec_col=vec_col,
                              out_col=cluster_col).persist()
     sizes = assigned.groupBy(cluster_col).agg(

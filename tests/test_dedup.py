@@ -292,6 +292,34 @@ def test_exact_jaccard_join_matches_brute_force(rows):
         assert got == want, (t, got.keys() ^ want.keys())
 
 
+@pytest.mark.parametrize("t,n_a,n_shared", [
+    (0.34, 150, 51),   # fl(0.34*150)=51.00000000000001: ceil -> 52
+    (0.07, 100, 7),    # fl(0.07*100)=7.000000000000001: ceil -> 8
+])
+def test_exact_jaccard_join_threshold_rounding_boundary(rows, t, n_a,
+                                                        n_shared):
+    """Double-rounding completeness regression: with |a| = n_a distinct
+    unigram shingles and b an exactly-at-threshold subset
+    (J = n_shared/n_a == t), the naive ceil(t*|s|) prefix bound rounds
+    one too HIGH (prefix one too short) and the naive t*|a| length
+    filter rounds just past |b| — both would drop this pair.  The
+    shared tokens are the corpus-FREQUENT ones (df=2 vs df=1), so a's
+    rare-first prefix reaches them only in its final slot: the worst
+    legal placement."""
+    a_words = [f"a{i:03d}" for i in range(n_a)]
+    b_words = a_words[-n_shared:]          # most-frequent == last in
+    df = rows([(1, " ".join(a_words)),     # rare-first canonical order
+               (2, " ".join(b_words))], DOCS)
+    sizes = {r["doc_id"]: len(set(r["sh"])) for r in df.select(
+        "doc_id", dd.hashed_shingles(F.col("text"), 1).alias("sh")
+    ).collect()}
+    assert sizes == {1: n_a, 2: n_shared}  # no hash collisions
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+           for r in dd.exact_jaccard_join(df, "text", "doc_id",
+                                          n=1, threshold=t).collect()}
+    assert got == {(1, 2): round(n_shared / n_a, 4)}
+
+
 def test_exact_jaccard_join_validates_threshold(rows):
     df = rows([(1, "a b c")], DOCS)
     with pytest.raises(ValueError, match="threshold"):
@@ -364,3 +392,49 @@ def test_minhash_index_lookup_matches_self_join_cross_pairs(rows):
     norm = {(a if a % 2 else b, b if a % 2 else a): v
             for (a, b), v in self_pairs.items()}
     assert got == norm and got, (got, norm)
+
+
+def test_minhash_lookup_rejects_param_mismatch(rows):
+    """An index/lookup banding mismatch must raise, not silently
+    collapse recall to ~0 (different seeded families never collide)."""
+    df = rows([(0, "alpha beta gamma delta " * 4)], DOCS)
+    idx = dd.minhash_index(df, "text", "doc_id", num_hashes=32, bands=16)
+    with pytest.raises(ValueError, match="do not match"):
+        dd.minhash_lookup(df, idx, "text", "doc_id",
+                          num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="do not match"):
+        dd.minhash_lookup(df, idx, "text", "doc_id",
+                          num_hashes=32, bands=16, seed=7)
+    # legacy two-field tuple: accepted, caller owns the contract
+    assert dd.minhash_lookup(df, (idx.buckets, idx.shingles), "text",
+                             "doc_id", num_hashes=32, bands=16,
+                             jaccard_threshold=0.5).count() >= 1
+
+
+def test_minhash_index_append_equals_fresh_rebuild(rows):
+    """Rolling-crawl lifecycle: lookup against (index ∪ appended
+    survivors) must equal lookup against a fresh index built over the
+    full corpus — band keys are per-document, so union-of-bandings ==
+    banding-of-union."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    corpus0 = rows([(0, base + "corpus one"),
+                    (2, "spark shuffles partition data " * 5)], DOCS)
+    batch1 = rows([(4, base + "batch one copy"),
+                   (6, "a fresh unrelated document " * 5)], DOCS)
+    batch2 = rows([(1, base + "batch two probe"),
+                   (3, "spark shuffles partition data " * 5)], DOCS)
+    kw = dict(num_hashes=32, bands=16, jaccard_threshold=0.5)
+    idx = dd.minhash_index(corpus0, "text", "doc_id",
+                           num_hashes=32, bands=16)
+    appended = dd.minhash_index_append(idx, batch1, "text", "doc_id")
+    assert appended.params == idx.params
+    fresh = dd.minhash_index(corpus0.unionByName(batch1), "text",
+                             "doc_id", num_hashes=32, bands=16)
+    res = lambda ix: sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dd.minhash_lookup(batch2, ix, "text", "doc_id",
+                                   **kw).collect())
+    got_appended, got_fresh = res(appended), res(fresh)
+    assert got_appended == got_fresh and got_appended
+    # the appended batch's near-dup (id 4) must now be findable
+    assert any(b == 4 for _, b, _ in got_appended)

@@ -43,6 +43,24 @@ def test_brute_force_topk_multiple_queries(rows):
     assert got == {0: 0, 1: 1}
 
 
+def test_brute_force_topk_guards_large_query_sets(rows):
+    """The small-|Q| contract is mechanical: beyond max_query_rows the
+    collect/broadcast of the query side raises (both paths) unless
+    force=True — large query sets belong on the LSH/IVF joins."""
+    import pytest
+    corpus = rows([(1, [1.0, 0.0]), (2, [0.0, 1.0])], EMB)
+    queries = rows([(i, [1.0, 0.0]) for i in range(5)],
+                   "query_id long, embedding array<float>")
+    for arrow in (True, False):
+        with pytest.raises(ValueError, match="max_query_rows"):
+            sim.brute_force_topk(corpus, queries, k=1, arrow=arrow,
+                                 max_query_rows=3)
+    forced = sim.brute_force_topk(corpus, queries, k=1,
+                                  max_query_rows=3, force=True).collect()
+    assert {r["query_id"] for r in forced} == set(range(5))
+    assert all(r["vec_id"] == 1 for r in forced)
+
+
 def test_ivf_topk_recovers_exact_match(rows):
     corpus = rows([(i, [math.cos(i), math.sin(i)]) for i in range(32)], EMB)
     queries = rows([(0, [math.cos(5), math.sin(5)])],

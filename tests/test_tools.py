@@ -102,6 +102,24 @@ def _baseline_generation_pair():
     return show("BASELINE.md"), json.loads(show("BENCH_DETAIL.json"))
 
 
+def test_baseline_worktree_matches_committed():
+    """The generation-commit pairing above is blind to UNCOMMITTED
+    hand-edits of BASELINE.md (it compares as of the file's last-touch
+    commit).  Cheap complement: the working-tree BASELINE.md must be
+    byte-identical to HEAD's — any legitimate regeneration commits in
+    the same change (the repo's artifact-freshness rule), so a dirty
+    BASELINE.md is always either a hand-edit or a forgotten commit."""
+    head = subprocess.run(["git", "show", "HEAD:BASELINE.md"], cwd=ROOT,
+                          capture_output=True).stdout.decode()
+    if not head:
+        return  # not yet committed (fresh clone mid-bootstrap)
+    worktree = open(os.path.join(ROOT, "BASELINE.md")).read()
+    assert worktree == head, (
+        "working-tree BASELINE.md differs from HEAD — regenerate via "
+        "tools/update_baseline.py and commit it with the bench "
+        "sidecars, don't hand-edit")
+
+
 def test_baseline_table3_matches_bench_detail():
     """Stale-artifact guard (VERDICT r3 item 3, de-brittled per r4
     item 1): BASELINE.md table 3 is generated from BENCH_DETAIL.json
