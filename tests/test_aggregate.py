@@ -138,6 +138,30 @@ def test_approx_top_k_bounds_candidates(rows):
     assert got[0]["est_count"] >= got[1]["est_count"]
 
 
+def test_approx_top_tokens_matches_explode_plan(rows):
+    """The fused tokenize-in-Arrow variant must agree with
+    explode(split)+approx_top_k — same tokenization (single-space
+    split, empties dropped, lowercased), same sketch — both in the
+    exact regime and through the eviction path (small m)."""
+    docs = [("Alpha beta  GAMMA alpha",), ("beta alpha\tx y",),
+            (None,), ("",), ("alpha beta gamma delta epsilon zeta",)]
+    df = rows(docs, "text string").repartition(2)
+    toks = df.select(F.explode(F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != ""))
+        .alias("tok"))
+    for m in (100, 3):
+        want = [(r["value"], r["est_count"]) for r in
+                agg.approx_top_k(toks, "tok", k=4, m=m).collect()]
+        got = [(r["value"], r["est_count"]) for r in
+               agg.approx_top_tokens(df, "text", k=4, m=m).collect()]
+        assert got == want, (m, got, want)
+    # exact regime sanity: alpha=3/beta=3 tie broken by value, and the
+    # tab stays inside the "alpha\tx" token (single-space split only)
+    assert [(r["value"], r["est_count"]) for r in
+            agg.approx_top_tokens(df, "text", k=2, m=100).collect()
+            ] == [("alpha", 3), ("beta", 3)]
+
+
 def test_top_k_by_key_ranks_reduced_counts(rows):
     data = ([("a", "x")] * 3 + [("a", "y")] * 2 + [("a", "z")]
             + [("b", "q")] * 2)
