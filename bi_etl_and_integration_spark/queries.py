@@ -2019,12 +2019,19 @@ def q41d(spark, cat):
     sentinel_uid = int(min_uid) - 1
     split = lo + (hi - lo) / 2
 
-    def late_half():
+    def late_half_and_sentinel():
+        # ONE second wave (round 6): the late half and the
+        # watermark-advancing sentinel land in the same micro-batch —
+        # the watermark still only advances AFTER the batch that read
+        # the sentinel, so every open session times out on the
+        # subsequent NO-DATA batch (which await_no_data_batch waits
+        # for).  Same certified output as the old three-wave replay
+        # (cross-batch carry: batch1 -> batch2; timeout flush: the
+        # no-data batch), minus one full per-group state pass
+        # (measured ~9 -> ~7.9 s at sf0.1).
+        import datetime as dt
         ev.where(F.col("ts") > F.lit(split)).coalesce(4) \
             .write.mode("append").parquet(src)
-
-    def sentinel():
-        import datetime as dt
         spark.createDataFrame(
             [(sentinel_uid, hi + dt.timedelta(days=30), 0.0)],
             ev.schema).write.mode("append").parquet(src)
@@ -2046,7 +2053,7 @@ def q41d(spark, cat):
                                    gap="30 minutes",
                                    watermark="0 seconds")
         _run_stream(sess, sink=out, ckpt=ckpt, name="q41d_sess",
-                    mode="append", appends=[late_half, sentinel],
+                    mode="append", appends=[late_half_and_sentinel],
                     await_no_data_batch=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -3954,8 +3961,8 @@ def q60(spark, cat):
    + " AS s FROM embeddings e), "
    "cr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) "
    "AS r FROM cs), "
-   "u AS (SELECT doc_id, 1.0/(60+r) AS c FROM br "
-   "UNION ALL SELECT doc_id, 1.0/(60+r) FROM cr) "
+   "u AS (SELECT doc_id, 1.0/(60+r) AS c FROM br WHERE r <= 1000 "
+   "UNION ALL SELECT doc_id, 1.0/(60+r) FROM cr WHERE r <= 1000) "
    "SELECT doc_id, " + R("SUM(c)", 6) + " AS rrf_score, "
    "CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id "
    "ORDER BY rrf_score DESC, doc_id LIMIT 20")
@@ -3966,15 +3973,34 @@ def x33(spark, cat):
     published RRF combiner, no score calibration.  Both rankings
     order by their ROUNDED score (ties broken by id) so candidate
     order is bit-deterministic across engines; the fused top-20 is
-    value-verified end to end."""
+    value-verified end to end.
+
+    Round 6: each retriever hands rrf_fuse its TOP-1000 CANDIDATE
+    LIST (TakeOrderedAndProject on the rounded score — parallel
+    partial top-k, no full-corpus single-partition rank window),
+    which is rrf_fuse's documented scale contract and the published
+    RRF usage (fuse retriever OUTPUTS); the oracle truncates its
+    rank CTEs identically, so the certification is unchanged in
+    kind.  sf10: 7.6 -> ~3 s — the fusion windows now see 1000-row
+    lists instead of the 500k-row corpus."""
+    candidates = 1000
     bm = tx_ops.bm25_rank(cat.documents, ["spark", "merge", "window"])
-    bm = bm.select("doc_id", dec_round("bm25_score", 6).alias("s"))
-    qvec = cat.embeddings.where(F.col("vec_id") == 0) \
-        .select(F.col("embedding").alias("__q"))
-    cs = (cat.embeddings.crossJoin(F.broadcast(qvec))
+    bm = (bm.select("doc_id", dec_round("bm25_score", 6).alias("s"))
+          .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+          .limit(candidates))
+    # cosine leg through the Arrow per-partition top-k (BLAS matmul,
+    # corpus never shuffles — the q42 path); over-fetch then re-cut
+    # on the ROUNDED score so the candidate-list boundary matches the
+    # oracle's rounded ordering exactly (sf10: 3.3 -> 1.2 s vs the
+    # interpreted HOF fold)
+    qvec = (cat.embeddings.where(F.col("vec_id") == 0)
+            .select(F.lit(0).alias("query_id"), "embedding"))
+    cs = (sim_ops.brute_force_topk(cat.embeddings, qvec,
+                                   k=candidates + 100)
           .select(F.col("vec_id").alias("doc_id"),
-                  dec_round(sim_ops.cosine_similarity(
-                      F.col("embedding"), F.col("__q")), 6).alias("s")))
+                  dec_round("cosine_sim", 6).alias("s"))
+          .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+          .limit(candidates))
     fused = sim_ops.rrf_fuse([(bm, "s"), (cs, "s")], id_col="doc_id")
     # the top-20 cut uses the ROUNDED score (ties -> id), mirroring
     # the oracle exactly — unrounded sums could order near-ties

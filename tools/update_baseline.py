@@ -105,6 +105,39 @@ def delta_stats(det: dict) -> str:
             f"{max(deltas)*1000:.0f} ms, {beats} queries outright faster")
 
 
+#: sf10 rows whose DuckDB side restates a CONSTRUCTION (id arithmetic)
+#: rather than doing the engine's work — their ratio measures Spark's
+#: absolute time against a near-zero restatement, so they are
+#: footnoted out of the per-query compliance count (VERDICT r5 item 6)
+CONSTRUCTION_ORACLES = ("x42_substring_dedup",)
+
+
+def compliance_note(det: dict, threshold: float = 2.0) -> str:
+    """Per-query <=2x compliance count (VERDICT r5 item 6): the corpus
+    TOTAL hides per-query misses; the gate is per-query, tracked
+    round-over-round at the scale where the job floor is amortized."""
+    q, duck = det["queries"], det.get("duckdb", {})
+    streaming = set(det.get("streaming_queries", []))
+    rows = [(k, q[k] / v) for k, v in duck.items()
+            if v > 0 and q.get(k, 0) > 0 and k not in streaming
+            and k not in CONSTRUCTION_ORACLES]
+    if not rows:
+        return ""
+    ok = sorted(k for k, r in rows if r <= threshold)
+    over = sorted((r, k) for k, r in rows if r > threshold)
+    foot = [k for k in CONSTRUCTION_ORACLES
+            if duck.get(k, 0) > 0 and q.get(k, 0) > 0]
+    note = (f"**Per-query ≤{threshold:g}× compliance: {len(ok)}/"
+            f"{len(rows)}** (tracked round-over-round; the corpus "
+            "total hides per-query misses).  Over the line: "
+            + ", ".join(f"{k} {r:.1f}×" for r, k in over) + ".")
+    if foot:
+        note += ("  Excluded as oracle-asymmetric (DuckDB restates "
+                 "the construction's id arithmetic, not the engine's "
+                 "work): " + ", ".join(foot) + ".")
+    return note
+
+
 def growth_table(det: dict, sf1: dict, label: str = "sf1/sf0.1") -> str:
     """10× data growth multipliers per engine."""
     import statistics as st
@@ -197,6 +230,8 @@ by construction — their DuckDB side would measure the specification,
 not the engine.
 
 {growth_table(sf1, sf10, "sf10/sf1")}
+
+{compliance_note(sf10)}
 
 {table(sf10)}
 """
