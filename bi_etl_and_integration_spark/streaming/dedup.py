@@ -1,0 +1,150 @@
+"""Streaming incremental near-dup dedup — the rolling-crawl pipeline.
+
+Wires the batch machinery certified by x43/x43b (`minhash_lookup`
+against a frozen `MinhashIndex`; epoch-partitioned parquet writes as
+the persisted analog of `minhash_index_append` — band keys are
+per-document, so union-of-epochs == banding-of-union) into a
+Structured Streaming `foreachBatch` sink, so
+a continuously-arriving corpus (CCNet/RefinedWeb-style crawl) is
+deduplicated ONLINE: each micro-batch is
+
+  1. deduplicated WITHIN itself (min-id survivor per near-dup pair —
+     the standard greedy keep-first rule),
+  2. probed against the persisted index (everything kept so far);
+     matches are dropped,
+  3. its survivors written to the output and their LSH bucket/shingle
+     rows APPENDED to the index — so batch N+1 dedups against
+     corpus + batches 1..N without ever re-reading their text.
+
+Scale shape: per batch the work is O(batch + matching buckets) — the
+index participates only through the (band, bucket) equi-join and the
+candidate-id shingle fetch, exactly the x43-certified lookup plan.
+The index directories grow append-only; a real deployment compacts
+them periodically (plain parquet rewrite — both tables are flat).
+
+Exactly-once: Structured Streaming may REPLAY a micro-batch after a
+crash (checkpoint holds the offset, the sink may have partially run).
+Every write here is therefore keyed by ``epoch_id`` and idempotent:
+survivors land at ``<survivors>/epoch=<id>`` and index rows at
+``<index>/{buckets,shingles}/epoch=<id>`` with ``overwrite`` mode — a
+replayed epoch overwrites its own directory instead of double-adding
+(the same contract as `runner.foreach_batch_upsert`).  Within one
+epoch the probe index is the union of all PRIOR epochs only, so a
+replay sees the identical index state and produces the identical
+survivor set.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bi_etl_and_integration_spark.operators.dedup import (
+    MinhashIndex,
+    MinhashParams,
+    minhash_index,
+    minhash_lookup,
+    minhash_lsh_dedup,
+)
+
+
+def load_minhash_index(spark: SparkSession, index_dir: str,
+                       params: MinhashParams, *,
+                       before_epoch: int | None = None,
+                       ) -> MinhashIndex | None:
+    """Reconstruct a persisted :class:`MinhashIndex` from the
+    ``<index_dir>/{buckets,shingles}`` parquet trees written by
+    :func:`dedup_stream` (``epoch=<n>`` subdirectories are read as one
+    partitioned table).  ``before_epoch`` keeps only strictly-earlier
+    epochs — :func:`dedup_stream` passes the current epoch id so a
+    REPLAYED micro-batch never probes the partial rows its crashed
+    attempt wrote (docs must not match themselves, and the replay must
+    see the identical prior-epochs-only index state).  Returns None
+    when the index has no epochs yet (cold start)."""
+    buckets_dir = os.path.join(index_dir, "buckets")
+    shingles_dir = os.path.join(index_dir, "shingles")
+    try:
+        buckets = spark.read.parquet(buckets_dir)
+        shingles = spark.read.parquet(shingles_dir)
+    except Exception:
+        return None
+    if before_epoch is not None:
+        buckets = buckets.where(F.col("epoch") < before_epoch)
+        shingles = shingles.where(F.col("epoch") < before_epoch)
+    return MinhashIndex(buckets.drop("epoch"), shingles.drop("epoch"),
+                        params)
+
+
+def _intra_batch_survivors(batch: DataFrame, text_col: str, id_col: str,
+                           p: MinhashParams,
+                           jaccard_threshold: float) -> DataFrame:
+    """Greedy keep-first within one batch: a document is dropped when
+    it near-dups a SMALLER-id document of the same batch (the pair
+    generator emits id_a < id_b, so dropping every id_b keeps exactly
+    the minimal elements).  Greedy-by-id, not full connected
+    components — the standard crawl-dedup rule (a doc similar only to
+    an already-dropped doc survives); use `dedup_canonicalize` for
+    transitive-closure semantics on a bounded corpus."""
+    pairs = minhash_lsh_dedup(batch, text_col, id_col,
+                              num_hashes=p.num_hashes, bands=p.bands,
+                              shingle_n=p.shingle_n, seed=p.seed,
+                              n_probes=p.n_probes,
+                              jaccard_threshold=jaccard_threshold)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return batch.join(dropped, id_col, "left_anti")
+
+
+def dedup_stream(stream_df: DataFrame, *, index_dir: str,
+                 survivors_dir: str, checkpoint_dir: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 64, bands: int = 16,
+                 shingle_n: int = 3, jaccard_threshold: float = 0.8,
+                 seed: int = 42, n_probes: int = 1):
+    """Build the `writeStream` for online rolling dedup; caller calls
+    ``.start()`` (and owns trigger/query-name options).
+
+    Per micro-batch: intra-batch greedy dedup -> index probe
+    (:func:`minhash_lookup`, raising on any banding drift) -> survivors
+    to ``<survivors_dir>/epoch=<n>`` and their bucket/shingle rows to
+    ``<index_dir>/{buckets,shingles}/epoch=<n>`` — all three writes
+    epoch-keyed and overwrite-idempotent under replay."""
+    params = MinhashParams(num_hashes, bands, shingle_n, seed, n_probes)
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            kept = _intra_batch_survivors(batch, text_col, id_col,
+                                          params, jaccard_threshold)
+            index = load_minhash_index(spark, index_dir, params,
+                                       before_epoch=epoch_id)
+            if index is not None:
+                dup = minhash_lookup(kept, index, text_col, id_col,
+                                     num_hashes=num_hashes, bands=bands,
+                                     shingle_n=shingle_n,
+                                     jaccard_threshold=jaccard_threshold,
+                                     seed=seed, n_probes=n_probes)
+                kept = kept.join(
+                    dup.select(F.col("id_a").alias(id_col)).distinct(),
+                    id_col, "left_anti")
+            kept = kept.persist()
+            kept.write.mode("overwrite").parquet(
+                os.path.join(survivors_dir, f"epoch={epoch_id}"))
+            fresh = minhash_index(kept, text_col, id_col,
+                                  num_hashes=num_hashes, bands=bands,
+                                  shingle_n=shingle_n, seed=seed,
+                                  n_probes=n_probes)
+            fresh.buckets.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "buckets", f"epoch={epoch_id}"))
+            fresh.shingles.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "shingles",
+                             f"epoch={epoch_id}"))
+            kept.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (stream_df.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update"))
