@@ -77,6 +77,53 @@ def load_minhash_index(spark: SparkSession, index_dir: str,
                         params)
 
 
+def compact_minhash_index(spark: SparkSession, index_dir: str, *,
+                          target_partitions: int | None = None) -> int:
+    """Offline maintenance for a :func:`dedup_stream` index: rewrite
+    the accumulated ``epoch=<n>`` partitions into a single compacted
+    epoch so file counts (and the probe join's listing cost) stay
+    bounded on a long-running crawl.  Run while the stream is STOPPED
+    — the compacted epoch id is ``max(existing)`` (not max+1), so when
+    the stream resumes at epoch max+1 its ``before_epoch`` probe
+    filter still sees every compacted row.
+
+    The rewrite is crash-safe in the same way the stream's own writes
+    are: the compacted data lands in the surviving epoch directory via
+    ``overwrite`` BEFORE the older epoch directories are removed; a
+    crash between the two steps leaves duplicate index rows, which are
+    harmless to lookup semantics (the candidate pair set is
+    dropDuplicates'd) and removed by re-running compaction.
+
+    Returns the epoch id the index was compacted into."""
+    import shutil
+
+    kinds = ("buckets", "shingles")
+    loaded = {}
+    for kind in kinds:
+        loaded[kind] = spark.read.parquet(os.path.join(index_dir, kind))
+    epochs = sorted(r["epoch"] for r in loaded["buckets"]
+                    .select("epoch").distinct().collect())
+    if len(epochs) <= 1:
+        return epochs[0] if epochs else 0
+    keep = epochs[-1]
+    for kind in kinds:
+        merged = loaded[kind].drop("epoch")
+        if target_partitions:
+            merged = merged.repartition(target_partitions)
+        tmp = os.path.join(index_dir, kind, f"__compact_{keep}")
+        merged.write.mode("overwrite").parquet(tmp)
+        # re-read from the staged copy so the overwrite of the target
+        # epoch dir does not invalidate the plan's own input files
+        staged = spark.read.parquet(tmp)
+        staged.write.mode("overwrite").parquet(
+            os.path.join(index_dir, kind, f"epoch={keep}"))
+        for e in epochs[:-1]:
+            shutil.rmtree(os.path.join(index_dir, kind, f"epoch={e}"),
+                          ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return keep
+
+
 def _intra_batch_survivors(batch: DataFrame, text_col: str, id_col: str,
                            p: MinhashParams,
                            jaccard_threshold: float) -> DataFrame:

@@ -423,3 +423,60 @@ def test_streaming_dedup_rolling_index(spark, rows, tmp_path):
     kept = kept.join(dup.select(F.col("id_a").alias("doc_id"))
                      .distinct(), "doc_id", "left_anti")
     assert {r["doc_id"] for r in kept.collect()} == {9}
+
+
+def test_compact_minhash_index_preserves_lookup(spark, rows, tmp_path):
+    """Compaction folds all epoch partitions into the LAST epoch:
+    lookup results are identical before and after, the epoch count
+    drops to one, and a resumed stream's before_epoch filter (next
+    epoch = compacted+1) still sees every row."""
+    from bi_etl_and_integration_spark.operators.dedup import (
+        MinhashParams, minhash_lookup)
+    from bi_etl_and_integration_spark.streaming.dedup import (
+        compact_minhash_index, dedup_stream, load_minhash_index)
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    DOCS = "doc_id long, text string"
+    b1 = rows([(0, base + "one"), (2, "spark shuffles partitions " * 5)],
+              DOCS)
+    b1.write.parquet(src)
+    writer = dedup_stream(
+        spark.readStream.schema(b1.schema).parquet(src),
+        index_dir=index_dir, survivors_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=32, bands=16, jaccard_threshold=0.5)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows([(4, "a novel document entirely " * 5)], DOCS) \
+        .write.mode("append").parquet(src)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    params = MinhashParams(32, 16, 3, 42, 1)
+    probe = rows([(9, base + "probe copy")], DOCS)
+    res = lambda: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in minhash_lookup(
+            probe, load_minhash_index(spark, index_dir, params),
+            "text", "doc_id", num_hashes=32, bands=16,
+            jaccard_threshold=0.5).collect())
+    before = res()
+    assert before and before[0][1] == 0
+    kept_epoch = compact_minhash_index(spark, index_dir)
+    assert res() == before
+    shingles = spark.read.parquet(index_dir + "/shingles")
+    assert ({r["epoch"] for r in shingles.select("epoch")
+             .distinct().collect()} == {kept_epoch})
+    assert ({r["id"] for r in shingles.select("id").collect()}
+            == {0, 2, 4})
+    # idempotent re-run
+    assert compact_minhash_index(spark, index_dir) == kept_epoch
+    assert res() == before
