@@ -2717,7 +2717,12 @@ def x27(spark, cat):
         .otherwise(F.concat(F.lit("?id="),
                             (F.col("doc_id") % 7).cast("string"))),
         F.lit("#sec"))
-    return (cat.documents.select(
+    # ensure_min_parallelism: the canonicalization regex chain is
+    # CPU-bound and the fixture is a single small file (sf10:
+    # ~1.7 -> ~1.0 s); no-op on a real corpus scan
+    base = rel_ops.ensure_min_parallelism(
+        cat.documents.select("doc_id", "source"))
+    return (base.select(
         cu_ops.canonicalize_url(messy).alias("curl"))
         .groupBy("curl")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -2740,7 +2745,12 @@ def x07(spark, cat):
    "len(list_filter(STRING_SPLIT(text,' '), x -> x != '')) AS q_n_tokens "
    "FROM documents ORDER BY doc_id")
 def x08(spark, cat):
-    feats = tx_ops.quality_features(cat.documents, "text")
+    """Quality features; ensure_min_parallelism because the tokenize
+    pass is CPU-bound and the small-SF fixture scan yields fewer tasks
+    than cores (sf10: ~6 s -> ~3.2 s; no-op on a real corpus scan)."""
+    feats = tx_ops.quality_features(
+        rel_ops.ensure_min_parallelism(
+            cat.documents.select("doc_id", "text")), "text")
     return (feats.select("doc_id", "q_n_chars", "q_n_tokens")
             .orderBy("doc_id"))
 
