@@ -158,8 +158,14 @@ def _space_saving_update(state, floor: int, vc, m: int):
             merged[new_vals] += floor
         merged = merged.astype("int64")
     if len(merged) > m:
-        kept = merged.nlargest(m + 1)
-        floor = max(floor, int(kept.iloc[-1]))
+        # deterministic eviction: ties at the boundary break by VALUE
+        # (index asc) regardless of the caller's Series order — a bare
+        # nlargest breaks ties by position, making the surviving
+        # counter set depend on whether the batch arrived value_counts
+        # -ordered or Counter-ordered (and on pandas' unstable sort)
+        kept = (merged.sort_index()
+                .sort_values(ascending=False, kind="mergesort"))
+        floor = max(floor, int(kept.iloc[m]))
         merged = kept.iloc[:m]
     return merged, floor
 

@@ -186,7 +186,8 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
                    block: Column | Sequence[Column] | None = None,
                    min_similarity: float = 0.8,
                    max_iter: int = 10,
-                   algorithm: str = "label_prop") -> DataFrame:
+                   algorithm: str = "label_prop",
+                   pairs: DataFrame | None = None) -> DataFrame:
     """SSIS Fuzzy Grouping: cluster near-duplicate rows.
 
     Output = input columns + ``_key_in`` (row key), ``_key_out``
@@ -205,14 +206,19 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
          (:func:`connected_components`), O(log² n) rounds — the 100 TB
          path when similarity chains can be long.
       3. canonical = min key per component
+
+    ``pairs`` short-circuits step 1 with a precomputed
+    :func:`fuzzy_pairs` result (columns id_a/id_b) — callers that also
+    EMIT the pair set (q24b) avoid generating it twice.
     """
     if algorithm not in ("label_prop", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     nodes = df.select(F.col(key).alias("id"), F.col(col).alias("val"))
-    edges = (fuzzy_pairs(df, key, col, blocks=block,
-                         min_similarity=min_similarity)
-             .select(F.col("id_a").alias("src"),
-                     F.col("id_b").alias("dst")))
+    if pairs is None:
+        pairs = fuzzy_pairs(df, key, col, blocks=block,
+                            min_similarity=min_similarity)
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
     if algorithm == "star":
         comp = connected_components(edges, max_iter=max_iter)
         labels = (nodes.select("id")
@@ -248,6 +254,12 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
             # Each round is localCheckpoint'd: without truncation the
             # iterative lineage makes Catalyst re-analyze a deeper
             # plan every wave (the dominant cost, not the data).
+            # Storage note: superseded snapshots (2 longs x |domain|,
+            # MEMORY_AND_DISK) are released by the ContextCleaner as
+            # their references drop at reassignment — worst case
+            # O(log diameter) live snapshots, spillable; the previous
+            # persist/unpersist freed each round deterministically
+            # but paid the growing-lineage re-analysis instead.
             hop = stepped.select(F.col("id").alias("label"),
                                  F.col("label").alias("label2"))
             new_labels = (stepped.join(hop, "label", "left")

@@ -125,19 +125,25 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     more than ``max_query_rows`` queries raises ValueError unless
     ``force=True`` — a large query set belongs on the LSH/IVF join
     paths (:func:`ann_ivf_search`), not here."""
-    # guard probe doubles as the arrow path's collect (no extra job)
-    probe = (queries.select(F.col(query_id_col), F.col(vec_col))
-             .take(max_query_rows + 1))
-    if len(probe) > max_query_rows:
-        if not force:
-            raise ValueError(
-                f"brute_force_topk: queries has > {max_query_rows} "
-                "rows; this operator collects/broadcasts the whole "
-                "query set (small-probe-batch contract). Use "
-                "ann_ivf_search / the LSH paths for large query "
-                "sets, raise max_query_rows, or pass force=True for "
-                "an audited exception")
-        probe = None  # forced big-Q: take() was truncated, re-collect
+    # On the arrow path the guard probe DOUBLES as the collect (no
+    # extra job); the non-arrow path only needs a count, so it guards
+    # with limit+count (no query rows shipped) — and force=True skips
+    # the guard entirely (the caller accepted the collect/broadcast).
+    _over = (f"brute_force_topk: queries has > {max_query_rows} "
+             "rows; this operator collects/broadcasts the whole "
+             "query set (small-probe-batch contract). Use "
+             "ann_ivf_search / the LSH paths for large query sets, "
+             "raise max_query_rows, or pass force=True for an "
+             "audited exception")
+    probe = None
+    if arrow and not force:
+        probe = (queries.select(F.col(query_id_col), F.col(vec_col))
+                 .take(max_query_rows + 1))
+        if len(probe) > max_query_rows:
+            raise ValueError(_over)
+    elif not force:
+        if queries.limit(max_query_rows + 1).count() > max_query_rows:
+            raise ValueError(_over)
     if not arrow:
         q = F.broadcast(queries.select(F.col(query_id_col),
                                        F.col(vec_col).alias("__qv")))

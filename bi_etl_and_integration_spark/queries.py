@@ -1765,10 +1765,12 @@ def q24b(spark, cat):
     names = cat.part.groupBy("p_name").agg(
         F.min("p_partkey").alias("name_id"))
     pairs = fz_ops.fuzzy_pairs(names, "name_id", "p_name",
-                               blocks=blocks, min_similarity=0.6)
+                               blocks=blocks, min_similarity=0.6) \
+        .persist()  # emitted AND fed to the clustering — built once
     g = fz_ops.fuzzy_grouping(names, "name_id", "p_name",
-                              min_similarity=0.6, block=blocks,
-                              algorithm="label_prop", max_iter=30)
+                              min_similarity=0.6,
+                              algorithm="label_prop", max_iter=30,
+                              pairs=pairs)
     lab = g.select(F.col("name_id").alias("id_a"),
                    F.col("_key_out").alias("cluster"))
     return (pairs.join(lab, "id_a")
@@ -4002,15 +4004,37 @@ def x33(spark, cat):
     # corpus never shuffles — the q42 path); over-fetch then re-cut
     # on the ROUNDED score so the candidate-list boundary matches the
     # oracle's rounded ordering exactly (sf10: 3.3 -> 1.2 s vs the
-    # interpreted HOF fold)
+    # interpreted HOF fold).  The over-fetch is GUARDED, not assumed:
+    # rounding is monotone, so the re-cut equals the oracle's global
+    # rounded top-1000 iff the rounded tie-group at the cut boundary
+    # is fully inside the fetched set — proven when the smallest
+    # fetched rounded score is STRICTLY below the rank-1000 score (or
+    # the fetch covered the whole corpus).  A tie-group straddling the
+    # fetch horizon raises loudly instead of hash-flaking.
+    overfetch = candidates + 100
     qvec = (cat.embeddings.where(F.col("vec_id") == 0)
             .select(F.lit(0).alias("query_id"), "embedding"))
-    cs = (sim_ops.brute_force_topk(cat.embeddings, qvec,
-                                   k=candidates + 100)
-          .select(F.col("vec_id").alias("doc_id"),
-                  dec_round("cosine_sim", 6).alias("s"))
-          .orderBy(F.col("s").desc(), F.col("doc_id").asc())
-          .limit(candidates))
+    fetched = (sim_ops.brute_force_topk(cat.embeddings, qvec,
+                                        k=overfetch)
+               .select(F.col("vec_id").alias("doc_id"),
+                       dec_round("cosine_sim", 6).alias("s")))
+    cut = (fetched.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+           .limit(candidates))
+    guard = (fetched.agg(
+        F.count(F.lit(1)).alias("__n_fetched"),
+        F.min("s").alias("__s_floor")))
+    cs = (cut.crossJoin(F.broadcast(guard))
+          .crossJoin(F.broadcast(
+              cut.agg(F.min("s").alias("__s_cut"))))
+          .select("doc_id",
+                  F.when((F.col("__n_fetched") < F.lit(overfetch))
+                         | (F.col("__s_cut") > F.col("__s_floor")),
+                         F.col("s"))
+                  .otherwise(F.raise_error(F.lit(
+                      "x33: rounded-score tie-group straddles the "
+                      "cosine over-fetch horizon; raise the "
+                      "over-fetch depth")))
+                  .alias("s")))
     fused = sim_ops.rrf_fuse([(bm, "s"), (cs, "s")], id_col="doc_id")
     # the top-20 cut uses the ROUNDED score (ties -> id), mirroring
     # the oracle exactly — unrounded sums could order near-ties

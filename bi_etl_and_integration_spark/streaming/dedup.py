@@ -63,13 +63,23 @@ def load_minhash_index(spark: SparkSession, index_dir: str,
     attempt wrote (docs must not match themselves, and the replay must
     see the identical prior-epochs-only index state).  Returns None
     when the index has no epochs yet (cold start)."""
+    from pyspark.errors import AnalysisException
     buckets_dir = os.path.join(index_dir, "buckets")
     shingles_dir = os.path.join(index_dir, "shingles")
     try:
         buckets = spark.read.parquet(buckets_dir)
         shingles = spark.read.parquet(shingles_dir)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        # ONLY path-not-found means cold start.  Any other read error
+        # (torn files, permissions, FS hiccup) must RAISE: silently
+        # returning None would skip the cross-batch probe for this
+        # micro-batch, writing near-dups of the existing corpus as
+        # survivors AND appending their shingles as canonical —
+        # permanent duplicate pollution with no error anywhere.
+        err = str(exc)
+        if "PATH_NOT_FOUND" in err or "Path does not exist" in err:
+            return None
+        raise
     if before_epoch is not None:
         buckets = buckets.where(F.col("epoch") < before_epoch)
         shingles = shingles.where(F.col("epoch") < before_epoch)
@@ -89,15 +99,26 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
 
     The rewrite is crash-safe in the same way the stream's own writes
     are: the compacted data lands in the surviving epoch directory via
-    ``overwrite`` BEFORE the older epoch directories are removed; a
-    crash between the two steps leaves duplicate index rows, which are
-    harmless to lookup semantics (the candidate pair set is
-    dropDuplicates'd) and removed by re-running compaction.
+    ``overwrite`` BEFORE the older epoch directories are removed, and
+    the merge DEDUPLICATES rows by their identity keys (shingles by
+    id, buckets by (band, bucket, id)) — so a crash between the two
+    steps, which leaves the same rows in both the compacted and the
+    old epoch dirs, is fully repaired by re-running compaction
+    (without the dedup, a re-run would bake the duplicates into the
+    surviving epoch, and duplicated shingle rows multiply
+    minhash_lookup's verify-join output per candidate id).
+
+    Local-filesystem note: the old-epoch removal uses shutil, so this
+    maintenance entry point (unlike the stream itself) assumes a
+    posix-visible index_dir; on an object store swap the rmtree for
+    the store's delete API.
 
     Returns the epoch id the index was compacted into."""
     import shutil
 
     kinds = ("buckets", "shingles")
+    dedup_keys = {"buckets": ["band", "bucket", "id"],
+                  "shingles": ["id"]}
     loaded = {}
     for kind in kinds:
         loaded[kind] = spark.read.parquet(os.path.join(index_dir, kind))
@@ -107,7 +128,8 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
         return epochs[0] if epochs else 0
     keep = epochs[-1]
     for kind in kinds:
-        merged = loaded[kind].drop("epoch")
+        merged = (loaded[kind].drop("epoch")
+                  .dropDuplicates(dedup_keys[kind]))
         if target_partitions:
             merged = merged.repartition(target_partitions)
         tmp = os.path.join(index_dir, kind, f"__compact_{keep}")

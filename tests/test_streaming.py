@@ -480,3 +480,66 @@ def test_compact_minhash_index_preserves_lookup(spark, rows, tmp_path):
     # idempotent re-run
     assert compact_minhash_index(spark, index_dir) == kept_epoch
     assert res() == before
+
+
+def test_compact_minhash_index_repairs_crash_duplicates(spark, rows,
+                                                        tmp_path):
+    """A crash between compaction's two steps leaves the same rows in
+    both the compacted epoch and an older epoch dir; re-running
+    compaction must DEDUPLICATE (shingles by id, buckets by
+    band/bucket/id), not bake the duplicates in — duplicated shingle
+    rows would multiply minhash_lookup's verify join per candidate."""
+    import shutil
+
+    from bi_etl_and_integration_spark.operators.dedup import (
+        MinhashParams, minhash_lookup)
+    from bi_etl_and_integration_spark.streaming.dedup import (
+        compact_minhash_index, dedup_stream, load_minhash_index)
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    DOCS = "doc_id long, text string"
+    b1 = rows([(0, base + "one")], DOCS)
+    b1.write.parquet(src)
+    writer = dedup_stream(
+        spark.readStream.schema(b1.schema).parquet(src),
+        index_dir=index_dir, survivors_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=32, bands=16, jaccard_threshold=0.5)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows([(4, "another document entirely " * 5)], DOCS) \
+        .write.mode("append").parquet(src)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # simulate the crash: epoch=1 already holds the merged copy while
+    # epoch=0 still exists (copy 0's rows into 1 alongside 1's own)
+    for kind in ("buckets", "shingles"):
+        src0 = f"{index_dir}/{kind}/epoch=0"
+        dst1 = f"{index_dir}/{kind}/epoch=1"
+        merged = spark.read.parquet(src0).unionByName(
+            spark.read.parquet(dst1))
+        tmp = f"{index_dir}/{kind}/__crashsim"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(dst1)
+        shutil.rmtree(tmp)
+
+    kept = compact_minhash_index(spark, index_dir)
+    shingles = spark.read.parquet(index_dir + "/shingles")
+    ids = [r["id"] for r in shingles.select("id").collect()]
+    assert sorted(ids) == [0, 4]          # exactly once each
+    params = MinhashParams(32, 16, 3, 42, 1)
+    probe = rows([(9, base + "probe copy")], DOCS)
+    got = minhash_lookup(probe,
+                         load_minhash_index(spark, index_dir, params),
+                         "text", "doc_id", num_hashes=32, bands=16,
+                         jaccard_threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(9, 0)]

@@ -127,10 +127,12 @@ def compliance_note(det: dict, threshold: float = 2.0) -> str:
     over = sorted((r, k) for k, r in rows if r > threshold)
     foot = [k for k in CONSTRUCTION_ORACLES
             if duck.get(k, 0) > 0 and q.get(k, 0) > 0]
+    over_txt = (", ".join(f"{k} {r:.1f}×" for r, k in over)
+                if over else "none")
     note = (f"**Per-query ≤{threshold:g}× compliance: {len(ok)}/"
             f"{len(rows)}** (tracked round-over-round; the corpus "
-            "total hides per-query misses).  Over the line: "
-            + ", ".join(f"{k} {r:.1f}×" for r, k in over) + ".")
+            f"total hides per-query misses).  Over the line: "
+            f"{over_txt}.")
     if foot:
         note += ("  Excluded as oracle-asymmetric (DuckDB restates "
                  "the construction's id arithmetic, not the engine's "
