@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut the lineage of one iteration round: iterative loops
+    (connected_components, label_prop) reference their input several
+    times per round, so without truncation the logical plan grows
+    multiplicatively and Catalyst re-analysis dominates by round ~5
+    (persist alone does NOT cut the plan).  Reliable checkpoint when a
+    checkpoint dir is configured (survives executor loss / dynamic
+    allocation on a real cluster), localCheckpoint otherwise —
+    localCheckpoint blocks have no lineage fallback, fine in local
+    mode only."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def similarity(a: Column, b: Column) -> Column:
     """Normalized token-free similarity in [0,1]:
     1 - levenshtein/greatest(len) — the SSIS fuzzy score analog."""
@@ -85,17 +101,6 @@ def connected_components(edges: DataFrame, src: str = "src",
     # convergence check compares sets, not multisets
     e = (e.select(F.greatest("u", "v").alias("u"),
                   F.least("u", "v").alias("v")).distinct())
-
-    def _materialize(df: DataFrame) -> DataFrame:
-        # Each star round references its input several times; without
-        # truncating lineage the logical plan grows multiplicatively and
-        # the analyzer OOMs by round ~5 (persist alone does NOT cut the
-        # plan).  Reliable checkpoint when a checkpoint dir is set (the
-        # cluster-failure-safe choice), localCheckpoint otherwise.
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
 
     e = _materialize(e)
 
@@ -232,8 +237,8 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
                .unionByName(edges.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
                .persist())
-        labels = nodes.select("id", F.col("id").alias("label")) \
-            .localCheckpoint(eager=True)
+        labels = _materialize(
+            nodes.select("id", F.col("id").alias("label")))
         for _ in range(max_iter):
             # candidate label for each node = min(own, neighbors' labels)
             prop = (adj.join(labels.withColumnRenamed("id", "dst")
@@ -251,9 +256,11 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
             # O(diameter) rounds to O(log diameter), which is the
             # difference between 20+ and ~5 job waves on chain-shaped
             # similarity components (q24b at sf0.1: 49 s -> ~3 s).
-            # Each round is localCheckpoint'd: without truncation the
-            # iterative lineage makes Catalyst re-analyze a deeper
-            # plan every wave (the dominant cost, not the data).
+            # Each round is _materialize'd (reliable checkpoint when a
+            # checkpoint dir is set, localCheckpoint otherwise —
+            # ADVICE r6): without truncation the iterative lineage
+            # makes Catalyst re-analyze a deeper plan every wave (the
+            # dominant cost, not the data).
             # Storage note: superseded snapshots (2 longs x |domain|,
             # MEMORY_AND_DISK) are released by the ContextCleaner as
             # their references drop at reassignment — worst case
@@ -267,8 +274,8 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
                                   F.least(F.col("label"),
                                           F.coalesce(F.col("label2"),
                                                      F.col("label")))
-                                  .alias("label"))
-                          .localCheckpoint(eager=True))
+                                  .alias("label")))
+            new_labels = _materialize(new_labels)
             changed = (new_labels
                        .join(labels.withColumnRenamed("label", "old"), "id")
                        .where(F.col("label") != F.col("old"))

@@ -708,8 +708,12 @@ def semantic_dedup(df: DataFrame,
     ≤ ~64M floats (512 MB), never the full n×n at once, so the
     binding constraint is the n×dim vector STACK — hence the default
     cap scales with the embedding width, ``100M floats // dim``
-    (~800 MB float64; floor 100k rows): 1.5M rows at dim 64, ~100k
-    at dim 1024.  Pass an explicit ``max_cluster_rows`` to pin it.
+    (~800 MB float64; floor 10k rows — lowered from 100k in round 6 so
+    wide embeddings keep the ~800 MB bound: the old floor let dim-4096
+    clusters stack ~3.3 GB): 1.5M rows at dim 64, ~100k at dim 1024.
+    BEHAVIOR NOTE: clusters between ``100M//dim`` and 100k rows at
+    1000 < dim < 10000 that the old floor admitted now require an
+    explicit ``max_cluster_rows`` — pass one to pin the cap.
 
     Determinism contract (the oracle's): the survivor set equals the
     one the exact double-sequential-fold cosine

@@ -20,7 +20,14 @@ Scale shape: per batch the work is O(batch + matching buckets) — the
 index participates only through the (band, bucket) equi-join and the
 candidate-id shingle fetch, exactly the x43-certified lookup plan.
 The index directories grow append-only; a real deployment compacts
-them periodically (plain parquet rewrite — both tables are flat).
+them periodically with :func:`compact_minhash_index` (plain parquet
+rewrite — both tables are flat).  Supported maintenance contract,
+e2e-tested including the worst crash alignment: STOP the stream,
+compact, RESUME from the same checkpoint.  Compaction never touches
+the newest epoch — the only one Structured Streaming can replay after
+a crash between the sink writes and the checkpoint commit — so a
+replayed batch still probes the full compacted history and its
+epoch-directory overwrite cannot destroy compacted state.
 
 Exactly-once: Structured Streaming may REPLAY a micro-batch after a
 crash (checkpoint holds the offset, the sink may have partially run).
@@ -92,10 +99,24 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
     """Offline maintenance for a :func:`dedup_stream` index: rewrite
     the accumulated ``epoch=<n>`` partitions into a single compacted
     epoch so file counts (and the probe join's listing cost) stay
-    bounded on a long-running crawl.  Run while the stream is STOPPED
-    — the compacted epoch id is ``max(existing)`` (not max+1), so when
-    the stream resumes at epoch max+1 its ``before_epoch`` probe
-    filter still sees every compacted row.
+    bounded on a long-running crawl.  Supported cycle (e2e-tested):
+    stop the stream -> compact -> resume from the same checkpoint.
+
+    REPLAY SAFETY (the reason the newest epoch is never touched):
+    Structured Streaming commits batch N to the checkpoint's commit
+    log only AFTER ``foreachBatch`` returns, and starts N+1 only after
+    N committed — so when a stream is stopped, every epoch directory
+    except possibly the NEWEST belongs to a committed batch that will
+    never run again.  The newest epoch may be a written-but-uncommitted
+    batch that the resumed stream REPLAYS: the replay probes with
+    ``before_epoch = newest`` and then overwrites ``epoch=newest``.
+    Compacting history INTO the newest epoch would therefore (a) hide
+    all prior history from the replayed probe and (b) let the replay's
+    overwrite destroy the compacted index.  This function instead
+    compacts ``epochs[:-1]`` into ``epochs[-2]`` and leaves
+    ``epochs[-1]`` exactly as written — a replayed newest batch sees
+    the identical prior-epochs-only index state (now one directory)
+    and overwrites only its own directory.
 
     The rewrite is crash-safe in the same way the stream's own writes
     are: the compacted data lands in the surviving epoch directory via
@@ -113,7 +134,8 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
     posix-visible index_dir; on an object store swap the rmtree for
     the store's delete API.
 
-    Returns the epoch id the index was compacted into."""
+    Returns the epoch id the history was compacted into (the newest
+    epoch id when there were <3 epochs and nothing needed merging)."""
     import shutil
 
     kinds = ("buckets", "shingles")
@@ -124,11 +146,16 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
         loaded[kind] = spark.read.parquet(os.path.join(index_dir, kind))
     epochs = sorted(r["epoch"] for r in loaded["buckets"]
                     .select("epoch").distinct().collect())
-    if len(epochs) <= 1:
-        return epochs[0] if epochs else 0
-    keep = epochs[-1]
+    if len(epochs) <= 2:
+        # 0/1 epochs: nothing to merge; 2 epochs: the only candidate
+        # (epochs[0]) is already a single directory — merging it into
+        # itself is a no-op
+        return epochs[-1] if epochs else 0
+    keep = epochs[-2]
     for kind in kinds:
-        merged = (loaded[kind].drop("epoch")
+        merged = (loaded[kind]
+                  .where(F.col("epoch") < epochs[-1])  # committed only
+                  .drop("epoch")
                   .dropDuplicates(dedup_keys[kind]))
         if target_partitions:
             merged = merged.repartition(target_partitions)
@@ -139,7 +166,7 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
         staged = spark.read.parquet(tmp)
         staged.write.mode("overwrite").parquet(
             os.path.join(index_dir, kind, f"epoch={keep}"))
-        for e in epochs[:-1]:
+        for e in epochs[:-2]:
             shutil.rmtree(os.path.join(index_dir, kind, f"epoch={e}"),
                           ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)

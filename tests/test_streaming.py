@@ -426,10 +426,10 @@ def test_streaming_dedup_rolling_index(spark, rows, tmp_path):
 
 
 def test_compact_minhash_index_preserves_lookup(spark, rows, tmp_path):
-    """Compaction folds all epoch partitions into the LAST epoch:
-    lookup results are identical before and after, the epoch count
-    drops to one, and a resumed stream's before_epoch filter (next
-    epoch = compacted+1) still sees every row."""
+    """Compaction folds every COMMITTED epoch (all but the newest)
+    into the second-newest: lookup results are identical before and
+    after, history collapses to {keep, newest}, and the newest epoch
+    — the only one a resumed stream could replay — is left untouched."""
     from bi_etl_and_integration_spark.operators.dedup import (
         MinhashParams, minhash_lookup)
     from bi_etl_and_integration_spark.streaming.dedup import (
@@ -447,13 +447,14 @@ def test_compact_minhash_index_preserves_lookup(spark, rows, tmp_path):
         index_dir=index_dir, survivors_dir=str(tmp_path / "out"),
         checkpoint_dir=str(tmp_path / "ckpt"),
         num_hashes=32, bands=16, jaccard_threshold=0.5)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    rows([(4, "a novel document entirely " * 5)], DOCS) \
-        .write.mode("append").parquet(src)
+    for batch in ([(4, "a novel document entirely " * 5)],
+                  [(6, "yet another unrelated corpus slice " * 5)]):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows(batch, DOCS).write.mode("append").parquet(src)
     q = writer.start()
     try:
         q.processAllAvailable()
@@ -471,14 +472,18 @@ def test_compact_minhash_index_preserves_lookup(spark, rows, tmp_path):
     before = res()
     assert before and before[0][1] == 0
     kept_epoch = compact_minhash_index(spark, index_dir)
+    assert kept_epoch == 1                 # epochs {0,1,2} -> keep 1
     assert res() == before
     shingles = spark.read.parquet(index_dir + "/shingles")
     assert ({r["epoch"] for r in shingles.select("epoch")
-             .distinct().collect()} == {kept_epoch})
+             .distinct().collect()} == {kept_epoch, 2})
     assert ({r["id"] for r in shingles.select("id").collect()}
-            == {0, 2, 4})
-    # idempotent re-run
-    assert compact_minhash_index(spark, index_dir) == kept_epoch
+            == {0, 2, 4, 6})
+    # newest epoch untouched: still exactly its own rows
+    assert ({r["id"] for r in shingles.where(F.col("epoch") == 2)
+             .select("id").collect()} == {6})
+    # idempotent re-run ({1,2} left -> no-op, returns newest)
+    assert compact_minhash_index(spark, index_dir) == 2
     assert res() == before
 
 
@@ -507,21 +512,23 @@ def test_compact_minhash_index_repairs_crash_duplicates(spark, rows,
         index_dir=index_dir, survivors_dir=str(tmp_path / "out"),
         checkpoint_dir=str(tmp_path / "ckpt"),
         num_hashes=32, bands=16, jaccard_threshold=0.5)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    rows([(4, "another document entirely " * 5)], DOCS) \
-        .write.mode("append").parquet(src)
+    for batch in ([(4, "another document entirely " * 5)],
+                  [(6, "a third unrelated corpus slice " * 5)]):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows(batch, DOCS).write.mode("append").parquet(src)
     q = writer.start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
 
-    # simulate the crash: epoch=1 already holds the merged copy while
-    # epoch=0 still exists (copy 0's rows into 1 alongside 1's own)
+    # simulate the crash mid-compaction of epochs {0,1,2}: the keep
+    # epoch (1) already holds the merged copy of 0 ∪ 1 while epoch=0
+    # still exists on disk
     for kind in ("buckets", "shingles"):
         src0 = f"{index_dir}/{kind}/epoch=0"
         dst1 = f"{index_dir}/{kind}/epoch=1"
@@ -533,9 +540,10 @@ def test_compact_minhash_index_repairs_crash_duplicates(spark, rows,
         shutil.rmtree(tmp)
 
     kept = compact_minhash_index(spark, index_dir)
+    assert kept == 1
     shingles = spark.read.parquet(index_dir + "/shingles")
     ids = [r["id"] for r in shingles.select("id").collect()]
-    assert sorted(ids) == [0, 4]          # exactly once each
+    assert sorted(ids) == [0, 4, 6]       # exactly once each
     params = MinhashParams(32, 16, 3, 42, 1)
     probe = rows([(9, base + "probe copy")], DOCS)
     got = minhash_lookup(probe,
@@ -543,3 +551,97 @@ def test_compact_minhash_index_repairs_crash_duplicates(spark, rows,
                          "text", "doc_id", num_hashes=32, bands=16,
                          jaccard_threshold=0.5).collect()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(9, 0)]
+
+
+def test_compact_then_resume_replays_uncommitted_epoch(spark, rows,
+                                                       tmp_path):
+    """The supported stop -> compact -> resume cycle, under the WORST
+    crash alignment (ADVICE r6): the stream stopped after the final
+    batch's sink writes landed but BEFORE its checkpoint commit, so on
+    resume Structured Streaming REPLAYS that batch.  Compaction must
+    leave the replayable (newest) epoch untouched: the replay's
+    before_epoch probe must see the full compacted history (its
+    cross-batch drop decisions unchanged) and its epoch overwrite must
+    not destroy the compacted index."""
+    import os as _os
+
+    from bi_etl_and_integration_spark.operators.dedup import MinhashParams
+    from bi_etl_and_integration_spark.streaming.dedup import (
+        compact_minhash_index, dedup_stream, load_minhash_index)
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    DOCS = "doc_id long, text string"
+
+    b1 = rows([(0, base + "corpus one"),
+               (2, "completely different text about spark " * 5)], DOCS)
+    b1.write.parquet(src)
+    writer = dedup_stream(
+        spark.readStream.schema(b1.schema).parquet(src),
+        index_dir=index_dir, survivors_dir=out, checkpoint_dir=ckpt,
+        num_hashes=32, bands=16, jaccard_threshold=0.5)
+    # epoch 1: a fresh doc; epoch 2: near-dup of epoch-0 survivor 0
+    # (cross-batch drop) + a fresh doc
+    for batch in ([(4, "a novel document entirely " * 5)],
+                  [(5, base + "late copy"),
+                   (9, "a genuinely new final document " * 5)]):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows(batch, DOCS).write.mode("append").parquet(src)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert ({r["doc_id"] for r in spark.read.parquet(out).collect()}
+            == {0, 2, 4, 9})
+
+    # crash alignment: epoch 2's writes are on disk but its commit is
+    # gone -> the resumed stream will replay batch 2 (the .crc sidecar
+    # of Hadoop's local checksum FS must go too, or the replayed
+    # commit's atomic rename collides on it)
+    _os.remove(_os.path.join(ckpt, "commits", "2"))
+    crc = _os.path.join(ckpt, "commits", ".2.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    kept = compact_minhash_index(spark, index_dir)
+    assert kept == 1                       # {0,1} merged; 2 untouched
+
+    q = writer.start()                     # resume: replays batch 2
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # replay reached the same decisions: 5 still dropped (the probe
+    # saw the compacted prior history), 9 still kept, no double rows
+    surv = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in surv) == [0, 2, 4, 9]
+    params = MinhashParams(32, 16, 3, 42, 1)
+    idx = load_minhash_index(spark, index_dir, params)
+    assert ({r["id"] for r in idx.shingles.select("id").collect()}
+            == {0, 2, 4, 9})
+    shingles = spark.read.parquet(index_dir + "/shingles")
+    assert ({r["epoch"] for r in shingles.select("epoch")
+             .distinct().collect()} == {1, 2})
+
+    # and the resumed stream keeps deduplicating against compacted
+    # history: a near-dup of the epoch-1 survivor (now inside the
+    # compacted epoch) is dropped, a fresh doc survives
+    rows([(11, "a novel document entirely " * 5 + "tail"),
+          (12, "post-resume brand new content " * 5)], DOCS) \
+        .write.mode("append").parquet(src)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(out).collect()) == [0, 2, 4, 9, 12]
