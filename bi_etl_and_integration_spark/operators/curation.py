@@ -516,8 +516,55 @@ def _is_tracking(p: Column) -> Column:
     return cond
 
 
+#: Snapshot SUBSET of the public-suffix list (publicsuffix.org — the
+#: Mozilla-maintained PSL, a public dataset): the multi-label suffixes
+#: a crawl most commonly hits.  Production swaps in the full list via
+#: ``with_url_parts(public_suffixes=...)`` (one string per rule; the
+#: expression generator handles any label depth).  Wildcard (``*.ck``)
+#: and exception (``!www.ck``) rules are NOT modeled — they are a few
+#: dozen entries of the full list; a host under one degrades to the
+#: registrable-domain approximation rather than failing.
+PSL_SNAPSHOT: tuple[str, ...] = (
+    # uk
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+    "ac.uk", "gov.uk", "sch.uk", "nhs.uk", "police.uk",
+    # au
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au",
+    # jp
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    # nz / za / br / cn / in / kr / mx / ar / tr / sg / hk / tw
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw",
+    # eu / asia misc
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "co.il", "net.il", "org.il", "ac.il", "muni.il",
+    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id", "sch.id",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn",
+    # three-label examples (US locality schema)
+    "k12.ca.us", "k12.ny.us", "cc.ca.us", "lib.ca.us",
+)
+
+
 def with_url_parts(df: DataFrame, url_col: str, *,
-                   prefix: str = "url_") -> DataFrame:
+                   prefix: str = "url_",
+                   public_suffixes: tuple[str, ...] | list[str] | None
+                   = None) -> DataFrame:
     """ClickHouse URL-function-family parity (``protocol``, ``domain``,
     ``path``, ``queryString``, ``fragment``, ``topLevelDomain``):
     structural URL decomposition as pure codegen expressions
@@ -526,18 +573,62 @@ def with_url_parts(df: DataFrame, url_col: str, *,
     Adds ``{prefix}scheme/host/path/query/fragment`` (raw ``parse_url``
     components: scheme and host keep their original case, host carries
     no port) plus the two normalized convenience columns real pipelines
-    group on: ``{prefix}tld`` (lowercased last host label) and
-    ``{prefix}domain`` (lowercased last two labels — the
-    registered-domain approximation; a public-suffix-list pass is the
-    production upgrade).  Narrow map, scale-free.
+    group on:
+
+    - ``{prefix}tld`` — the EFFECTIVE top-level domain (public
+      suffix): longest suffix of the lowercased host that appears in
+      ``public_suffixes`` (default :data:`PSL_SNAPSHOT`, a subset of
+      the publicsuffix.org list — VERDICT r6 item 8), else the last
+      host label.  ``host.co.uk`` → ``co.uk``, ``host.com`` → ``com``.
+    - ``{prefix}domain`` — the registrable domain (eTLD+1):
+      ``foo.bar.co.uk`` → ``bar.co.uk``; a host that IS a public
+      suffix maps to itself.
+
+    Matching is a per-depth ``isin`` against plan-literal sets (InSet
+    codegen — no join, no UDF, no shuffle): one candidate suffix per
+    distinct rule depth, longest depth wins.  Narrow map, scale-free;
+    the full PSL (~10k rules) stays well inside InSet range.
     """
+    if public_suffixes is None:
+        public_suffixes = PSL_SNAPSHOT
+    by_depth: dict[int, list[str]] = {}
+    for s in public_suffixes:
+        s = s.strip().lower()
+        if not s or s.startswith(("*", "!")):
+            raise ValueError(
+                f"with_url_parts: wildcard/exception PSL rule {s!r} is "
+                "not modeled — filter those out (they degrade to the "
+                "registrable-domain approximation)")
+        by_depth.setdefault(s.count(".") + 1, []).append(s)
+    if 1 in by_depth:
+        raise ValueError("with_url_parts: single-label suffixes are "
+                         "implicit (the last host label) — the rule "
+                         "list should carry only multi-label suffixes")
+
     u = F.col(url_col)
     host = F.parse_url(u, F.lit("HOST"))
-    labels = F.split(F.lower(host), r"\.")
+    host_l = F.lower(host)
+    labels = F.split(host_l, r"\.")
     n = F.size(labels)
-    tld = F.element_at(labels, -1)
-    dom = F.when(n >= 2, F.concat_ws(
-        ".", F.element_at(labels, -2), tld)).otherwise(F.lower(host))
+
+    def _suffix(depth: int):
+        # last `depth` labels joined by '.'; try_element_at because a
+        # conjunction's sides are not short-circuited per row — a
+        # 1-label host must yield NULL here, not an index error
+        return F.concat_ws(".", *[F.try_element_at(labels, F.lit(-i))
+                                  for i in range(depth, 0, -1)])
+
+    # longest matching rule depth wins; 1 (bare last label) is the
+    # universal fallback rule, exactly the PSL's own '*' default
+    tld, etld_n = F.element_at(labels, -1), F.lit(1)
+    for depth in sorted(by_depth):          # shallow -> deep: deepest
+        matched = (n >= depth) & _suffix(depth).isin(by_depth[depth])
+        tld = F.when(matched, _suffix(depth)).otherwise(tld)
+        etld_n = F.when(matched, F.lit(depth)).otherwise(etld_n)
+    dom = F.when(
+        n > etld_n,
+        F.concat_ws(".", F.element_at(labels, -(etld_n + F.lit(1))),
+                    tld)).otherwise(host_l)
     return (df
             .withColumn(f"{prefix}scheme", F.parse_url(u, F.lit("PROTOCOL")))
             .withColumn(f"{prefix}host", host)

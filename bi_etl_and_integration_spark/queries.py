@@ -4322,23 +4322,32 @@ def x37(spark, cat):
 
 @q("x38_url_parts",
    "SELECT doc_id, 'HTTPS' AS url_scheme, "
-   "UPPER(source) || '.Example.com' AS url_host, "
+   "UPPER(source) || CASE WHEN doc_id % 4 = 0 THEN '.Example.CO.uk' "
+   "ELSE '.Example.com' END AS url_host, "
    "'/docs/' || CAST(doc_id % 50 AS VARCHAR) AS url_path, "
    "CASE WHEN doc_id % 3 = 0 THEN 'utm_source=x&id=' || "
    "CAST(doc_id % 7 AS VARCHAR) ELSE 'id=' || "
    "CAST(doc_id % 7 AS VARCHAR) END AS url_query, "
-   "'sec' AS url_fragment, 'com' AS url_tld, "
-   "'example.com' AS url_domain "
+   "'sec' AS url_fragment, "
+   "CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END AS url_tld, "
+   "CASE WHEN doc_id % 4 = 0 THEN 'example.co.uk' "
+   "ELSE 'example.com' END AS url_domain "
    "FROM documents ORDER BY doc_id")
 def x38(spark, cat):
     """ClickHouse URL-function parity (protocol/domain/path/query/
     fragment/topLevelDomain) over the x27 synthetic messy URLs.  The
     oracle derives every component INDEPENDENTLY from the
     construction rule (never from a URL parser), so a parse_url
-    regression fails instead of agreeing with itself."""
+    regression fails instead of agreeing with itself.  Every fourth
+    doc gets a mixed-case ``.Example.CO.uk`` host (VERDICT r6 item 8):
+    the effective-TLD / registrable-domain columns must come from the
+    public-suffix list (``co.uk`` / ``example.co.uk``), not a
+    last-two-labels split (which would say ``uk`` / ``co.uk``)."""
     messy = F.concat(
         F.lit("HTTPS://"), F.upper("source"),
-        F.lit(".Example.com:443/docs/"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(".Example.CO.uk:443/docs/"))
+        .otherwise(F.lit(".Example.com:443/docs/")),
         (F.col("doc_id") % 50).cast("string"),
         F.when(F.col("doc_id") % 3 == 0,
                F.concat(F.lit("?utm_source=x&id="),

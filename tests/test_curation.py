@@ -244,7 +244,10 @@ def test_with_url_parts_components(rows):
         with_url_parts)
     df = rows([(1, "HTTPS://WEB.Example.com:443/docs/9?id=2#sec"),
                (2, "http://localhost/x"),
-               (3, None)],
+               (3, None),
+               (4, "https://WWW.Shop.CO.UK/a"),      # PSL: co.uk
+               (5, "http://a.b.k12.ca.us/c"),        # 3-label PSL rule
+               (6, "https://co.uk/")],               # host IS a suffix
               "doc_id long, u string")
     out = {r["doc_id"]: r.asDict()
            for r in with_url_parts(df, "u").collect()}
@@ -261,6 +264,40 @@ def test_with_url_parts_components(rows):
     assert r2["url_domain"] == "localhost"       # single-label host
     assert r2["url_query"] is None
     assert out[3]["url_host"] is None
+    # public-suffix list (VERDICT r6 item 8): eTLD + registrable
+    # domain, not a last-two-labels split
+    assert out[4]["url_tld"] == "co.uk"
+    assert out[4]["url_domain"] == "shop.co.uk"
+    assert out[5]["url_tld"] == "k12.ca.us"
+    assert out[5]["url_domain"] == "b.k12.ca.us"
+    assert out[6]["url_tld"] == "co.uk"
+    assert out[6]["url_domain"] == "co.uk"
+
+
+def test_with_url_parts_psl_contract(rows):
+    """Custom rule lists: longest match wins across depths; wildcard /
+    exception / single-label rules are rejected loudly."""
+    import pytest
+    from bi_etl_and_integration_spark.operators.curation import (
+        with_url_parts)
+    df = rows([(1, "https://x.y.deep.example/p"),
+               (2, "https://a.deep.example/p"),
+               (3, "https://plain.example/p")], "doc_id long, u string")
+    out = {r["doc_id"]: r.asDict()
+           for r in with_url_parts(
+               df, "u",
+               public_suffixes=("deep.example",
+                                "y.deep.example")).collect()}
+    assert out[1]["url_tld"] == "y.deep.example"       # deeper rule
+    assert out[1]["url_domain"] == "x.y.deep.example"
+    assert out[2]["url_tld"] == "deep.example"
+    assert out[2]["url_domain"] == "a.deep.example"
+    assert out[3]["url_tld"] == "example"              # implicit '*'
+    assert out[3]["url_domain"] == "plain.example"
+    with pytest.raises(ValueError, match="wildcard"):
+        with_url_parts(df, "u", public_suffixes=("*.ck",))
+    with pytest.raises(ValueError, match="single-label"):
+        with_url_parts(df, "u", public_suffixes=("com",))
 
 
 def test_ngram_hash_matches_string_grams(rows):
