@@ -319,3 +319,53 @@ def test_ngram_hash_matches_string_grams(rows):
     row3 = [r for r in out if r["i"] == 3][0]
     # distinct 3-grams of "x y z x y": xyz, yzx, zxy
     assert row3["ns"] == 3
+
+
+def test_canonicalize_url_fuzz_vs_reference(rows):
+    """The codegen canonicalizer vs an independent Python reference of
+    the documented contract, over adversarial shapes: empty params,
+    doubled separators, tracking-prefix collisions, odd ports, bare
+    hosts, multiple '?', '#' before '?'."""
+    from urllib.parse import _splitnetloc  # noqa: F401 (stdlib present)
+
+    def ref(u):
+        import re
+        no_frag = u.split("#", 1)[0]
+        base, _, rawq = no_frag.partition("?")
+        m = re.match(r"^(\w+)://", base)
+        scheme = m.group(1).lower() if m else ""
+        mh = re.match(r"^\w+://([^/:?#]+)", base)
+        host = mh.group(1).lower() if mh else ""
+        mp = re.match(r"^\w+://[^/:?#]+:(\d+)", base)
+        port = mp.group(1) if mp else ""
+        if port == "" or (scheme, port) in (("http", "80"),
+                                            ("https", "443")):
+            port_part = ""
+        else:
+            port_part = ":" + port
+        mpath = re.match(r"^\w+://[^/?#]+([^?#]*)", base)
+        path = re.sub(r"/+$", "", mpath.group(1)) if mpath else ""
+        path = path or "/"
+        keep = sorted(p for p in rawq.split("&")
+                      if p and not any(
+                          p.startswith(t) for t in
+                          ("utm_", "fbclid", "gclid", "msclkid",
+                           "mc_eid", "ref", "igshid")))
+        qpart = "?" + "&".join(keep) if keep else ""
+        if scheme == "" or host == "":
+            return None
+        return f"{scheme}://{host}{port_part}{path}{qpart}"
+
+    cases = [
+        "HTTPS://A.B:443/x/?utm_source=1&b=2&a=3&ref=z#f",
+        "http://h/?&&a=1&&", "http://h/??a=1?b=2",
+        "https://h:8443/p&q", "ftp://H.Io:21/Z//",
+        "http://h:80x/p", "http://h#?a=1", "http://h/p#",
+        "https://h/?utm_=&utm_", "https://h/?refresh=1&ref=2",
+        "http://h/?igshidX=1&x=igshid", "nonsense", "://nohost",
+        "http://h:1:2/x", "https://h/p?B=2&a=1&A=3",
+    ]
+    df = rows([(u,) for u in cases], "url string")
+    got = [r["c"] for r in df.select(
+        cu.canonicalize_url("url").alias("c")).collect()]
+    assert got == [ref(u) for u in cases], list(zip(cases, got))
