@@ -18,24 +18,25 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # The driver verifies the FIRST 50 ``queries()`` entries per round
 # (CORRECTNESS_r01/r02 each stopped at entry 50 — `_ordered()` below
 # self-rotates the window onto whatever still lacks a verdict).
-# After round 5 all declared queries hold a verdict (170 hash-green,
-# 5 rows-only).  Round 6 upgraded the last certifiable rows-only
-# entries to value oracles — q24b (multi-pass-blocked fuzzy pair set
-# + label_prop clusters vs an all-pairs + recursive-CTE restatement)
-# and x31 (BPE merge table on a power-of-two construction corpus) —
-# added x43b (incremental-index APPEND cycle), and retired legacy
-# x15 (partition-local pack ids, superseded by value-oracled x15b);
-# `_ordered()`'s oracle-gained-but-never-hash-verified rule rotates
-# q24b/x31/x43b to the front automatically.  q24c changed OUTPUT
-# (threshold 0.75 -> 0.6: the old edge set was empty/trivial) while
-# already hash-green, so it is front-loaded here for a fresh verdict.
-# ``_VERIFY_FIRST`` is only the TIE-BREAK order within the groups;
-# EXACTLY 50 names (pinned by tests/test_entry_window.py).
+# After round 6 every declared query holds a cumulative verdict (173
+# hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 7
+# changed plans/oracles/outputs for: q24c (consumes the SHARED
+# multi-pass pair set; oracle edges restated from all-pairs — output
+# clusters can differ from the prefix-blocked r6 edge set), q24b
+# (shared-pairs plan, same output), x38 (PSL-aware co.uk fixtures —
+# output changed), x34 (k = ceil(n/250) dial; k unchanged at sf0.01
+# but query+oracle text changed), x27 (fragment-'?' parsing fix,
+# same output on the fixture), q51 (leaf-strip plan, same output) —
+# all front-loaded for fresh verdicts.  New x34b (forced Arrow
+# assignment) rotates in automatically via the never-hash-verified
+# rule.  ``_VERIFY_FIRST`` is only the TIE-BREAK order within the
+# groups; EXACTLY 50 names (pinned by tests/test_entry_window.py).
 _VERIFY_FIRST = [
-    # output changed in round 6 — fresh hash verdict first
-    "q24c_fuzzy_grouping_cc",
+    # plans/oracles/outputs changed in round 7 — fresh verdicts first
+    "q24c_fuzzy_grouping_cc", "q24b_fuzzy_grouping", "x38_url_parts",
+    "x34_semantic_dedup", "x27_url_dedup", "q51_hierarchy_flatten",
     # outputs or plans changed in round 5
-    "q26b_approx_distinct", "q41d_stateful_sessionize",
+    "q41d_stateful_sessionize",
     "x41_jpeg_features", "q64_with_totals",
     # band-upgrade + streaming entries from round 4's window
     "q10b_profile", "q41e_stateful_topk",
@@ -43,18 +44,21 @@ _VERIFY_FIRST = [
     "x17_pii_redaction", "x18_quality_filter", "x19_repetition_features",
     "x20_contamination_check", "x21_domain_mix", "x22_split_assignment",
     "x23_segment_dedup", "x24_boilerplate_removal",
-    # oracle-bearing LLM extensions
-    "x26_bm25_search", "x27_url_dedup", "x28_lm_score",
+    # oracle-bearing LLM extensions (incl. the scale-set dedup
+    # flagship family — their sf1/sf10 fixtures changed this round,
+    # so keep their sf0.01 verdicts fresh)
+    "x26_bm25_search", "x02_dedup_minhash", "x28_lm_score",
     "x29_stratified_exact_sample", "x30_semantic_clusters",
-    "x32_weighted_sample", "x33_hybrid_rrf", "x34_semantic_dedup",
+    "x32_weighted_sample", "x33_hybrid_rrf",
+    "x43_incremental_dedup", "x43b_incremental_dedup_append",
     "x35_normalize_text", "x36_dedup_canonical", "x37_sum_map",
-    "x38_url_parts", "x39_curation_pipeline", "x40_standardize",
+    "x39_curation_pipeline", "x40_standardize",
     # ClickHouse-parity analytics
-    "q51_hierarchy_flatten", "q52_inferred_members",
+    "q52_inferred_members",
     "q53_outliers_zscore", "q53b_outliers_iqr", "q54_data_masking",
-    "q55_window_funnel", "q56_cohort_retention", "q57_sessionize",
-    "q58_period_over_period", "q59_date_dimension", "q60_skew_report",
-    "q61_sequence_match", "q62_retention", "q63_transitions",
+    "q56_cohort_retention", "q57_sessionize",
+    "q58_period_over_period", "q60_skew_report",
+    "q62_retention", "q63_transitions",
     "q65_topn_others", "q66_skyline",
     # round-2 additions still lacking a verdict
     "q26e_weighted_percentiles", "q28h_moving_avg",

@@ -5,7 +5,19 @@ Replicates every table K times with per-shard key shifts (shard i adds
 ``i * (max_key + 1)`` to every key/id column), so referential joins
 behave like K independent shards: join fan-outs, group counts, and
 filter selectivities scale linearly, and no artificial cross-shard hot
-key appears.  Non-key columns are copied verbatim.
+key appears.  Non-key columns are copied verbatim — EXCEPT
+``documents.text`` (r7, VERDICT r6 item 4): verbatim replication made
+every document an exact member of a K-sized clique, so any exact
+near-dup pair set (x02/x43's certified generators — and their DuckDB
+oracles) was Θ(K²) BY FIXTURE CONSTRUCTION, OOMing at sf10 regardless
+of plan quality.  Shard i>0 now rewrites each whitespace token ``w``
+to ``w x{i}`` (concatenated — the fixture texts are pure
+``[A-Za-z0-9 ]``, so the map is a token BIJECTION per shard): n-gram
+shingle sets map bijectively, every within-shard Jaccard is IDENTICAL
+to the base corpus (planted near-dup structure preserved per shard),
+and cross-shard similarity is exactly 0.  Near-dup pair counts
+therefore scale LINEARLY with K — the realistic crawl shape the
+second-decade dedup growth evidence needs.
 
 This data is ONLY for the floor-amortization bench (BASELINE.md §4):
 correctness is still gated on the driver's own sf0.001/0.01/0.1
@@ -76,12 +88,21 @@ def main() -> None:
     for (t, c), (rt, rc) in FK_SOURCE.items():
         strides[(t, c)] = strides[(rt, rc)]
 
+    # per-shard token bijection (see module docstring): w -> w || 'x' || i
+    TEXT_BIJECTION = (
+        "CASE WHEN shard.i = 0 THEN text ELSE array_to_string("
+        "list_transform(string_split(text, ' '), "
+        "t -> CASE WHEN t = '' THEN t ELSE t || 'x' || shard.i END), "
+        "' ') END")
+
     for t, keycols in KEYS.items():
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
         sel = ", ".join(
             f"{c} + shard.i * {strides[(t, c)]} AS {c}"
-            if c in keycols else c
+            if c in keycols else
+            (f"{TEXT_BIJECTION} AS text"
+             if t == "documents" and c == "text" else c)
             for c in cols)
         out = os.path.join(dst, f"{t}.parquet")
         con.execute(
