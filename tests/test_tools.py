@@ -199,3 +199,33 @@ def test_no_pathological_bench_outlier():
     assert not det.get("spill_mb"), (
         f"corpus spilled: {det['spill_mb']} — a partition outgrew "
         f"executor memory; repartition or fix the plan")
+
+
+def test_make_scale_text_bijection(tmp_path):
+    """documents.text replicas must be per-shard token bijections of
+    the base corpus (r7): shard 0 verbatim; shard i>0 token-suffixed so
+    within-shard Jaccard equals the base corpus and cross-shard
+    similarity is zero — distinct-text count scales exactly linearly."""
+    dst = str(tmp_path / "sf3x")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "make_scale.py"),
+         "3", "/root/testdata/sf0.001", dst],
+        check=True, capture_output=True)
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001/documents.parquet"
+    n_base, d_base = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT text) FROM '{src}'").fetchone()
+    n, d = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT text) "
+        f"FROM '{dst}/documents.parquet'").fetchone()
+    assert n == 3 * n_base and d == 3 * d_base
+    stride = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM '{src}'").fetchone()[0]
+    # shard 2 of doc 0 is exactly the token-suffixed base text
+    base_text = con.execute(
+        f"SELECT text FROM '{src}' WHERE doc_id = 0").fetchone()[0]
+    rep = con.execute(
+        f"SELECT text FROM '{dst}/documents.parquet' "
+        f"WHERE doc_id = {2 * stride}").fetchone()[0]
+    expect = " ".join(w + "x2" if w else w for w in base_text.split(" "))
+    assert rep == expect
