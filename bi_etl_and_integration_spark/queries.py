@@ -4113,14 +4113,16 @@ _X34_ORACLE = (
     "ORDER BY g.vec_id")
 
 
-def _x34_impl(spark, cat, assign_method):
-    cents_k = None
-    n = cat.embeddings.count()
+def _x34_impl(spark, cat, assign_method, max_vec_id=None):
+    emb = cat.embeddings
+    if max_vec_id is not None:
+        emb = emb.where(F.col("vec_id") < max_vec_id)
+    n = emb.count()
     cents_k = max(8, -(-n // _SEMDEDUP_TARGET_CLUSTER_ROWS))
     cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-             for r in cat.embeddings.where(F.col("vec_id") < cents_k)
+             for r in emb.where(F.col("vec_id") < cents_k)
              .select("vec_id", "embedding").collect()]
-    out = sim_ops.semantic_dedup(cat.embeddings, cents, threshold=0.15,
+    out = sim_ops.semantic_dedup(emb, cents, threshold=0.15,
                                  assign_method=assign_method)
     return out.select("vec_id", "cluster").orderBy("vec_id")
 
@@ -4144,13 +4146,22 @@ def x34(spark, cat):
     return _x34_impl(spark, cat, "auto")
 
 
-@q("x34b_semantic_dedup_arrow", _X34_ORACLE)
+_X34B_ORACLE = _X34_ORACLE.replace(
+    "FROM embeddings", "FROM (SELECT * FROM embeddings "
+    "WHERE vec_id < 500)")
+
+
+@q("x34b_semantic_dedup_arrow", _X34B_ORACLE)
 def x34b(spark, cat):
     """x34 with the Arrow/BLAS assignment path FORCED (at the sf0.01
     driver scale k=8 keeps auto on the plan-literal fold, so this twin
     is what driver-certifies the arrow path's bit-exactness — the
-    band-re-decision argument — against the same all-exact oracle)."""
-    return _x34_impl(spark, cat, "arrow")
+    band-re-decision argument — against the same all-exact oracle).
+    Bounded to ``vec_id < 500`` on BOTH engines: at sf0.01 that is the
+    whole table (the certification is unweakened where it counts), and
+    at bench SFs the twin doesn't re-pay x34's full corpus for a
+    fixed-size exactness proof."""
+    return _x34_impl(spark, cat, "arrow", max_vec_id=500)
 
 
 @q("x35_normalize_text",
