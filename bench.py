@@ -119,6 +119,19 @@ def main() -> None:
             times[name] = -1.0
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
+        # Isolate queries from each other's cached state (r7): queries
+        # that persist an intermediate (the exact-pair certification
+        # frames of x02/x43/x43b are ~100 MB-class at sf10) release it
+        # only via async GC, so a rapid-fire 28-query session let
+        # leaked caches pressure later queries into spill (q17b) and
+        # one x43b run into a failed broadcast materialization.  Clear
+        # everything between queries and re-mark the deliberate
+        # session-scoped memo (q24b/q24c's shared pair set) so its
+        # owner re-caches lazily on next use.
+        spark.catalog.clearCache()
+        for memo in getattr(spark, "_bi_etl_pair_cache", {}).values():
+            for df in memo:
+                df.persist()
 
     # Streaming twins run real checkpointed micro-batch jobs; their
     # wall time is the streaming-runtime floor, not plan cost.  They
