@@ -125,13 +125,12 @@ def main() -> None:
         # only via async GC, so a rapid-fire 28-query session let
         # leaked caches pressure later queries into spill (q17b) and
         # one x43b run into a failed broadcast materialization.  Clear
-        # everything between queries and re-mark the deliberate
-        # session-scoped memo (q24b/q24c's shared pair set) so its
-        # owner re-caches lazily on next use.
+        # everything between queries; the queries module re-marks its
+        # own session-scoped memos (it owns their shape).
+        from bi_etl_and_integration_spark.queries import (
+            remark_session_caches)
         spark.catalog.clearCache()
-        for memo in getattr(spark, "_bi_etl_pair_cache", {}).values():
-            for df in memo:
-                df.persist()
+        remark_session_caches(spark)
 
     # Streaming twins run real checkpointed micro-batch jobs; their
     # wall time is the streaming-runtime floor, not plan cost.  They

@@ -577,7 +577,8 @@ PSL_SNAPSHOT: tuple[str, ...] = (
 def with_url_parts(df: DataFrame, url_col: str, *,
                    prefix: str = "url_",
                    public_suffixes: tuple[str, ...] | list[str] | None
-                   = None) -> DataFrame:
+                   = None,
+                   on_unsupported: str = "raise") -> DataFrame:
     """ClickHouse URL-function-family parity (``protocol``, ``domain``,
     ``path``, ``queryString``, ``fragment``, ``topLevelDomain``):
     structural URL decomposition as pure codegen expressions
@@ -601,22 +602,42 @@ def with_url_parts(df: DataFrame, url_col: str, *,
     codegen — no join, no UDF, no shuffle): one candidate suffix per
     distinct rule depth, longest depth wins.  Narrow map, scale-free;
     the full PSL (~10k rules) stays well inside InSet range.
+
+    Feeding the raw publicsuffix.org file: pass
+    ``on_unsupported="skip"`` — single-label rules (``com``, ``org``,
+    thousands of them) are then DROPPED as redundant (the bare last
+    label is already the implicit fallback rule, so skipping them is
+    lossless), and wildcard (``*.ck``) / exception (``!www.ck``) rules
+    are DROPPED with degraded semantics (hosts under those ~dozen
+    zones fall back to the registrable-domain approximation).  The
+    default ``"raise"`` keeps the loud contract for curated lists.
     """
+    if on_unsupported not in ("raise", "skip"):
+        raise ValueError(
+            f"with_url_parts: on_unsupported must be 'raise' or "
+            f"'skip', got {on_unsupported!r}")
     if public_suffixes is None:
         public_suffixes = PSL_SNAPSHOT
     by_depth: dict[int, list[str]] = {}
     for s in public_suffixes:
         s = s.strip().lower()
         if not s or s.startswith(("*", "!")):
+            if on_unsupported == "skip":
+                continue
             raise ValueError(
                 f"with_url_parts: wildcard/exception PSL rule {s!r} is "
-                "not modeled — filter those out (they degrade to the "
+                "not modeled — pass on_unsupported='skip' to drop them "
+                "(hosts under those zones degrade to the "
                 "registrable-domain approximation)")
-        by_depth.setdefault(s.count(".") + 1, []).append(s)
-    if 1 in by_depth:
-        raise ValueError("with_url_parts: single-label suffixes are "
-                         "implicit (the last host label) — the rule "
-                         "list should carry only multi-label suffixes")
+        depth = s.count(".") + 1
+        if depth == 1:
+            if on_unsupported == "skip":
+                continue              # redundant: implicit fallback
+            raise ValueError(
+                "with_url_parts: single-label suffixes are implicit "
+                "(the last host label); pass on_unsupported='skip' to "
+                "drop them losslessly")
+        by_depth.setdefault(depth, []).append(s)
 
     u = F.col(url_col)
     host = F.parse_url(u, F.lit("HOST"))

@@ -24,6 +24,9 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bi_etl_and_integration_spark.operators.common import (
+    materialize as _materialize)
+
 
 def merge_apply(target: DataFrame, source: DataFrame, keys: Sequence[str],
                 *, update_cols: Sequence[str] | None = None,
@@ -202,13 +205,6 @@ def flatten_hierarchy(edges: DataFrame, id_col: str = "id",
     leaves = typed.join(parent_ids, "id", "left_anti")
     state = internal.withColumn("path", F.array(F.col("id")))
     state = state.withColumn("done", F.col("anc").isNull())
-
-    def _materialize(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
     state = _materialize(state)
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))) + 1)
     for _ in range(rounds):

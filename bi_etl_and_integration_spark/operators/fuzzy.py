@@ -25,20 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Cut the lineage of one iteration round: iterative loops
-    (connected_components, label_prop) reference their input several
-    times per round, so without truncation the logical plan grows
-    multiplicatively and Catalyst re-analysis dominates by round ~5
-    (persist alone does NOT cut the plan).  Reliable checkpoint when a
-    checkpoint dir is configured (survives executor loss / dynamic
-    allocation on a real cluster), localCheckpoint otherwise —
-    localCheckpoint blocks have no lineage fallback, fine in local
-    mode only."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+from bi_etl_and_integration_spark.operators.common import (
+    materialize as _materialize)
 
 
 def similarity(a: Column, b: Column) -> Column:

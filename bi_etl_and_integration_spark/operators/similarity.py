@@ -636,6 +636,14 @@ def _kmeans_assign_arrow(df: DataFrame,
     from pyspark.sql.types import IntegerType, StructType
 
     cids = [int(c) for c, _ in centroids]
+    if any(not (-2**31 <= c < 2**31) for c in cids):
+        # the output column is int32 (matching the literal path's
+        # IntegerType on small-int literals); refuse loudly instead of
+        # silently wrapping a 64-bit centroid id
+        raise ValueError(
+            "kmeans_assign(method='arrow'): centroid ids must fit "
+            "int32; re-number the centroids (enumerate()) or use "
+            "method='literal'")
     cvecs = [[float(x) for x in v] for _, v in centroids]
     in_names = [f.name for f in df.schema.fields if f.name != out_col]
     # StructType(list).add mutates the list it was built from — copy
@@ -651,6 +659,8 @@ def _kmeans_assign_arrow(df: DataFrame,
         cid = np.asarray(cids, dtype=np.int64)
         C = np.asarray(cvecs, dtype=np.float64)          # k × dim
         Cn = np.einsum("ij,ij->i", C, C)
+        min_cid = int(cid.min())
+        dim = C.shape[1]
         for pdf in it:
             if out_col in pdf.columns:
                 pdf = pdf.drop(columns=[out_col])
@@ -658,7 +668,15 @@ def _kmeans_assign_arrow(df: DataFrame,
                 pdf[out_col] = pd.Series([], dtype="int32")
                 yield pdf[col_order]
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # NULL embeddings behave like all-NaN vectors: every
+            # distance is non-comparable, which on the LITERAL path
+            # makes every (d, c) struct compare equal on d (NULL/NaN
+            # sort together first) so array_min falls through to the
+            # MIN centroid id — reproduced here via the no-band-
+            # candidate fallback below
+            cells = [c if c is not None else np.full(dim, np.nan)
+                     for c in pdf[vec_col].to_numpy()]
+            V = np.stack(cells).astype(np.float64)
             Vn = np.einsum("ij,ij->i", V, V)
             # expansion form ||v||²-2v·c+||c||²: its cancellation
             # error (~1e-16·||v||²) is orders below the band width
@@ -666,8 +684,10 @@ def _kmeans_assign_arrow(df: DataFrame,
             dmin = D.min(axis=1)
             band = _ASSIGN_EPS * (1.0 + np.abs(dmin))
             in_band = D <= (dmin + band)[:, None]
-            # fast path: exactly one band candidate -> BLAS decides
+            # fast path: exactly one band candidate -> BLAS decides;
+            # zero candidates (NaN distances) -> min cid, per above
             out = cid[np.argmax(in_band, axis=1)]
+            out[~in_band.any(axis=1)] = min_cid
             for i in np.nonzero(in_band.sum(axis=1) > 1)[0]:
                 best = None
                 for j in np.nonzero(in_band[i])[0]:
@@ -950,10 +970,8 @@ def semantic_dedup(df: DataFrame,
     # before the result is consumed would fail the query.  Without a
     # checkpoint dir (local dev) fall back to localCheckpoint and
     # accept that single-process risk profile.
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        dominated = dominated.checkpoint(eager=True)
-    else:
-        dominated = dominated.localCheckpoint(eager=True)
+    from bi_etl_and_integration_spark.operators.common import materialize
+    dominated = materialize(dominated)
     # the size guard + dominance pass (the two extra consumers the
     # persist existed for) have run; the final anti-join re-evaluates
     # the assignment fold exactly once at consume time

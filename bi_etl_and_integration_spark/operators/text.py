@@ -598,12 +598,10 @@ def concat_chunk_pack(df: DataFrame, count_col: str, order_col: str, *,
     # materialize BEFORE reading the totals: the offset table below is
     # only valid for the exact partitioning this evaluation produced,
     # and an unmaterialized plan would re-run the range exchange when
-    # the result is consumed (checkpoint, reliable when a dir is set —
-    # same contract as flatten_hierarchy's per-round materialization)
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        local = local.checkpoint(eager=True)
-    else:
-        local = local.localCheckpoint(eager=True)
+    # the result is consumed (shared operators.common.materialize —
+    # reliable checkpoint when a dir is set)
+    from bi_etl_and_integration_spark.operators.common import materialize
+    local = materialize(local)
     totals = (local.groupBy("__pid")
               .agg(F.max("__lcum").alias("__ptot"))
               .orderBy("__pid").collect())        # == #partitions rows

@@ -1726,6 +1726,17 @@ def q39b(spark, cat):
     return out.select("doc_id", "n_term_hits").orderBy("doc_id")
 
 
+def remark_session_caches(spark) -> None:
+    """Re-mark every session-scoped memoized DataFrame for caching
+    after an external ``spark.catalog.clearCache()`` (bench.py clears
+    between queries to keep leaked per-query persists from pressuring
+    later queries).  Owned HERE, next to the memo it covers, so the
+    memo's shape and its re-mark contract can never drift apart."""
+    for memo in getattr(spark, "_bi_etl_pair_cache", {}).values():
+        for df in memo:
+            df.persist()
+
+
 def _part_name_pairs(spark, cat):
     """The certified part-name similarity pair set, built ONCE per
     (session, sf_dir) and shared by q24b (emits the pairs + label_prop

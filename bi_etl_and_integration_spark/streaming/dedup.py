@@ -141,20 +141,28 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
     kinds = ("buckets", "shingles")
     dedup_keys = {"buckets": ["band", "bucket", "id"],
                   "shingles": ["id"]}
-    loaded = {}
+    loaded, kind_epochs = {}, {}
     for kind in kinds:
         loaded[kind] = spark.read.parquet(os.path.join(index_dir, kind))
-    epochs = sorted(r["epoch"] for r in loaded["buckets"]
-                    .select("epoch").distinct().collect())
-    if len(epochs) <= 2:
-        # 0/1 epochs: nothing to merge; 2 epochs: the only candidate
-        # (epochs[0]) is already a single directory — merging it into
-        # itself is a no-op
-        return epochs[-1] if epochs else 0
-    keep = epochs[-2]
+        kind_epochs[kind] = sorted(
+            r["epoch"] for r in loaded[kind]
+            .select("epoch").distinct().collect())
+    # the epoch LANDSCAPE is the union across kinds: a crash between
+    # one kind's rewrite and the other's can leave per-kind epoch
+    # inventories diverging (e.g. buckets already compacted, shingles
+    # not) — deriving the newest/keep epochs from one kind alone would
+    # strand the other kind's old dirs forever (their rows re-merged
+    # by every later compaction but never deleted -> permanent
+    # duplicate candidates in minhash_lookup's verify join)
+    union = sorted({e for es in kind_epochs.values() for e in es})
+    if len(union) <= 2:
+        # 0/1 epochs: nothing to merge; 2 epochs: the only committed
+        # candidate is already a single directory per kind
+        return union[-1] if union else 0
+    newest, keep = union[-1], union[-2]
     for kind in kinds:
         merged = (loaded[kind]
-                  .where(F.col("epoch") < epochs[-1])  # committed only
+                  .where(F.col("epoch") < newest)  # committed only
                   .drop("epoch")
                   .dropDuplicates(dedup_keys[kind]))
         if target_partitions:
@@ -166,9 +174,11 @@ def compact_minhash_index(spark: SparkSession, index_dir: str, *,
         staged = spark.read.parquet(tmp)
         staged.write.mode("overwrite").parquet(
             os.path.join(index_dir, kind, f"epoch={keep}"))
-        for e in epochs[:-2]:
-            shutil.rmtree(os.path.join(index_dir, kind, f"epoch={e}"),
-                          ignore_errors=True)
+        for e in kind_epochs[kind]:
+            if e < newest and e != keep:
+                shutil.rmtree(
+                    os.path.join(index_dir, kind, f"epoch={e}"),
+                    ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
     return keep
 

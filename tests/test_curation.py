@@ -369,3 +369,21 @@ def test_canonicalize_url_fuzz_vs_reference(rows):
     got = [r["c"] for r in df.select(
         cu.canonicalize_url("url").alias("c")).collect()]
     assert got == [ref(u) for u in cases], list(zip(cases, got))
+
+
+def test_with_url_parts_full_psl_via_skip(rows):
+    """on_unsupported='skip' makes the raw publicsuffix.org shape
+    consumable: single-label rules drop losslessly (implicit fallback),
+    wildcard/exception rules drop with degraded (registrable) handling."""
+    from bi_etl_and_integration_spark.operators.curation import (
+        with_url_parts)
+    raw_psl = ("com", "org", "co.uk", "*.ck", "!www.ck", "k12.ca.us")
+    df = rows([(1, "https://a.co.uk/x"), (2, "https://a.b.ck/x"),
+               (3, "https://x.example.com/")], "doc_id long, u string")
+    out = {r["doc_id"]: r.asDict() for r in with_url_parts(
+        df, "u", public_suffixes=raw_psl,
+        on_unsupported="skip").collect()}
+    assert out[1]["url_tld"] == "co.uk"
+    assert out[2]["url_domain"] == "b.ck"     # degraded, not an error
+    assert out[3]["url_tld"] == "com"         # implicit fallback
+    assert out[3]["url_domain"] == "example.com"

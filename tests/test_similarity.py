@@ -405,3 +405,32 @@ def test_kmeans_assign_auto_switches_on_budget(rows):
     got = {r["vec_id"]: r["cluster"] for r in big.collect()}
     # row i = [i]*dim is nearest centroid [3j]*dim with j = round(i/3)
     assert got == {i: int(round(i / 3.0)) for i in range(5)}
+
+
+def test_kmeans_assign_arrow_null_nan_and_id_guard(rows):
+    """Review r7 fixes: NULL or NaN-bearing embeddings -> the MIN
+    centroid id on BOTH paths (every (d,c) struct compares equal on a
+    non-comparable d, so the literal array_min falls through to the
+    id; the arrow path reproduces it via the empty-band fallback);
+    64-bit centroid ids are rejected loudly on the arrow path instead
+    of silently wrapping."""
+    import math
+
+    import pytest
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+
+    df = rows([(1, [0.0, 0.0]), (2, None),
+               (3, [float("nan"), 1.0]), (4, [9.0, 9.0])],
+              "vec_id long, embedding array<double>")
+    cents = [(5, [0.0, 0.0]), (2, [9.0, 9.0])]   # min cid = 2
+    lit = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(df, cents, method="literal").collect()}
+    arr = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(df, cents, method="arrow").collect()}
+    assert arr == lit
+    assert arr[2] == 2     # NULL embedding -> min cid (both paths)
+    assert arr[3] == 2                         # NaN -> min cid
+    with pytest.raises(ValueError, match="int32"):
+        kmeans_assign(df, [(3_000_000_000, [0.0, 0.0])],
+                      method="arrow")

@@ -645,3 +645,59 @@ def test_compact_then_resume_replays_uncommitted_epoch(spark, rows,
         q.stop()
     assert sorted(r["doc_id"] for r in
                   spark.read.parquet(out).collect()) == [0, 2, 4, 9, 12]
+
+
+def test_compact_repairs_cross_kind_epoch_strand(spark, rows, tmp_path):
+    """Review r7: a crash BETWEEN compaction's two kinds leaves the
+    kinds' epoch inventories diverging (buckets compacted, shingles
+    not).  The epoch landscape must come from the UNION across kinds,
+    or the stranded shingles dirs get re-merged forever but never
+    deleted (permanent duplicate verify-join candidates)."""
+    import shutil as _sh
+
+    from bi_etl_and_integration_spark.streaming.dedup import (
+        compact_minhash_index, dedup_stream)
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    DOCS = "doc_id long, text string"
+    b1 = rows([(0, "the quick brown fox jumps over the dog " * 5)], DOCS)
+    b1.write.parquet(src)
+    writer = dedup_stream(
+        spark.readStream.schema(b1.schema).parquet(src),
+        index_dir=index_dir, survivors_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=32, bands=16, jaccard_threshold=0.5)
+    for batch in ([(4, "another document entirely " * 5)],
+                  [(6, "a third unrelated corpus slice " * 5)]):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows(batch, DOCS).write.mode("append").parquet(src)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # simulate the cross-kind crash on epochs {0,1,2}: buckets already
+    # compacted (0+1 merged into 1, 0 deleted), shingles untouched
+    merged = spark.read.parquet(f"{index_dir}/buckets/epoch=0") \
+        .unionByName(spark.read.parquet(f"{index_dir}/buckets/epoch=1"))
+    tmp = f"{index_dir}/buckets/__crashsim"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(
+        f"{index_dir}/buckets/epoch=1")
+    _sh.rmtree(tmp)
+    _sh.rmtree(f"{index_dir}/buckets/epoch=0")
+
+    kept = compact_minhash_index(spark, index_dir)
+    assert kept == 1
+    sh = spark.read.parquet(index_dir + "/shingles")
+    assert ({r["epoch"] for r in sh.select("epoch").distinct()
+             .collect()} == {1, 2})           # stray epoch 0 GONE
+    assert sorted(r["id"] for r in sh.select("id").collect()) == [0, 4, 6]
+    bk = spark.read.parquet(index_dir + "/buckets")
+    assert ({r["epoch"] for r in bk.select("epoch").distinct()
+             .collect()} == {1, 2})
