@@ -434,3 +434,39 @@ def test_kmeans_assign_arrow_null_nan_and_id_guard(rows):
     with pytest.raises(ValueError, match="int32"):
         kmeans_assign(df, [(3_000_000_000, [0.0, 0.0])],
                       method="arrow")
+
+
+def test_kmeans_assign_arrow_equals_literal_near_ties(rows):
+    """Adversarial equivalence sweep: random corpora against centroid
+    sets that include an ENGINEERED near-tie pair (B = A + 1e-9 per
+    component — distances differ by ~1e-8, inside the re-decision
+    band), across several seeds.  The arrow path must reproduce the
+    literal fold's argmin bit for bit, near-ties included."""
+    import numpy as np
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+
+    dim = 6
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        base = rng.randn(4, dim)
+        cents = [(10 + i, [float(x) for x in base[i]]) for i in range(4)]
+        # near-tie pair: id 3 (lower) duplicates id 50's vector + 1e-9
+        cents.append((50, [float(x) for x in base[0]]))
+        cents.append((3, [float(x + 1e-9) for x in base[0]]))
+        pts = np.vstack([rng.randn(40, dim),
+                         base[0] + rng.randn(10, dim) * 1e-6])
+        df = rows([(i, [float(x) for x in pts[i]])
+                   for i in range(len(pts))],
+                  "vec_id long, embedding array<double>")
+        lit = {r["vec_id"]: r["cluster"] for r in
+               kmeans_assign(df, cents, method="literal").collect()}
+        arr = {r["vec_id"]: r["cluster"] for r in
+               kmeans_assign(df, cents, method="arrow").collect()}
+        assert arr == lit, f"seed {seed}"
+        # the 1e-6-radius cloud around base[0] sits in the band of the
+        # three base[0]-coincident centroids (10 exact, 50 exact, 3 at
+        # +1e-9) — every cloud point must land on one of them, decided
+        # by the exact fold, identically on both paths
+        twin_hits = sum(1 for i in range(40, 50) if arr[i] in (3, 10, 50))
+        assert twin_hits == 10, f"seed {seed}: {twin_hits}"
