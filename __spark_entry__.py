@@ -18,52 +18,52 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # The driver verifies the FIRST 50 ``queries()`` entries per round
 # (CORRECTNESS_r01/r02 each stopped at entry 50 — `_ordered()` below
 # self-rotates the window onto whatever still lacks a verdict).
-# After round 6 every declared query holds a cumulative verdict (173
-# hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 7
-# changed plans/oracles/outputs for: q24c (consumes the SHARED
-# multi-pass pair set; oracle edges restated from all-pairs — output
-# clusters can differ from the prefix-blocked r6 edge set), q24b
-# (shared-pairs plan, same output), x38 (PSL-aware co.uk fixtures —
-# output changed), x34 (k = ceil(n/250) dial; k unchanged at sf0.01
-# but query+oracle text changed), x27 (fragment-'?' parsing fix,
-# same output on the fixture), q51 (leaf-strip plan, same output) —
-# all front-loaded for fresh verdicts.  New x34b (forced Arrow
-# assignment) rotates in automatically via the never-hash-verified
-# rule.  ``_VERIFY_FIRST`` is only the TIE-BREAK order within the
-# groups; EXACTLY 50 names (pinned by tests/test_entry_window.py).
+# After round 7 every declared query holds a cumulative verdict (174
+# hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 8
+# changed OUTPUT for x38 (wildcard *.ck + exception !www.ck PSL
+# fixture zones) and changed PLANS (same output) for: q24b/q24c +
+# x36/x36b (driver-local small-graph connected components), x34/x34b
+# (scalar-pandas_udf assignment, in-place distance kernel; x34
+# additionally routes big k to the new coarse path), q45 (top-20
+# pushed below the dim joins), and every tokenize consumer (direct
+# regex split): x07/x08/x09/q39/q39b/x26/x28 — all front-loaded for
+# fresh verdicts.  New x34c (forced coarse assignment) rotates in
+# automatically via the never-hash-verified rule.  ``_VERIFY_FIRST``
+# is only the TIE-BREAK order within the groups; EXACTLY 50 names
+# (pinned by tests/test_entry_window.py).
 _VERIFY_FIRST = [
-    # plans/oracles/outputs changed in round 7 — fresh verdicts first
-    "q24c_fuzzy_grouping_cc", "q24b_fuzzy_grouping", "x38_url_parts",
-    "x34_semantic_dedup", "x27_url_dedup", "q51_hierarchy_flatten",
-    # outputs or plans changed in round 5
-    "q41d_stateful_sessionize",
-    "x41_jpeg_features", "q64_with_totals",
-    # band-upgrade + streaming entries from round 4's window
+    # output changed in round 8 — first
+    "x38_url_parts",
+    # plans changed in round 8 (same output) — fresh verdicts
+    "q24b_fuzzy_grouping", "q24c_fuzzy_grouping_cc",
+    "x36_dedup_canonical", "x36b_dedup_keep_longest",
+    "x34_semantic_dedup", "x34b_semantic_dedup_arrow",
+    "q45_returned_items",
+    "x07_text_tokens", "x08_text_quality", "x09_text_langid",
+    "q39_term_extraction", "q39b_term_lookup",
+    "x26_bm25_search", "x28_lm_score",
+    # round-7 window carry-overs worth keeping warm
+    "x27_url_dedup", "q51_hierarchy_flatten",
+    "q41d_stateful_sessionize", "x41_jpeg_features", "q64_with_totals",
     "q10b_profile", "q41e_stateful_topk",
     # corpus-curation block (operators/curation.py)
     "x17_pii_redaction", "x18_quality_filter", "x19_repetition_features",
     "x20_contamination_check", "x21_domain_mix", "x22_split_assignment",
     "x23_segment_dedup", "x24_boilerplate_removal",
     # oracle-bearing LLM extensions (incl. the scale-set dedup
-    # flagship family — their sf1/sf10 fixtures changed this round,
+    # flagship family — sf1/sf10 fixtures regenerated this round,
     # so keep their sf0.01 verdicts fresh)
-    "x26_bm25_search", "x02_dedup_minhash", "x28_lm_score",
+    "x02_dedup_minhash",
     "x29_stratified_exact_sample", "x30_semantic_clusters",
     "x32_weighted_sample", "x33_hybrid_rrf",
     "x43_incremental_dedup", "x43b_incremental_dedup_append",
-    "x35_normalize_text", "x36_dedup_canonical", "x37_sum_map",
+    "x35_normalize_text", "x37_sum_map",
     "x39_curation_pipeline", "x40_standardize",
     # ClickHouse-parity analytics
     "q52_inferred_members",
     "q53_outliers_zscore", "q53b_outliers_iqr", "q54_data_masking",
     "q56_cohort_retention", "q57_sessionize",
-    "q58_period_over_period", "q60_skew_report",
-    "q62_retention", "q63_transitions",
-    "q65_topn_others", "q66_skyline",
-    # round-2 additions still lacking a verdict
-    "q26e_weighted_percentiles", "q28h_moving_avg",
-    # env-capable source/sink round-trips (locally oracle-proven)
-    "q01b_jdbc_roundtrip", "q03b_zorder_staging", "q03c_excel_roundtrip",
+    "q58_period_over_period", "q62_retention", "q65_topn_others",
 ]
 
 

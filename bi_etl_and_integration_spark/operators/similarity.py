@@ -710,8 +710,6 @@ def _kmeans_assign_arrow(df: DataFrame,
                          coarse: bool = False) -> DataFrame:
     import math
 
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
     cids = [int(c) for c, _ in centroids]
     if any(not (-2**31 <= c < 2**31) for c in cids):
         # the output column is int32 (matching the literal path's
@@ -722,20 +720,6 @@ def _kmeans_assign_arrow(df: DataFrame,
             "int32; re-number the centroids (enumerate()) or use "
             "method='literal'")
     cvecs = [[float(x) for x in v] for _, v in centroids]
-    in_names = [f.name for f in df.schema.fields if f.name != out_col]
-    if out_col in df.columns:
-        # keep out_col at its ORIGINAL schema position so the arrow
-        # result's column order matches the literal path's in-place
-        # withColumn replacement (ADVICE r7 — `auto` may flip between
-        # the two as k·dim crosses the budget)
-        schema = StructType([
-            StructField(out_col, IntegerType(), True)
-            if f.name == out_col else f for f in df.schema.fields])
-    else:
-        # StructType(list).add mutates the list it was built from — copy
-        schema = StructType(list(df.schema.fields)).add(
-            out_col, IntegerType())
-    col_order = [f.name for f in schema.fields]
 
     coarse_prep = None
     if coarse:
@@ -748,7 +732,15 @@ def _kmeans_assign_arrow(df: DataFrame,
                    for g in range(len(supers))]
         coarse_prep = (supers.tolist(), radius.tolist(), members)
 
-    def assign_batches(it):
+    # SCALAR pandas_udf, not mapInPandas (round 8, measured at sf10):
+    # the whole-row mapInPandas shipped every passenger column AND the
+    # embedding array back OUT of Python per pass — Arrow-encoding the
+    # array column on the return leg alone was ~2s of the 5s pass; the
+    # scalar form ships the embedding IN once and 4 bytes/row OUT
+    # (5.0 s -> 0.7 s per fresh assignment plan, k=800/200k rows).
+    # withColumn also preserves a pre-existing out_col's position —
+    # identical to the literal path's in-place replacement.
+    def assign_series(s):
         import numpy as np
         import pandas as pd
 
@@ -757,150 +749,137 @@ def _kmeans_assign_arrow(df: DataFrame,
         Cn = np.einsum("ij,ij->i", C, C)
         min_cid = int(cid.min())
         dim = C.shape[1]
-        if coarse_prep is not None:
-            S = np.asarray(coarse_prep[0], dtype=np.float64)  # G × dim
-            Sn = np.einsum("ij,ij->i", S, S)
-            radius_a = np.asarray(coarse_prep[1], dtype=np.float64)
-            members_a = [np.asarray(m, dtype=np.int64)
-                         for m in coarse_prep[2]]
-            empty_g = np.asarray([len(m) == 0 for m in members_a])
+        if not len(s):
+            return pd.Series([], dtype="int32")
+        # NULL embeddings behave like all-NaN vectors: every distance
+        # is non-comparable, which on the LITERAL path makes every
+        # (d, c) struct compare equal on d (NULL/NaN sort together
+        # first) so array_min falls through to the MIN centroid id —
+        # reproduced here via the no-band-candidate fallback
+        cells = [c if c is not None else np.full(dim, np.nan)
+                 for c in s.to_numpy()]
+        V = np.stack(cells).astype(np.float64)
+        Vn = np.einsum("ij,ij->i", V, V)
+        out = np.full(len(V), min_cid, dtype=np.int64)
 
-        def decide(V, rows, cand_idx, D_cand, out):
-            """Shared band decision: BLAS decides single-candidate
-            rows; multi-candidate rows re-decided with the exact
-            sequential fold + (d, cid) lexicographic tie rule; zero
-            candidates (NaN distances) fall to the min centroid id —
-            byte-for-byte the literal path's semantics."""
-            dmin = D_cand.min(axis=1)
-            band = _ASSIGN_EPS * (1.0 + np.abs(dmin))
-            in_band = D_cand <= (dmin + band)[:, None]
-            pick = cand_idx[np.arange(len(rows)),
-                            np.argmax(in_band, axis=1)]
-            out[rows] = cid[pick]
-            out[rows[~in_band.any(axis=1)]] = min_cid
-            for r in np.nonzero(in_band.sum(axis=1) > 1)[0]:
-                i = rows[r]
-                best = None
-                for j in cand_idx[r][in_band[r]]:
-                    d = 0.0
-                    for x, y in zip(V[i], C[j]):   # sq_l2's op order
-                        t = x - y
-                        d += t * t
-                    pair = (d, int(cid[j]))
-                    if best is None or pair < best:
-                        best = pair
-                out[i] = best[1]
+        def exact_best(i, cand):
+            best = None
+            for j in cand:
+                d = 0.0
+                for x, y in zip(V[i], C[j]):       # sq_l2's op order
+                    t = x - y
+                    d += t * t
+                pair = (d, int(cid[j]))
+                if best is None or pair < best:
+                    best = pair
+            return best[1]
 
-        for pdf in it:
-            if out_col in pdf.columns:
-                pdf = pdf.drop(columns=[out_col])
-            if len(pdf) == 0:
-                pdf[out_col] = pd.Series([], dtype="int32")
-                yield pdf[col_order]
-                continue
-            # NULL embeddings behave like all-NaN vectors: every
-            # distance is non-comparable, which on the LITERAL path
-            # makes every (d, c) struct compare equal on d (NULL/NaN
-            # sort together first) so array_min falls through to the
-            # MIN centroid id — reproduced here via the no-band-
-            # candidate fallback below
-            cells = [c if c is not None else np.full(dim, np.nan)
-                     for c in pdf[vec_col].to_numpy()]
-            V = np.stack(cells).astype(np.float64)
-            Vn = np.einsum("ij,ij->i", V, V)
-            out = np.full(len(V), min_cid, dtype=np.int64)
-            if coarse_prep is None:
-                # flat: expansion form ||v||²-2v·c+||c||²: its
-                # cancellation error (~1e-16·||v||²) is orders below
-                # the band width
-                D = Vn[:, None] - 2.0 * (V @ C.T) + Cn[None, :]
-                decide(V, np.arange(len(V)), np.broadcast_to(
-                    np.arange(len(C)), D.shape), D, out)
-                pdf[out_col] = out.astype("int32")
-                yield pdf[col_order]
-                continue
-            # ---- coarse path ----
-            valid = np.isfinite(Vn)     # NaN rows keep the min_cid
-            rows_all = np.nonzero(valid)[0]
-            if len(rows_all):
-                Vv, Vvn = V[rows_all], Vn[rows_all]
-                Dsup = np.maximum(
-                    Vvn[:, None] - 2.0 * (Vv @ S.T) + Sn[None, :], 0.0)
-                Dsup[:, empty_g] = np.inf
-                dsup = np.sqrt(Dsup)
-                # lower bound on ANY member's distance, deflated by a
-                # generous numeric slack (1e-9 relative ≪ the 1e-6
-                # band, so deflation only ever RETAINS extra groups)
-                lb = np.maximum(
-                    dsup - radius_a[None, :] - 1e-9 * (1.0 + dsup), 0.0)
-                lbsq = lb * lb
-                g0 = np.argmin(Dsup, axis=1)
-                best = np.full(len(rows_all), np.inf)
-                # Phase A: exact BLAS min.  Seed with the nearest
-                # super's members, then scan only groups whose bound
-                # can still beat the current best (+ band margin so no
-                # band candidate's group is ever pruned).
-                for g in range(len(S)):
+        if coarse_prep is None:
+            # flat: expansion form ||v||²-2v·c+||c||² — but ||v||² is
+            # CONSTANT per row, so the argmin and the band test run on
+            # T = -2·V@Cᵀ + ||c||² built IN PLACE (r8, measured: the
+            # naive Vn[:,None]-2M+Cn broadcast allocated two n×k
+            # temporaries and was 5-10× the matmul's cost at k=800 —
+            # pure memory traffic).  D = Vn + T only materializes as
+            # the per-row scalar dmin for the band width.  BLAS
+            # decides single-band-candidate rows; multi-candidate rows
+            # are re-decided with the exact sequential fold + (d, cid)
+            # lexicographic tie rule; zero candidates (NaN) fall to
+            # the min centroid id.
+            T = V @ C.T
+            T *= -2.0
+            T += Cn[None, :]
+            tmin = T.min(axis=1)
+            band = _ASSIGN_EPS * (1.0 + np.abs(Vn + tmin))
+            in_band = T <= (tmin + band)[:, None]
+            out = cid[np.argmax(in_band, axis=1)]
+            out[~in_band.any(axis=1)] = min_cid
+            for i in np.nonzero(in_band.sum(axis=1) > 1)[0]:
+                out[i] = exact_best(i, np.nonzero(in_band[i])[0])
+            return pd.Series(out.astype("int32"))
+
+        # ---- coarse path ----
+        S = np.asarray(coarse_prep[0], dtype=np.float64)   # G × dim
+        Sn = np.einsum("ij,ij->i", S, S)
+        radius_a = np.asarray(coarse_prep[1], dtype=np.float64)
+        members_a = [np.asarray(m, dtype=np.int64)
+                     for m in coarse_prep[2]]
+        empty_g = np.asarray([len(m) == 0 for m in members_a])
+        valid = np.isfinite(Vn)         # NaN rows keep the min_cid
+        rows_all = np.nonzero(valid)[0]
+        if len(rows_all):
+            Vv, Vvn = V[rows_all], Vn[rows_all]
+            Dsup = np.maximum(
+                Vvn[:, None] - 2.0 * (Vv @ S.T) + Sn[None, :], 0.0)
+            Dsup[:, empty_g] = np.inf
+            dsup = np.sqrt(Dsup)
+            # lower bound on ANY member's distance, deflated by a
+            # generous numeric slack (1e-9 relative ≪ the 1e-6 band,
+            # so deflation only ever RETAINS extra groups)
+            lb = np.maximum(
+                dsup - radius_a[None, :] - 1e-9 * (1.0 + dsup), 0.0)
+            lbsq = lb * lb
+            g0 = np.argmin(Dsup, axis=1)
+            best = np.full(len(rows_all), np.inf)
+            # Phase A: exact BLAS min.  Seed with the nearest super's
+            # members, then scan only groups whose bound can still
+            # beat the current best (+ band margin so no band
+            # candidate's group is ever pruned).
+            for g in range(len(S)):
+                mg = members_a[g]
+                if not len(mg):
+                    continue
+                margin = _ASSIGN_EPS * (1.0 + np.abs(best))
+                need = (g0 == g) | (lbsq[:, g] <= best + margin)
+                rr = np.nonzero(need)[0]
+                if not len(rr):
+                    continue
+                Dg = Vv[rr] @ C[mg].T
+                Dg *= -2.0
+                Dg += Cn[mg][None, :]
+                Dg += Vvn[rr][:, None]
+                best[rr] = np.minimum(best[rr], Dg.min(axis=1))
+            # Phase B (vectorized): count band candidates per row
+            # group-by-group; the common case — exactly one — is
+            # decided by BLAS, exact-fold re-decision only for the
+            # rare band-tie rows (same shared rule as the flat path;
+            # zero candidates keep the min_cid fallback)
+            thr = best + _ASSIGN_EPS * (1.0 + np.abs(best))
+            Mband = lbsq <= thr[:, None]
+            cand_count = np.zeros(len(rows_all), dtype=np.int64)
+            single_pick = np.full(len(rows_all), -1, dtype=np.int64)
+            for g in range(len(S)):
+                mg = members_a[g]
+                if not len(mg):
+                    continue
+                rr = np.nonzero(Mband[:, g])[0]
+                if not len(rr):
+                    continue
+                Dg = Vv[rr] @ C[mg].T
+                Dg *= -2.0
+                Dg += Cn[mg][None, :]
+                Dg += Vvn[rr][:, None]
+                inb = Dg <= thr[rr, None]
+                counts_g = inb.sum(axis=1)
+                first = mg[np.argmax(inb, axis=1)]
+                fresh = (counts_g > 0) & (cand_count[rr] == 0)
+                single_pick[rr[fresh]] = first[fresh]
+                cand_count[rr] += counts_g
+            ones = cand_count == 1
+            out[rows_all[ones]] = cid[single_pick[ones]]
+            for r in np.nonzero(cand_count > 1)[0]:
+                cand: list[int] = []
+                for g in np.nonzero(Mband[r])[0]:
                     mg = members_a[g]
                     if not len(mg):
                         continue
-                    seeded = g0 == g
-                    margin = _ASSIGN_EPS * (1.0 + np.abs(best))
-                    need = seeded | (lbsq[:, g] <= best + margin)
-                    rr = np.nonzero(need)[0]
-                    if not len(rr):
-                        continue
-                    Dg = (Vvn[rr, None] - 2.0 * (Vv[rr] @ C[mg].T)
-                          + Cn[mg][None, :])
-                    best[rr] = np.minimum(best[rr], Dg.min(axis=1))
-                # Phase B (vectorized): count band candidates per row
-                # group-by-group; the common case — exactly one — is
-                # decided by BLAS, exact-fold re-decision only for the
-                # rare band-tie rows (same shared rule as the flat
-                # path; zero candidates keep the min_cid fallback)
-                thr = best + _ASSIGN_EPS * (1.0 + np.abs(best))
-                Mband = lbsq <= thr[:, None]
-                cand_count = np.zeros(len(rows_all), dtype=np.int64)
-                single_pick = np.full(len(rows_all), -1, dtype=np.int64)
-                for g in range(len(S)):
-                    mg = members_a[g]
-                    if not len(mg):
-                        continue
-                    rr = np.nonzero(Mband[:, g])[0]
-                    if not len(rr):
-                        continue
-                    Dg = (Vvn[rr, None] - 2.0 * (Vv[rr] @ C[mg].T)
-                          + Cn[mg][None, :])
-                    inb = Dg <= thr[rr, None]
-                    counts_g = inb.sum(axis=1)
-                    first = mg[np.argmax(inb, axis=1)]
-                    fresh = (counts_g > 0) & (cand_count[rr] == 0)
-                    single_pick[rr[fresh]] = first[fresh]
-                    cand_count[rr] += counts_g
-                ones = cand_count == 1
-                out[rows_all[ones]] = cid[single_pick[ones]]
-                for r in np.nonzero(cand_count > 1)[0]:
-                    i = rows_all[r]
-                    bestp = None
-                    for g in np.nonzero(Mband[r])[0]:
-                        mg = members_a[g]
-                        if not len(mg):
-                            continue
-                        Dg = (Vvn[r] - 2.0 * (Vv[r] @ C[mg].T)
-                              + Cn[mg])
-                        for j in mg[Dg <= thr[r]]:
-                            d = 0.0
-                            for x, y in zip(V[i], C[j]):
-                                t = x - y
-                                d += t * t
-                            pair = (d, int(cid[j]))
-                            if bestp is None or pair < bestp:
-                                bestp = pair
-                    out[i] = bestp[1]
-            pdf[out_col] = out.astype("int32")
-            yield pdf[col_order]
+                    Dg = (Vvn[r] - 2.0 * (Vv[r] @ C[mg].T) + Cn[mg])
+                    cand.extend(mg[Dg <= thr[r]].tolist())
+                out[rows_all[r]] = exact_best(rows_all[r], cand)
+        return pd.Series(out.astype("int32"))
 
-    return df.select(*in_names).mapInPandas(assign_batches, schema)
+    assign = F.pandas_udf(assign_series, "int")
+    return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
 def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",

@@ -207,7 +207,8 @@ def dedup_stream(stream_df: DataFrame, *, index_dir: str,
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 64, bands: int = 16,
                  shingle_n: int = 3, jaccard_threshold: float = 0.8,
-                 seed: int = 42, n_probes: int = 1):
+                 seed: int = 42, n_probes: int = 1,
+                 compact_every: int | None = None):
     """Build the `writeStream` for online rolling dedup; caller calls
     ``.start()`` (and owns trigger/query-name options).
 
@@ -215,8 +216,35 @@ def dedup_stream(stream_df: DataFrame, *, index_dir: str,
     (:func:`minhash_lookup`, raising on any banding drift) -> survivors
     to ``<survivors_dir>/epoch=<n>`` and their bucket/shingle rows to
     ``<index_dir>/{buckets,shingles}/epoch=<n>`` — all three writes
-    epoch-keyed and overwrite-idempotent under replay."""
+    epoch-keyed and overwrite-idempotent under replay.
+
+    LIVE-SAFE COMPACTION (``compact_every=N``, VERDICT r7 item 6):
+    every N epochs, :func:`compact_minhash_index` runs INSIDE
+    ``foreachBatch`` after the epoch's own writes.  This is safe with
+    no stop-the-world and no tombstone protocol because Structured
+    Streaming SERIALIZES micro-batches — batch N+1's probe cannot
+    start until ``foreachBatch(N)`` returns — so at the moment
+    compaction rewrites and deletes old epoch directories there is
+    provably NO concurrent index reader to race with (the hazard a
+    directory-listing store cannot otherwise close: an external
+    reader's plan-time file list races with any physical deletion; see
+    the SCALE.md note — external index readers must still use the
+    stop-compact-resume contract or read a SnapshotTable-style
+    manifest copy).  Crash alignment is the e2e-tested one: a crash
+    anywhere inside the batch replays it; the replay probes
+    ``before_epoch = epoch_id`` over the compacted directories, which
+    hold exactly the same ROW SET as the uncompacted epochs they
+    replaced (the merge deduplicates by identity keys), so the replay
+    produces the identical survivor set; a crash mid-compaction is
+    repaired by the next compaction pass (same staged-rewrite
+    contract as offline compaction).
+    """
     params = MinhashParams(num_hashes, bands, shingle_n, seed, n_probes)
+    if compact_every is not None and compact_every < 2:
+        raise ValueError("compact_every must be >= 2 (a 1-epoch "
+                         "cadence would compact every batch for "
+                         "nothing — there is never more than one "
+                         "committed epoch to merge)")
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -248,6 +276,12 @@ def dedup_stream(stream_df: DataFrame, *, index_dir: str,
                 os.path.join(index_dir, "shingles",
                              f"epoch={epoch_id}"))
             kept.unpersist()
+            if compact_every and epoch_id > 0 \
+                    and epoch_id % compact_every == 0:
+                # after this epoch's writes: the newest epoch (this
+                # one, possibly uncommitted until foreachBatch
+                # returns) is never touched by the merge
+                compact_minhash_index(spark, index_dir)
         finally:
             batch.unpersist()
 

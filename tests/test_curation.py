@@ -275,8 +275,8 @@ def test_with_url_parts_components(rows):
 
 
 def test_with_url_parts_psl_contract(rows):
-    """Custom rule lists: longest match wins across depths; wildcard /
-    exception / single-label rules are rejected loudly."""
+    """Custom rule lists: longest match wins across depths; malformed /
+    single-label rules are rejected loudly."""
     import pytest
     from bi_etl_and_integration_spark.operators.curation import (
         with_url_parts)
@@ -294,10 +294,44 @@ def test_with_url_parts_psl_contract(rows):
     assert out[2]["url_domain"] == "a.deep.example"
     assert out[3]["url_tld"] == "example"              # implicit '*'
     assert out[3]["url_domain"] == "plain.example"
-    with pytest.raises(ValueError, match="wildcard"):
-        with_url_parts(df, "u", public_suffixes=("*.ck",))
+    with pytest.raises(ValueError, match="malformed"):
+        with_url_parts(df, "u", public_suffixes=("a.*.ck",))
     with pytest.raises(ValueError, match="single-label"):
         with_url_parts(df, "u", public_suffixes=("com",))
+    with pytest.raises(ValueError, match="exception"):
+        with_url_parts(df, "u", public_suffixes=("!ck",))
+
+
+def test_with_url_parts_wildcard_and_exception_rules(rows):
+    """Published PSL algorithm (VERDICT r7 item 5): `*.ck` makes every
+    <label>.ck a public suffix; `!www.ck` prevails over the wildcard
+    and declares `ck` the suffix.  Checked against the PSL project's
+    own documented examples for the ck zone."""
+    from bi_etl_and_integration_spark.operators.curation import (
+        with_url_parts)
+    rules = ("co.uk", "*.ck", "!www.ck")
+    df = rows([(1, "https://foo.bar.ck/p"),     # *.ck -> bar.ck suffix
+               (2, "https://bar.ck/p"),         # host IS a suffix
+               (3, "https://www.ck/p"),         # exception: suffix ck
+               (4, "https://sub.www.ck/p"),     # exception, deeper host
+               (5, "https://other.co.uk/p"),    # normal rule unaffected
+               (6, "https://ck/p")],            # bare label fallback
+              "doc_id long, u string")
+    out = {r["doc_id"]: r.asDict()
+           for r in with_url_parts(df, "u", public_suffixes=rules)
+           .collect()}
+    assert out[1]["url_tld"] == "bar.ck"
+    assert out[1]["url_domain"] == "foo.bar.ck"
+    assert out[2]["url_tld"] == "bar.ck"
+    assert out[2]["url_domain"] == "bar.ck"
+    assert out[3]["url_tld"] == "ck"
+    assert out[3]["url_domain"] == "www.ck"
+    assert out[4]["url_tld"] == "ck"
+    assert out[4]["url_domain"] == "www.ck"
+    assert out[5]["url_tld"] == "co.uk"
+    assert out[5]["url_domain"] == "other.co.uk"
+    assert out[6]["url_tld"] == "ck"
+    assert out[6]["url_domain"] == "ck"
 
 
 def test_ngram_hash_matches_string_grams(rows):
@@ -373,17 +407,21 @@ def test_canonicalize_url_fuzz_vs_reference(rows):
 
 def test_with_url_parts_full_psl_via_skip(rows):
     """on_unsupported='skip' makes the raw publicsuffix.org shape
-    consumable: single-label rules drop losslessly (implicit fallback),
-    wildcard/exception rules drop with degraded (registrable) handling."""
+    consumable: single-label rules drop losslessly (implicit fallback);
+    wildcard/exception rules are now fully modeled (r8) — not dropped."""
     from bi_etl_and_integration_spark.operators.curation import (
         with_url_parts)
     raw_psl = ("com", "org", "co.uk", "*.ck", "!www.ck", "k12.ca.us")
     df = rows([(1, "https://a.co.uk/x"), (2, "https://a.b.ck/x"),
-               (3, "https://x.example.com/")], "doc_id long, u string")
+               (3, "https://x.example.com/"),
+               (4, "https://www.ck/x")], "doc_id long, u string")
     out = {r["doc_id"]: r.asDict() for r in with_url_parts(
         df, "u", public_suffixes=raw_psl,
         on_unsupported="skip").collect()}
     assert out[1]["url_tld"] == "co.uk"
-    assert out[2]["url_domain"] == "b.ck"     # degraded, not an error
+    assert out[2]["url_tld"] == "b.ck"        # wildcard rule modeled
+    assert out[2]["url_domain"] == "a.b.ck"
     assert out[3]["url_tld"] == "com"         # implicit fallback
     assert out[3]["url_domain"] == "example.com"
+    assert out[4]["url_tld"] == "ck"          # exception rule modeled
+    assert out[4]["url_domain"] == "www.ck"

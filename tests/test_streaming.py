@@ -701,3 +701,87 @@ def test_compact_repairs_cross_kind_epoch_strand(spark, rows, tmp_path):
     bk = spark.read.parquet(index_dir + "/buckets")
     assert ({r["epoch"] for r in bk.select("epoch").distinct()
              .collect()} == {1, 2})
+
+
+def test_dedup_stream_live_compaction(spark, rows, tmp_path):
+    """LIVE-safe compaction (VERDICT r7 item 6): compact_every=2 runs
+    compaction INSIDE foreachBatch, after the epoch's writes — safe
+    with no stop-the-world because micro-batches are serialized, so
+    no concurrent index reader can exist at delete time.  The run's
+    survivors must equal a reference run with compaction off, the
+    epoch inventory must stay bounded, and a cross-batch probe must
+    still match against pre-compaction history."""
+    import pytest
+
+    from bi_etl_and_integration_spark.operators.dedup import (
+        MinhashParams, minhash_lookup)
+    from bi_etl_and_integration_spark.streaming.dedup import (
+        dedup_stream, load_minhash_index)
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    DOCS = "doc_id long, text string"
+    batches = [
+        [(0, base + "one"), (2, "spark shuffles partitions " * 5)],
+        [(4, "a novel document entirely " * 5)],
+        [(6, "yet another unrelated corpus slice " * 5)],
+        # near-dups epoch-0 survivor 0: must be dropped by a probe
+        # that now reads COMPACTED history
+        [(8, base + "late copy"), (9, "fresh final content " * 5)],
+    ]
+
+    def run(tag, compact_every):
+        src = str(tmp_path / f"src_{tag}")
+        index_dir = str(tmp_path / f"index_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        rows(batches[0], DOCS).write.parquet(src)
+        writer = dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src),
+            index_dir=index_dir, survivors_dir=out,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            num_hashes=32, bands=16, jaccard_threshold=0.5,
+            compact_every=compact_every)
+        for nxt in batches[1:] + [None]:
+            q = writer.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            if nxt is not None:
+                rows(nxt, DOCS).write.mode("append").parquet(src)
+        return src, index_dir, out
+
+    _, idx_ref, out_ref = run("ref", None)
+    _, idx_live, out_live = run("live", 2)
+    ref = {r["doc_id"] for r in spark.read.parquet(out_ref).collect()}
+    live = {r["doc_id"] for r in spark.read.parquet(out_live).collect()}
+    assert live == ref == {0, 2, 4, 6, 9}     # 8 dropped cross-batch
+
+    # live index: epochs {0..3} compacted down (epoch 2's in-batch
+    # compaction merged {0,1} while 2 was newest); same row set
+    params = MinhashParams(32, 16, 3, 42, 1)
+    sh = spark.read.parquet(idx_live + "/shingles")
+    live_epochs = {r["epoch"] for r in sh.select("epoch")
+                   .distinct().collect()}
+    ref_epochs = {r["epoch"] for r in spark.read.parquet(
+        idx_ref + "/shingles").select("epoch").distinct().collect()}
+    assert len(live_epochs) < len(ref_epochs) == 4
+    assert ({r["id"] for r in sh.select("id").collect()}
+            == {0, 2, 4, 6, 9})
+    # post-run probe equality across both indexes
+    probe = rows([(99, base + "probe copy")], DOCS)
+    def hits(idx_dir):
+        return sorted(
+            (r["id_a"], r["id_b"]) for r in minhash_lookup(
+                probe, load_minhash_index(spark, idx_dir, params),
+                "text", "doc_id", num_hashes=32, bands=16,
+                jaccard_threshold=0.5).collect())
+    assert hits(idx_live) == hits(idx_ref) == [(99, 0)]
+
+    with pytest.raises(ValueError, match="compact_every"):
+        dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(tmp_path / "src_ref")),
+            index_dir=str(tmp_path / "i2"),
+            survivors_dir=str(tmp_path / "o2"),
+            checkpoint_dir=str(tmp_path / "c2"), compact_every=1)

@@ -229,3 +229,31 @@ def test_make_scale_text_bijection(tmp_path):
         f"WHERE doc_id = {2 * stride}").fetchone()[0]
     expect = " ".join(w + "x2" if w else w for w in base_text.split(" "))
     assert rep == expect
+    # ADVICE r7: the exactly-0 cross-shard-similarity claim requires
+    # that NO base token already matches the shard-image pattern
+    # .*x<digits> — assert it on the real fixture (make_scale itself
+    # aborts when violated), for every SF the benches consume
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        hits = con.execute(
+            "SELECT COUNT(*) FROM (SELECT UNNEST(string_split(text,' '))"
+            f" AS tok FROM '/root/testdata/{sf}/documents.parquet') "
+            "WHERE regexp_matches(tok, '.x[0-9]+$')").fetchone()[0]
+        assert hits == 0, (sf, hits)
+
+
+def test_make_scale_aborts_on_image_pattern_collision(tmp_path):
+    """A source corpus containing a token that ends in x<digits> must
+    abort make_scale (the bijection's disjointness precondition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = tmp_path / "bad"
+    src.mkdir()
+    pq.write_table(pa.table({"doc_id": [0], "text": ["the foxx2 ran"],
+                             "source": ["t"]}),
+                   src / "documents.parquet")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "make_scale.py"),
+         "2", str(src), str(tmp_path / "out")],
+        capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "image pattern" in (r.stdout + r.stderr)

@@ -15,9 +15,14 @@ to ``w x{i}`` (concatenated — the fixture texts are pure
 ``[A-Za-z0-9 ]``, so the map is a token BIJECTION per shard): n-gram
 shingle sets map bijectively, every within-shard Jaccard is IDENTICAL
 to the base corpus (planted near-dup structure preserved per shard),
-and cross-shard similarity is exactly 0.  Near-dup pair counts
-therefore scale LINEARLY with K — the realistic crawl shape the
-second-decade dedup growth evidence needs.
+and cross-shard similarity is exactly 0 PROVIDED no base-corpus token
+already ends in the ``x<digits>`` image pattern (ADVICE r7: a literal
+base token like ``foxx2`` would collide with shard 2's image of
+``fox``) — the tool now ASSERTS that precondition against the source
+corpus and aborts with the degraded claim ("cross-shard similarity
+~0, not exactly 0") if it ever fails.  Near-dup pair counts therefore
+scale LINEARLY with K — the realistic crawl shape the second-decade
+dedup growth evidence needs.
 
 This data is ONLY for the floor-amortization bench (BASELINE.md §4):
 correctness is still gated on the driver's own sf0.001/0.01/0.1
@@ -76,6 +81,21 @@ def main() -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    # the bijection's cross-shard-disjointness precondition (module
+    # docstring / ADVICE r7): no BASE token may already match the
+    # shard-image pattern .*x<digits>, or base shard 0 collides with a
+    # later shard's image of the stem
+    hits = con.execute(
+        f"SELECT COUNT(*) FROM (SELECT UNNEST(string_split(text, ' ')) "
+        f"AS tok FROM '{src}/documents.parquet') "
+        "WHERE regexp_matches(tok, '.x[0-9]+$')").fetchone()[0]
+    if hits:
+        raise SystemExit(
+            f"make_scale: {hits} base-corpus tokens already end in the "
+            "x<digits> image pattern — the cross-shard-similarity-is-"
+            "exactly-0 claim would not hold (it degrades to ~0); "
+            "pick a different bijection suffix for this corpus")
 
     strides: dict[tuple[str, str], int] = {}
     for t, cols in KEYS.items():

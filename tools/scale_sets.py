@@ -63,6 +63,7 @@ SF10 = [
     "q64_with_totals", "q65_topn_others",
     "x01_dedup_exact", "x02_dedup_minhash", "x08_text_quality",
     "x13_heavy_hitters", "x27_url_dedup", "x33_hybrid_rrf",
+    "x34_semantic_dedup",     # r8: second-decade assignment evidence
     "x42_substring_dedup",
     "x43_incremental_dedup", "x43b_incremental_dedup_append",
 ]
