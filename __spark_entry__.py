@@ -27,8 +27,9 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # additionally routes big k to the new coarse path), q45 (top-20
 # pushed below the dim joins), and every tokenize consumer (direct
 # regex split): x07/x08/x09/q39/q39b/x26/x28 — all front-loaded for
-# fresh verdicts.  New x34c (forced coarse assignment) rotates in
-# automatically via the never-hash-verified rule.  ``_VERIFY_FIRST``
+# fresh verdicts.  New x34c (forced coarse assignment) and x44
+# (persisted IVF index) rotate in automatically via the
+# never-hash-verified rule.  ``_VERIFY_FIRST``
 # is only the TIE-BREAK order within the groups; EXACTLY 50 names
 # (pinned by tests/test_entry_window.py).
 _VERIFY_FIRST = [

@@ -23,6 +23,7 @@ BASELINE.json north star).
 
 from __future__ import annotations
 
+import os
 import random
 
 import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
@@ -303,6 +304,42 @@ def _spherical_kmeans(x, nlist: int, n_iter: int, seed: int):
     return cents
 
 
+def _ivf_train(corpus: DataFrame, vec_col: str, nlist: int, seed: int,
+               train_iters: int, train_size: int | None):
+    """Shared IVF coarse-quantizer training (faiss-style): collect a
+    bounded sample (the only data that ever reaches the driver at
+    100 TB) and run driver-side spherical k-means.  Returns the
+    dim × nlist centroid matrix (unit rows, transposed for dot)."""
+    import numpy as np
+    if train_size is None:
+        train_size = max(nlist * 64, 2048)
+    sample = (corpus.select(F.col(vec_col).alias("cvec"))
+              .limit(train_size).collect())
+    x = np.asarray([row["cvec"] for row in sample], dtype=np.float64)
+    if len(x) <= nlist:
+        norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return (x / norms).T
+    # trained centroids: balanced lists -> each probe reads ~1/nlist
+    # of the corpus instead of whatever a raw sample happened to cut
+    return _spherical_kmeans(x, nlist, train_iters, seed).T
+
+
+def _ivf_nearest_udf(cmat, n: int):
+    """pandas_udf: n nearest coarse lists per vector (argmax dot
+    against the unit-row centroid matrix — cosine order for any input
+    scale)."""
+    import numpy as np
+
+    @F.pandas_udf("array<long>")
+    def nearest(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype="object")
+        sims = np.stack(s.to_numpy()).astype(np.float64) @ cmat
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype(np.int64)))
+    return nearest
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", nlist: int = 16,
@@ -318,44 +355,125 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     sampled seeds.
 
     At scale the assignment output is written partitioned by
-    ``centroid_id`` so a probe reads only matching partitions
-    (partition pruning does the fan-out reduction)."""
-    import numpy as np
-    if train_size is None:
-        train_size = max(nlist * 64, 2048)
-    sample = (corpus.select(F.col(vec_col).alias("cvec"))
-              .limit(train_size).collect())
-    x = np.asarray([row["cvec"] for row in sample], dtype=np.float64)
-    if len(x) <= nlist:
-        norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        cmat = (x / norms).T
-    else:
-        # trained centroids: balanced lists -> each probe reads ~1/nlist
-        # of the corpus instead of whatever a raw sample happened to cut
-        cmat = _spherical_kmeans(x, nlist, train_iters, seed).T
-
-    def nearest_udf(n: int):
-        @F.pandas_udf("array<long>")
-        def nearest(s: pd.Series) -> pd.Series:
-            if not len(s):
-                return pd.Series([], dtype="object")
-            sims = np.stack(s.to_numpy()).astype(np.float64) @ cmat
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(order.astype(np.int64)))
-        return nearest
-
+    ``centroid_id`` so a probe reads only matching partitions —
+    :func:`ivf_index_write` / :func:`ivf_search` are that persisted
+    form (partition pruning does the fan-out reduction)."""
+    cmat = _ivf_train(corpus, vec_col, nlist, seed, train_iters,
+                      train_size)
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col).alias("__cv"),
-        nearest_udf(1)(F.col(vec_col))[0].alias("__list"))
+        _ivf_nearest_udf(cmat, 1)(F.col(vec_col))[0].alias("__list"))
     probes = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv"),
-        F.explode(nearest_udf(n_probe)(F.col(vec_col))).alias("__list"))
+        F.explode(_ivf_nearest_udf(cmat, n_probe)(F.col(vec_col)))
+        .alias("__list"))
     scored = (assigned.join(F.broadcast(probes), "__list")
               .withColumn("cosine_sim",
                           cosine_similarity_udf()(F.col("__cv"),
                                                   F.col("__qv"))))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "cosine_sim",
+                    F.col("__rn").alias("rank")))
+
+
+def ivf_index_write(corpus: DataFrame, index_dir: str, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nlist: int = 16, seed: int = 42,
+                    train_iters: int = 5,
+                    train_size: int | None = None) -> None:
+    """Persist an IVF index AT REST: the corpus written to
+    ``<index_dir>/vectors`` PARTITIONED BY its coarse list id, plus
+    the trained centroids at ``<index_dir>/centroids`` — the faiss
+    inverted-file layout expressed as a parquet partition scheme.
+
+    Why this is the 100 TB search shape (vs :func:`ivf_topk`, which
+    re-assigns the corpus per query batch): assignment is paid ONCE
+    at build; every probe afterwards is a scan whose
+    ``centroid_id IN (...)`` filter is a plan-literal PARTITION
+    FILTER, so the scan lists and reads ~n_probe/nlist of the corpus
+    files and nothing else (asserted in tests/test_plans.py).  The
+    index is append-friendly: new batches assign against the stored
+    centroids and append into the same partition scheme."""
+    spark = corpus.sparkSession
+    cmat = _ivf_train(corpus, vec_col, nlist, seed, train_iters,
+                      train_size)
+    assigned = corpus.withColumn(
+        "centroid_id",
+        _ivf_nearest_udf(cmat, 1)(F.col(vec_col))[0])
+    (assigned.write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(os.path.join(index_dir, "vectors")))
+    cents = [(int(i), [float(x) for x in cmat[:, i]])
+             for i in range(cmat.shape[1])]
+    (spark.createDataFrame(cents,
+                           "centroid_id int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(index_dir, "centroids")))
+
+
+def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
+               *, n_probe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               query_id_col: str = "query_id",
+               max_query_rows: int = _MAX_QUERY_ROWS) -> DataFrame:
+    """Probe a persisted :func:`ivf_index_write` index: per query, the
+    ``n_probe`` nearest stored centroids are computed DRIVER-SIDE
+    (queries are a small probe batch — same collect contract and
+    guard as :func:`brute_force_topk`), their union becomes a literal
+    ``centroid_id IN (...)`` predicate on the vectors table — a
+    PARTITION FILTER, so only the probed lists' files are listed and
+    read — and exact cosine + a per-query window rank the survivors.
+
+    Output: (query_id, vec_id, cosine_sim, rank), ties on neighbor
+    id — the same contract as ivf_topk/brute_force_topk."""
+    import numpy as np
+    crows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+             .orderBy("centroid_id").collect())
+    if not crows:
+        raise ValueError(f"ivf_search: empty centroid table under "
+                         f"{index_dir}")
+    cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                     for r in crows]).T            # dim × nlist
+    cid = np.asarray([r["centroid_id"] for r in crows])
+    qrows = (queries.select(F.col(query_id_col), F.col(vec_col))
+             .take(max_query_rows + 1))
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"ivf_search: queries has > {max_query_rows} rows; this "
+            "operator collects the probe batch to plan the literal "
+            "partition filter — split the query set or raise "
+            "max_query_rows")
+    if not qrows:
+        raise ValueError("ivf_search: queries is empty")
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64)
+                     for r in qrows])
+    order = np.argsort(-(qmat @ cmat), axis=1, kind="stable")
+    n_probe = min(n_probe, cmat.shape[1])
+    probe_rows = [(r[0], int(cid[j]), [float(x) for x in r[1]])
+                  for r, row in zip(qrows, order)
+                  for j in row[:n_probe]]
+    lists = sorted({p[1] for p in probe_rows})
+    qtype = queries.schema[query_id_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"{query_id_col} {qtype}, centroid_id int, __qv array<double>")
+    vectors = (spark.read.parquet(os.path.join(index_dir, "vectors"))
+               # literal IN over the partition column: this is what
+               # static partition pruning needs — only the probed
+               # lists' directories are listed/read
+               .where(F.col("centroid_id").isin(lists)))
+    scored = (vectors.select(F.col(id_col), F.col("centroid_id"),
+                             F.col(vec_col).alias("__cv"))
+              .join(F.broadcast(probes), "centroid_id")
+              .withColumn("cosine_sim",
+                          cosine_similarity_udf()(F.col("__cv"),
+                                                  F.col("__qv"))))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    # no dedup needed: each corpus vector lives in exactly one
+    # partition and per-query probe lists are distinct centroid ids
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "cosine_sim",

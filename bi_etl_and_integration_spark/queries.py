@@ -2707,6 +2707,45 @@ def x06b(spark, cat):
     return _ann_recall_certified(cat, ann, min_recall=0.9)
 
 
+def _ivf_index_dir(spark, cat) -> str:
+    """Session-memoized persisted IVF index over the embeddings table
+    (built ONCE per (session, sf_dir) in a temp dir — the x44 probe
+    path is the repeated operation, the build is one-time like a real
+    index).  Same training config as x06 (nlist=8, seeded), so the
+    recall band carries over."""
+    cache = getattr(spark, "_bi_etl_ivf_cache", None)
+    if cache is None:
+        cache = {}
+        spark._bi_etl_ivf_cache = cache  # noqa: SLF001
+    key = cat.sf_dir
+    if key not in cache:
+        import tempfile
+        d = tempfile.mkdtemp(prefix="bi_etl_ivf_")
+        sim_ops.ivf_index_write(cat.embeddings, d, nlist=8)
+        cache[key] = d
+    return cache[key]
+
+
+@q("x44_ann_ivf_persisted", _ANN_EXACT_ORACLE)
+def x44(spark, cat):
+    """IVF index AT REST (ivf_index_write / ivf_search): the corpus
+    persisted partitioned by coarse list id, probes planned as a
+    literal ``centroid_id IN (...)`` PARTITION FILTER — the scan
+    lists and reads only the probed lists' files (plan-asserted in
+    tests/test_plans.py), which is the 100 TB difference vs x06's
+    per-batch re-assignment: assignment is paid once at build, every
+    search afterwards touches ~n_probe/nlist of the data at rest.
+    Same certification as x06 — exact brute-force top-10 hash-matched
+    against the oracle's quadratic restatement, recall@10 of the
+    persisted 6-of-8-list probe band-asserted >= 0.9 (same seeded
+    trainer, so the x06 recall measurements carry over)."""
+    idx = _ivf_index_dir(spark, cat)
+
+    def ann(queries):
+        return sim_ops.ivf_search(spark, idx, queries, k=10, n_probe=6)
+    return _ann_recall_certified(cat, ann, min_recall=0.9)
+
+
 @q("x26_bm25_search",
    "WITH dl AS (SELECT doc_id, len(list_filter(string_split(lower(text)"
    ",' '), x -> x != '')) AS dl FROM documents), "

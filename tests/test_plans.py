@@ -296,3 +296,18 @@ def test_exact_jaccard_join_never_all_pairs(cat):
         plan = plans.formatted_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_search_prunes_partitions(cat, spark, tmp_path):
+    """The persisted-IVF probe's centroid_id IN (...) literal must
+    fold into static PartitionFilters on the vectors scan — the scan
+    reads the probed lists' files only (the x44 scale contract)."""
+    from bi_etl_and_integration_spark.operators import similarity as sim
+    idx = str(tmp_path / "ivf")
+    sim.ivf_index_write(cat.embeddings, idx, nlist=4)
+    queries = (cat.embeddings.where("vec_id < 2")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    plan = sim.ivf_search(spark, idx, queries, k=3, n_probe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("centroid_id" in ln for ln in pf), plan[:2000]

@@ -564,3 +564,37 @@ def test_kmeans_assign_arrow_preserves_out_col_position(rows):
     want = {1: 0, 2: 1}
     for out in (lit, arr, crs):
         assert {r["vec_id"]: r["cluster"] for r in out.collect()} == want
+
+
+def test_ivf_persisted_index_search(rows, tmp_path):
+    """ivf_index_write / ivf_search: the persisted-index probe must
+    return the same neighbors as exact brute force when every list is
+    probed, respect k/tie rules, and enforce the probe-batch guard."""
+    import numpy as np
+    import pytest
+    from bi_etl_and_integration_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(5)
+    corpus = rows([(i, [float(x) for x in rng.randn(16)])
+                   for i in range(300)],
+                  "vec_id long, embedding array<double>")
+    queries = rows([(i, [float(x) for x in rng.randn(16)])
+                    for i in range(3)],
+                   "query_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    sim.ivf_index_write(corpus, idx, nlist=4)
+    spark = corpus.sparkSession
+    got = sim.ivf_search(spark, idx, queries, k=5, n_probe=4)  # all lists
+    exact = sim.brute_force_topk(corpus, queries, k=5)
+    assert ({(r["query_id"], r["rank"]): r["vec_id"]
+             for r in got.collect()}
+            == {(r["query_id"], r["rank"]): r["vec_id"]
+                for r in exact.collect()})
+    # fewer probes: a subset of the exact ranking's ids, k rows/query
+    part = sim.ivf_search(spark, idx, queries, k=5, n_probe=2).collect()
+    assert all(sum(1 for r in part if r["query_id"] == q) <= 5
+               for q in (0, 1, 2))
+    with pytest.raises(ValueError, match="probe batch|queries has"):
+        sim.ivf_search(spark, idx, queries, k=2, max_query_rows=1)
+    with pytest.raises(ValueError, match="empty"):
+        sim.ivf_search(spark, idx, queries.where("query_id < 0"), k=2)
