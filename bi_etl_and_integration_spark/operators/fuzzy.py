@@ -115,10 +115,17 @@ def _local_components(edge_rows) -> dict:
 
 def _local_labels_df(edges: DataFrame, probe_rows) -> DataFrame:
     """Build the ``(id, component)`` DataFrame for a driver-collected
-    edge list (both columns keep the edge columns' type)."""
+    edge list.  Both output columns take the COMMON/PROMOTED type of
+    the two edge columns (the schema of ``greatest(src, dst)``) — the
+    distributed path promotes the same way via its greatest/least
+    canonical orientation, so mixed-width edges (int src, bigint dst)
+    yield the same (id, component) schema on either path, and
+    collected dst values wider than src's type still fit
+    (ADVICE r8)."""
     from pyspark.sql.types import StructField, StructType
     comp = _local_components(probe_rows)
-    t = edges.schema[0].dataType
+    c0, c1 = edges.columns[:2]
+    t = edges.select(F.greatest(F.col(c0), F.col(c1))).schema[0].dataType
     schema = StructType([StructField("id", t, True),
                          StructField("component", t, True)])
     return edges.sparkSession.createDataFrame(
@@ -295,13 +302,26 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
     if algorithm not in ("label_prop", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     nodes = df.select(F.col(key).alias("id"), F.col(col).alias("val"))
-    if pairs is None:
+    internal_pairs = pairs is None
+    if internal_pairs:
         pairs = fuzzy_pairs(df, key, col, blocks=block,
                             min_similarity=min_similarity)
     edges = pairs.select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst"))
+    edges_persisted = False
     probe = None
     if small_graph_threshold:
+        if internal_pairs:
+            # ADVICE r8: the probe executes the (expensive) blocked
+            # pair-generation plan; persist FIRST so an over-threshold
+            # probe's partitions are reused by the distributed path
+            # instead of the whole LSH/blocked join being recomputed
+            # from scratch (the cache is partition-grain: the limit()
+            # probe only materializes the partitions it touches, so
+            # the bounded-probe contract is preserved).  Caller-given
+            # pairs stay unpersisted — the caller owns their lifetime.
+            edges = edges.persist()
+            edges_persisted = True
         probe = edges.limit(small_graph_threshold + 1).collect()
         if len(probe) > small_graph_threshold:
             probe = None                 # too big: distributed path
@@ -385,6 +405,10 @@ def fuzzy_grouping(df: DataFrame, key: str, col: str, *,
                                              F.col("__canon_val"))))
            .drop("label", "__canon_val"))
     adj.unpersist()
+    if edges_persisted:
+        # labels are already eagerly materialized on every path, so the
+        # cache has served its purpose by the time the result is built
+        edges.unpersist()
     return out
 
 

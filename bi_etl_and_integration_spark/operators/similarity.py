@@ -383,7 +383,8 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     nlist: int = 16, seed: int = 42,
                     train_iters: int = 5,
-                    train_size: int | None = None) -> None:
+                    train_size: int | None = None,
+                    centroids=None) -> None:
     """Persist an IVF index AT REST: the corpus written to
     ``<index_dir>/vectors`` PARTITIONED BY its coarse list id, plus
     the trained centroids at ``<index_dir>/centroids`` — the faiss
@@ -395,11 +396,21 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
     ``centroid_id IN (...)`` filter is a plan-literal PARTITION
     FILTER, so the scan lists and reads ~n_probe/nlist of the corpus
     files and nothing else (asserted in tests/test_plans.py).  The
-    index is append-friendly: new batches assign against the stored
-    centroids and append into the same partition scheme."""
+    index is append-friendly via :func:`ivf_index_append`: new
+    batches assign against the STORED centroids and append into the
+    same partition scheme (certified append == rebuild by driver
+    query x44b and tests/test_similarity.py).
+
+    ``centroids`` (dim × nlist array, unit columns) skips training
+    and quantizes against the given matrix — the rebuild-with-frozen-
+    centroids path that makes append certification possible."""
+    import numpy as np
     spark = corpus.sparkSession
-    cmat = _ivf_train(corpus, vec_col, nlist, seed, train_iters,
-                      train_size)
+    if centroids is not None:
+        cmat = np.asarray(centroids, dtype=np.float64)
+    else:
+        cmat = _ivf_train(corpus, vec_col, nlist, seed, train_iters,
+                          train_size)
     assigned = corpus.withColumn(
         "centroid_id",
         _ivf_nearest_udf(cmat, 1)(F.col(vec_col))[0])
@@ -411,6 +422,53 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
                            "centroid_id int, centroid array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_dir, "centroids")))
+
+
+def _ivf_read_centroids(spark, index_dir: str):
+    """Load the stored centroid table back into the dim × nlist
+    matrix + id vector the quantizer udf expects (ids need not be
+    contiguous — the matrix column order follows the sorted id
+    order and lookups go through the id vector)."""
+    import numpy as np
+    crows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+             .orderBy("centroid_id").collect())
+    if not crows:
+        raise ValueError(f"ivf index: empty centroid table under "
+                         f"{index_dir}")
+    cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                     for r in crows]).T            # dim × nlist
+    cid = np.asarray([r["centroid_id"] for r in crows])
+    return cmat, cid
+
+
+def ivf_index_append(batch: DataFrame, index_dir: str, *,
+                     vec_col: str = "embedding") -> None:
+    """Fold a new batch into a persisted :func:`ivf_index_write` index
+    WITHOUT a rebuild — the continuous-ingestion shape (a rolling
+    crawl embeds each new batch and makes it searchable without
+    re-reading the corpus): the batch quantizes against the index's
+    OWN stored centroids (never retrained — retraining would strand
+    the at-rest corpus under stale list boundaries) and appends into
+    the same ``centroid_id=`` partition scheme, so a later
+    :func:`ivf_search` partition-prunes over old and new rows alike.
+
+    Append == rebuild by construction: assignment is a pure function
+    of (vector, stored centroids), so appending batch B to an index
+    over corpus A lays out every row exactly where
+    ``ivf_index_write(A ∪ B, centroids=stored)`` would — certified
+    bit-exact in tests/test_similarity.py and end-to-end by driver
+    query x44b.  Cost: one narrow Arrow map over the batch + one
+    partitioned write; the existing index files are never touched."""
+    spark = batch.sparkSession
+    cmat, cid = _ivf_read_centroids(spark, index_dir)
+    nearest = _ivf_nearest_udf(cmat, 1)(F.col(vec_col))[0]
+    assigned = batch.withColumn(
+        "centroid_id",
+        # stored ids need not be contiguous: map the argmax POSITION
+        # back through the id vector (plan-literal array lookup)
+        F.array([F.lit(int(i)) for i in cid])[nearest].cast("int"))
+    (assigned.write.mode("append").partitionBy("centroid_id")
+     .parquet(os.path.join(index_dir, "vectors")))
 
 
 def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
@@ -429,14 +487,7 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
     Output: (query_id, vec_id, cosine_sim, rank), ties on neighbor
     id — the same contract as ivf_topk/brute_force_topk."""
     import numpy as np
-    crows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
-             .orderBy("centroid_id").collect())
-    if not crows:
-        raise ValueError(f"ivf_search: empty centroid table under "
-                         f"{index_dir}")
-    cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64)
-                     for r in crows]).T            # dim × nlist
-    cid = np.asarray([r["centroid_id"] for r in crows])
+    cmat, cid = _ivf_read_centroids(spark, index_dir)
     qrows = (queries.select(F.col(query_id_col), F.col(vec_col))
              .take(max_query_rows + 1))
     if len(qrows) > max_query_rows:

@@ -2646,10 +2646,13 @@ _ANN_EXACT_ORACLE = (
     "ORDER BY query_id, rank")
 
 
-def _ann_recall_certified(cat, ann, *, min_recall: float):
-    """Shared x06/x06b body: exact brute-force top-10 (hash-matched
-    against the oracle's quadratic restatement) + a recall@10 band
-    over the ANN candidates (r4 VERDICT item 2)."""
+def _ann_recall_certified(cat, ann, *, min_recall: float, extra=None):
+    """Shared x06/x06b/x44/x44b body: exact brute-force top-10
+    (hash-matched against the oracle's quadratic restatement) + a
+    recall@10 band over the ANN candidates (r4 VERDICT item 2).
+    ``extra`` — optional single-row DataFrame of additional boolean
+    certification flags (x44b's append==rebuild bit) broadcast onto
+    every output row; the oracle restates each as literal TRUE."""
     queries = (cat.embeddings.where(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     exact = sim_ops.brute_force_topk(cat.embeddings, queries,
@@ -2661,11 +2664,16 @@ def _ann_recall_certified(cat, ann, *, min_recall: float):
     stats = hits.agg(F.count(F.lit(1)).alias("__n"),
                      F.count("__hit").alias("__c"))
     band = F.col("__c") >= F.lit(min_recall) * F.col("__n")
-    return (exact.crossJoin(F.broadcast(stats))
+    out = exact.crossJoin(F.broadcast(stats))
+    flags = [band.alias("recall_in_band")]
+    if extra is not None:
+        out = out.crossJoin(F.broadcast(extra))
+        flags += [F.col(c) for c in extra.columns]
+    return (out
             .select("query_id", "vec_id",
                     dec_round("cosine_sim", 4).alias("cosine_sim"),
                     F.col("rank").cast("int").alias("rank"),
-                    band.alias("recall_in_band"))
+                    *flags)
             .orderBy("query_id", "rank"))
 
 
@@ -2744,6 +2752,68 @@ def x44(spark, cat):
     def ann(queries):
         return sim_ops.ivf_search(spark, idx, queries, k=10, n_probe=6)
     return _ann_recall_certified(cat, ann, min_recall=0.9)
+
+
+def _ivf_append_dirs(spark, cat) -> tuple[str, str]:
+    """Session-memoized APPEND-CYCLE index pair for x44b: an index
+    built over the even-id half then ivf_index_append'ed with the
+    odd-id half, and the rebuild control — the FULL corpus written
+    with the appended index's own frozen centroids (append == rebuild
+    only makes sense against the same quantizer; retraining would
+    move the list boundaries)."""
+    cache = getattr(spark, "_bi_etl_ivf_append_cache", None)
+    if cache is None:
+        cache = {}
+        spark._bi_etl_ivf_append_cache = cache  # noqa: SLF001
+    key = cat.sf_dir
+    if key not in cache:
+        import tempfile
+        d_app = tempfile.mkdtemp(prefix="bi_etl_ivf_app_")
+        d_reb = tempfile.mkdtemp(prefix="bi_etl_ivf_reb_")
+        base = cat.embeddings.where(F.col("vec_id") % 2 == 0)
+        batch = cat.embeddings.where(F.col("vec_id") % 2 == 1)
+        sim_ops.ivf_index_write(base, d_app, nlist=8)
+        sim_ops.ivf_index_append(batch, d_app)
+        cmat, _ = sim_ops._ivf_read_centroids(spark, d_app)  # noqa: SLF001
+        sim_ops.ivf_index_write(cat.embeddings, d_reb, centroids=cmat)
+        cache[key] = (d_app, d_reb)
+    return cache[key]
+
+
+@q("x44b_ann_ivf_append",
+   _ANN_EXACT_ORACLE.replace(
+       "TRUE AS recall_in_band",
+       "TRUE AS recall_in_band, TRUE AS append_equals_rebuild"))
+def x44b(spark, cat):
+    """IVF index APPEND lifecycle (VERDICT r8 item 2, modeled on the
+    minhash x43b append cycle): the index is built over the even-id
+    half of the corpus, the odd-id half folds in with
+    ivf_index_append — quantized against the index's OWN stored
+    centroids, appended into the same centroid_id= partition scheme,
+    existing files untouched — and searches run over the appended
+    index.  Certified two ways in one hash row: (a) recall@10 of the
+    6-of-8-probe search over the appended index band-asserted >= 0.9
+    against the exact brute-force oracle (the appended index must
+    serve BOTH halves), and (b) append == rebuild bit-exact — every
+    (vec_id, centroid_id) row of the appended index equals a fresh
+    ivf_index_write of the full corpus under the same frozen
+    centroids (symmetric exceptAll empty), restated by the oracle as
+    literal TRUE."""
+    d_app, d_reb = _ivf_append_dirs(spark, cat)
+    import os as _os
+    va = (spark.read.parquet(_os.path.join(d_app, "vectors"))
+          .select("vec_id", F.col("centroid_id").cast("int")
+                  .alias("centroid_id")))
+    vr = (spark.read.parquet(_os.path.join(d_reb, "vectors"))
+          .select("vec_id", F.col("centroid_id").cast("int")
+                  .alias("centroid_id")))
+    eq = (va.exceptAll(vr).unionByName(vr.exceptAll(va))
+          .agg((F.count(F.lit(1)) == 0).alias("append_equals_rebuild")))
+
+    def ann(queries):
+        return sim_ops.ivf_search(spark, d_app, queries, k=10,
+                                  n_probe=6)
+    return _ann_recall_certified(cat, ann, min_recall=0.9, extra=eq)
 
 
 @q("x26_bm25_search",

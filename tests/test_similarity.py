@@ -598,3 +598,49 @@ def test_ivf_persisted_index_search(rows, tmp_path):
         sim.ivf_search(spark, idx, queries, k=2, max_query_rows=1)
     with pytest.raises(ValueError, match="empty"):
         sim.ivf_search(spark, idx, queries.where("query_id < 0"), k=2)
+
+
+def test_ivf_index_append_equals_rebuild(rows, tmp_path):
+    """ivf_index_append: folding a batch into a persisted index must
+    (a) lay out every row exactly where a rebuild of the union under
+    the SAME frozen centroids would (bit-exact assignments), (b) leave
+    the original index files untouched, and (c) make the appended rows
+    searchable with the same ranking a full-corpus index gives."""
+    import numpy as np
+    from bi_etl_and_integration_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    base = rows([(i, [float(x) for x in rng.randn(16)])
+                 for i in range(0, 300, 2)],
+                "vec_id long, embedding array<double>")
+    batch = rows([(i, [float(x) for x in rng.randn(16)])
+                  for i in range(1, 300, 2)],
+                 "vec_id long, embedding array<double>")
+    spark = base.sparkSession
+    idx = str(tmp_path / "ivf_app")
+    sim.ivf_index_write(base, idx, nlist=4)
+    before = {(r["vec_id"], r["centroid_id"]) for r in
+              spark.read.parquet(idx + "/vectors")
+              .select("vec_id", "centroid_id").collect()}
+    sim.ivf_index_append(batch, idx)
+    after = {(r["vec_id"], r["centroid_id"]) for r in
+             spark.read.parquet(idx + "/vectors")
+             .select("vec_id", "centroid_id").collect()}
+    assert before <= after and len(after) == 300   # (b): old rows intact
+    # (a) append == rebuild under the stored centroids, bit-exact
+    cmat, _ = sim._ivf_read_centroids(spark, idx)
+    idx2 = str(tmp_path / "ivf_reb")
+    sim.ivf_index_write(base.unionByName(batch), idx2, centroids=cmat)
+    rebuilt = {(r["vec_id"], r["centroid_id"]) for r in
+               spark.read.parquet(idx2 + "/vectors")
+               .select("vec_id", "centroid_id").collect()}
+    assert after == rebuilt
+    # (c) all-list search over the appended index == exact brute force
+    queries = rows([(0, [float(x) for x in rng.randn(16)])],
+                   "query_id long, embedding array<double>")
+    got = sim.ivf_search(spark, idx, queries, k=5, n_probe=4).collect()
+    exact = sim.brute_force_topk(base.unionByName(batch), queries,
+                                 k=5).collect()
+    assert ([r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+            == [r["vec_id"] for r in sorted(exact,
+                                            key=lambda r: r["rank"])])
