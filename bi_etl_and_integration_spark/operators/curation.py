@@ -511,12 +511,30 @@ def canonicalize_url(url: Column | str) -> Column:
     # the '?' must precede any '#': a '?' inside the fragment is not a
     # query (caught by the fuzz-vs-reference test, r7)
     query = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
-    keep = F.array_sort(F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~_is_tracking(p)))
-    qpart = F.when(F.size(keep) > 0,
-                   F.concat(F.lit("?"), F.array_join(keep, "&"))) \
-        .otherwise(F.lit(""))
+
+    # Param leg, EVALUATE-ONCE + single-param fast path (r9, measured
+    # at sf10/500k docs): `query` is a regexp_extract over the full
+    # URL, and conditional branches are excluded from codegen
+    # subexpression elimination — a naive fast-path rewrite that
+    # referenced `query` ~10x measured 3.7 s vs 1.86 s for the plain
+    # pipeline.  Binding it as a transform() lambda variable evaluates
+    # the extract ONCE however many branch references follow
+    # (1.86 -> 1.61 s), and the no-'&' fast path (most crawl URLs
+    # carry 0-1 params; filter degenerates to keep-or-drop, sort to
+    # identity) rides free on top (1.56 s).
+    def _qpart(q: Column) -> Column:
+        keep = F.array_sort(F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~_is_tracking(p)))
+        multi = F.when(F.size(keep) > 0,
+                       F.concat(F.lit("?"), F.array_join(keep, "&"))) \
+            .otherwise(F.lit(""))
+        return F.when(
+            ~q.contains("&"),
+            F.when((q == "") | _is_tracking(q), F.lit(""))
+            .otherwise(F.concat(F.lit("?"), q))).otherwise(multi)
+
+    qpart = F.element_at(F.transform(F.array(query), _qpart), 1)
     canon = F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
     return F.when((scheme == "") | (host == ""), F.lit(None)) \
         .otherwise(canon)
@@ -714,11 +732,31 @@ def with_url_parts(df: DataFrame, url_col: str, *,
 
     u = F.col(url_col)
     host = F.parse_url(u, F.lit("HOST"))
-    host_l = F.lower(host)
-    labels = F.split(host_l, r"\.")
+
+    # Materialize shared subexpressions ONCE as hidden columns in
+    # SEPARATE projections (r9, VERDICT r8 item 5): the rule chains
+    # below reference the label array and each per-depth suffix many
+    # times (match test + tld value + etld_n per depth), and inline
+    # expressions are re-evaluated per reference — the host split
+    # alone ran ~4x per depth per row, which is where x38's sf10 wall
+    # went when the wildcard/exception branches landed (measured
+    # 6.6 s full vs 2.1 s normal-rules-only pre-fusion).  Catalyst's
+    # CollapseProject deliberately keeps non-cheap aliases referenced
+    # more than once in their own project node, so each hidden column
+    # evaluates once per row inside whole-stage codegen.
+    out = (df
+           .withColumn(f"{prefix}scheme", F.parse_url(u, F.lit("PROTOCOL")))
+           .withColumn(f"{prefix}host", host)
+           .withColumn(f"{prefix}path", F.parse_url(u, F.lit("PATH")))
+           .withColumn(f"{prefix}query", F.parse_url(u, F.lit("QUERY")))
+           .withColumn(f"{prefix}fragment", F.parse_url(u, F.lit("REF"))))
+    out = out.withColumn(
+        "__psl_labels", F.split(F.lower(F.col(f"{prefix}host")), r"\."))
+    labels = F.col("__psl_labels")
+    host_l = F.array_join(labels, ".")
     n = F.size(labels)
 
-    def _suffix(depth: int):
+    def _suffix_expr(depth: int):
         # last `depth` labels joined by '.'.  NULL when the host has
         # fewer than `depth` labels: concat_ws SKIPS nulls, so without
         # the n >= depth gate a short host would yield the joined
@@ -730,36 +768,46 @@ def with_url_parts(df: DataFrame, url_col: str, *,
             ".", *[F.try_element_at(labels, F.lit(-i))
                    for i in range(depth, 0, -1)]))
 
+    need = set()
+    for depth in by_depth:
+        need.add(depth)
+    for depth in wild_by_depth:
+        need.update((depth, depth - 1))
+    for depth in exc_by_depth:
+        need.update((depth, depth - 1))
+    need.discard(0)
+    sfx: dict[int, Column] = {}
+    for depth in sorted(need):
+        out = out.withColumn(f"__psl_s{depth}", _suffix_expr(depth))
+        sfx[depth] = F.col(f"__psl_s{depth}")
+
     # longest matching rule depth wins; 1 (bare last label) is the
     # universal fallback rule, exactly the PSL's own '*' default
     tld, etld_n = F.element_at(labels, -1), F.lit(1)
     for depth in sorted(set(by_depth) | set(wild_by_depth)):
         matched = None
         if depth in by_depth:
-            matched = (n >= depth) & _suffix(depth).isin(by_depth[depth])
+            matched = (n >= depth) & sfx[depth].isin(by_depth[depth])
         if depth in wild_by_depth:
             # '*.tail': last depth-1 labels equal the tail, plus any
             # label above them (n >= depth makes the '*' label exist)
             w = ((n >= depth)
-                 & _suffix(depth - 1).isin(wild_by_depth[depth]))
+                 & sfx[depth - 1].isin(wild_by_depth[depth]))
             matched = w if matched is None else (matched | w)
-        tld = F.when(matched, _suffix(depth)).otherwise(tld)
+        tld = F.when(matched, sfx[depth]).otherwise(tld)
         etld_n = F.when(matched, F.lit(depth)).otherwise(etld_n)
     # exception rules PREVAIL over every other match (PSL algorithm
     # step 2): the public suffix is the rule minus its leftmost label
     for depth in sorted(exc_by_depth):      # deepest exception wins
-        matched = (n >= depth) & _suffix(depth).isin(exc_by_depth[depth])
-        tld = F.when(matched, _suffix(depth - 1)).otherwise(tld)
+        matched = (n >= depth) & sfx[depth].isin(exc_by_depth[depth])
+        tld = F.when(matched, sfx[depth - 1]).otherwise(tld)
         etld_n = F.when(matched, F.lit(depth - 1)).otherwise(etld_n)
+    # tld is itself referenced by the domain leg and the output —
+    # materialize it once too
+    out = out.withColumn(f"{prefix}tld", tld)
     dom = F.when(
         n > etld_n,
         F.concat_ws(".", F.element_at(labels, -(etld_n + F.lit(1))),
-                    tld)).otherwise(host_l)
-    return (df
-            .withColumn(f"{prefix}scheme", F.parse_url(u, F.lit("PROTOCOL")))
-            .withColumn(f"{prefix}host", host)
-            .withColumn(f"{prefix}path", F.parse_url(u, F.lit("PATH")))
-            .withColumn(f"{prefix}query", F.parse_url(u, F.lit("QUERY")))
-            .withColumn(f"{prefix}fragment", F.parse_url(u, F.lit("REF")))
-            .withColumn(f"{prefix}tld", tld)
-            .withColumn(f"{prefix}domain", dom))
+                    F.col(f"{prefix}tld"))).otherwise(host_l)
+    return (out.withColumn(f"{prefix}domain", dom)
+            .drop("__psl_labels", *[f"__psl_s{d}" for d in sorted(need)]))

@@ -3621,11 +3621,12 @@ _X25_COEFS = [("q_n_tokens", 0.05317026784448897),
 
 @q("x25_quality_classifier",
    "WITH t AS (SELECT doc_id, text, length(text) AS nc, "
+   r"len(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS nt, "
    r"list_filter(string_split(regexp_replace(lower(text), "
    r"'[^\p{L}\p{N}]+', ' ', 'g'), ' '), x -> x != '') AS tk "
    "FROM documents), "
-   "f AS (SELECT doc_id, len(tk) AS nt, nc, "
-   "CASE WHEN len(tk) > 0 THEN nc / CAST(len(tk) AS DOUBLE) "
+   "f AS (SELECT doc_id, nt, nc, "
+   "CASE WHEN nt > 0 THEN nc / CAST(nt AS DOUBLE) "
    "ELSE 0.0 END AS mwl, "
    f"CASE WHEN nc > 0 THEN (nc - length(translate(text, '{_PUNCT_SQL}', "
    "''))) / CAST(nc AS DOUBLE) ELSE 0.0 END AS pr, "
