@@ -18,33 +18,34 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # The driver verifies the FIRST 50 ``queries()`` entries per round
 # (CORRECTNESS_r01/r02 each stopped at entry 50 — `_ordered()` below
 # self-rotates the window onto whatever still lacks a verdict).
-# After round 7 every declared query holds a cumulative verdict (174
-# hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 8
-# changed OUTPUT for x38 (wildcard *.ck + exception !www.ck PSL
-# fixture zones) and changed PLANS (same output) for: q24b/q24c +
-# x36/x36b (driver-local small-graph connected components), x34/x34b
-# (scalar-pandas_udf assignment, in-place distance kernel; x34
-# additionally routes big k to the new coarse path), q45 (top-20
-# pushed below the dim joins), and every tokenize consumer (direct
-# regex split): x07/x08/x09/q39/q39b/x26/x28 — all front-loaded for
-# fresh verdicts.  New x34c (forced coarse assignment) and x44
-# (persisted IVF index) rotate in automatically via the
+# After round 8 every declared query holds a cumulative verdict
+# (176 hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 9
+# changed ORACLE+PLAN for x25 (token count restated as the
+# alphanumeric-run count over the original text) and changed PLANS
+# (same output) for: x08 (regexp_count token count), x27
+# (transform-bound param leg + single-param fast path), x38
+# (once-materialized label/suffix columns + rules via
+# load_public_suffix_list), x44 (shared centroid loader), and
+# q24b/q24c + x36/x36b (fuzzy edges persisted before the probe;
+# promoted local-label type) — all front-loaded for fresh verdicts.
+# New x44b (IVF append cycle) rotates in automatically via the
 # never-hash-verified rule.  ``_VERIFY_FIRST``
 # is only the TIE-BREAK order within the groups; EXACTLY 50 names
 # (pinned by tests/test_entry_window.py).
 _VERIFY_FIRST = [
-    # output changed in round 8 — first
-    "x38_url_parts",
-    # plans changed in round 8 (same output) — fresh verdicts
+    # oracle changed in round 9 — first
+    "x25_quality_classifier",
+    # plans changed in round 9 (same output) — fresh verdicts
+    "x08_text_quality", "x27_url_dedup", "x38_url_parts",
+    "x44_ann_ivf_persisted",
     "q24b_fuzzy_grouping", "q24c_fuzzy_grouping_cc",
     "x36_dedup_canonical", "x36b_dedup_keep_longest",
-    "x34_semantic_dedup", "x34b_semantic_dedup_arrow",
-    "q45_returned_items",
-    "x07_text_tokens", "x08_text_quality", "x09_text_langid",
+    # round-8 window carry-overs worth keeping warm
+    "x34_semantic_dedup",
+    "x07_text_tokens", "x09_text_langid",
     "q39_term_extraction", "q39b_term_lookup",
     "x26_bm25_search", "x28_lm_score",
-    # round-7 window carry-overs worth keeping warm
-    "x27_url_dedup", "q51_hierarchy_flatten",
+    "q51_hierarchy_flatten",
     "q41d_stateful_sessionize", "x41_jpeg_features", "q64_with_totals",
     "q10b_profile", "q41e_stateful_topk",
     # corpus-curation block (operators/curation.py)
