@@ -384,7 +384,9 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
                     nlist: int = 16, seed: int = 42,
                     train_iters: int = 5,
                     train_size: int | None = None,
-                    centroids=None) -> None:
+                    centroids=None, pq_m: int | None = None,
+                    pq_nbits: int = 6,
+                    pq_train_iters: int = 8) -> None:
     """Persist an IVF index AT REST: the corpus written to
     ``<index_dir>/vectors`` PARTITIONED BY its coarse list id, plus
     the trained centroids at ``<index_dir>/centroids`` — the faiss
@@ -403,7 +405,17 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
 
     ``centroids`` (dim × nlist array, unit columns) skips training
     and quantizes against the given matrix — the rebuild-with-frozen-
-    centroids path that makes append certification possible."""
+    centroids path that makes append certification possible.
+
+    ``pq_m`` switches on the IVFADC layout (Jégou et al. 2011): each
+    vector additionally stores ``pq_m`` one-byte subspace codes
+    (trained on the same bounded sample, L2-normalized — cosine
+    metric), persisted as a ``pq_code`` column in the same files and
+    the codebooks at ``<index_dir>/pq_books``.  An
+    :func:`ivf_search` with ``shortlist=`` then runs its candidate
+    scan over the CODES column only — at 100 TB the probe reads
+    ~n_probe/nlist of the files AND only m bytes per row of them;
+    the float vectors are touched just for the shortlist re-rank."""
     import numpy as np
     spark = corpus.sparkSession
     if centroids is not None:
@@ -414,6 +426,22 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
     assigned = corpus.withColumn(
         "centroid_id",
         _ivf_nearest_udf(cmat, 1)(F.col(vec_col))[0])
+    if pq_m is not None:
+        if train_size is None:
+            train_size = max((1 << pq_nbits) * 32, 4096)
+        sample = (corpus.select(F.col(vec_col).alias("v"))
+                  .limit(train_size).collect())
+        x = np.asarray([r["v"] for r in sample], dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        books = _pq_train(x, pq_m, pq_nbits, pq_train_iters, seed)
+        assigned = pq_encode(assigned, books, vec_col=vec_col)
+        brows = [(int(j), int(c), [float(v) for v in books[j, c]])
+                 for j in range(books.shape[0])
+                 for c in range(books.shape[1])]
+        (spark.createDataFrame(
+            brows, "subspace int, code int, center array<double>")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(index_dir, "pq_books")))
     (assigned.write.mode("overwrite").partitionBy("centroid_id")
      .parquet(os.path.join(index_dir, "vectors")))
     cents = [(int(i), [float(x) for x in cmat[:, i]])
@@ -439,6 +467,26 @@ def _ivf_read_centroids(spark, index_dir: str):
                      for r in crows]).T            # dim × nlist
     cid = np.asarray([r["centroid_id"] for r in crows])
     return cmat, cid
+
+
+def _ivf_read_pq_books(spark, index_dir: str):
+    """Load stored PQ codebooks back into the (m, ksub, dsub) array
+    :func:`pq_encode` expects, or None when the index has no PQ leg."""
+    import numpy as np
+    path = os.path.join(index_dir, "pq_books")
+    if not os.path.isdir(path):
+        return None
+    rows = (spark.read.parquet(path)
+            .orderBy("subspace", "code").collect())
+    if not rows:
+        return None
+    m = max(r["subspace"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["center"])
+    books = np.empty((m, ksub, dsub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["center"]
+    return books
 
 
 def ivf_index_append(batch: DataFrame, index_dir: str, *,
@@ -467,6 +515,12 @@ def ivf_index_append(batch: DataFrame, index_dir: str, *,
         # stored ids need not be contiguous: map the argmax POSITION
         # back through the id vector (plan-literal array lookup)
         F.array([F.lit(int(i)) for i in cid])[nearest].cast("int"))
+    books = _ivf_read_pq_books(spark, index_dir)
+    if books is not None:
+        # IVFADC index: the batch's codes come from the index's OWN
+        # stored codebooks (retraining them would make old and new
+        # codes incomparable under one query LUT)
+        assigned = pq_encode(assigned, books, vec_col=vec_col)
     (assigned.write.mode("append").partitionBy("centroid_id")
      .parquet(os.path.join(index_dir, "vectors")))
 
@@ -475,6 +529,7 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
                *, n_probe: int = 4, id_col: str = "vec_id",
                vec_col: str = "embedding",
                query_id_col: str = "query_id",
+               shortlist: int | None = None,
                max_query_rows: int = _MAX_QUERY_ROWS) -> DataFrame:
     """Probe a persisted :func:`ivf_index_write` index: per query, the
     ``n_probe`` nearest stored centroids are computed DRIVER-SIDE
@@ -484,9 +539,20 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
     PARTITION FILTER, so only the probed lists' files are listed and
     read — and exact cosine + a per-query window rank the survivors.
 
+    ``shortlist`` (> k, requires a ``pq_m``-built index) switches the
+    candidate scan to IVFADC (Jégou et al. 2011): the pruned scan
+    reads ONLY (id, centroid_id, pq_code) — never the float vectors —
+    scores candidates via per-query LUTs against each query's own
+    probed lists, and the ``shortlist`` ADC survivors per query are
+    exact-cosine re-ranked from a second pruned fetch of their float
+    rows (IVFADC+R).  At 100 TB that makes the dominant scan
+    ~n_probe/nlist of the FILES times m bytes of the ROW.
+
     Output: (query_id, vec_id, cosine_sim, rank), ties on neighbor
     id — the same contract as ivf_topk/brute_force_topk."""
     import numpy as np
+    if shortlist is not None and shortlist <= k:
+        raise ValueError(f"shortlist ({shortlist}) must exceed k ({k})")
     cmat, cid = _ivf_read_centroids(spark, index_dir)
     qrows = (queries.select(F.col(query_id_col), F.col(vec_col))
              .take(max_query_rows + 1))
@@ -502,30 +568,125 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
                      for r in qrows])
     order = np.argsort(-(qmat @ cmat), axis=1, kind="stable")
     n_probe = min(n_probe, cmat.shape[1])
-    probe_rows = [(r[0], int(cid[j]), [float(x) for x in r[1]])
-                  for r, row in zip(qrows, order)
-                  for j in row[:n_probe]]
-    lists = sorted({p[1] for p in probe_rows})
-    qtype = queries.schema[query_id_col].dataType.simpleString()
-    probes = spark.createDataFrame(
-        probe_rows,
-        f"{query_id_col} {qtype}, centroid_id int, __qv array<double>")
-    vectors = (spark.read.parquet(os.path.join(index_dir, "vectors"))
-               # literal IN over the partition column: this is what
-               # static partition pruning needs — only the probed
-               # lists' directories are listed/read
-               .where(F.col("centroid_id").isin(lists)))
-    scored = (vectors.select(F.col(id_col), F.col("centroid_id"),
-                             F.col(vec_col).alias("__cv"))
-              .join(F.broadcast(probes), "centroid_id")
-              .withColumn("cosine_sim",
-                          cosine_similarity_udf()(F.col("__cv"),
-                                                  F.col("__qv"))))
+    probe_sets = {r[0]: {int(cid[j]) for j in row[:n_probe]}
+                  for r, row in zip(qrows, order)}
+    lists = sorted(set().union(*probe_sets.values()))
+    vectors_path = os.path.join(index_dir, "vectors")
+    qtype_field = queries.schema[query_id_col]
+    qtype = qtype_field.dataType.simpleString()
+
+    if shortlist is None:
+        probe_rows = [(r[0], int(cid[j]), [float(x) for x in r[1]])
+                      for r, row in zip(qrows, order)
+                      for j in row[:n_probe]]
+        probes = spark.createDataFrame(
+            probe_rows,
+            f"{query_id_col} {qtype}, centroid_id int, "
+            "__qv array<double>")
+        vectors = (spark.read.parquet(vectors_path)
+                   # literal IN over the partition column: this is what
+                   # static partition pruning needs — only the probed
+                   # lists' directories are listed/read
+                   .where(F.col("centroid_id").isin(lists)))
+        scored = (vectors.select(F.col(id_col), F.col("centroid_id"),
+                                 F.col(vec_col).alias("__cv"))
+                  .join(F.broadcast(probes), "centroid_id")
+                  .withColumn("cosine_sim",
+                              cosine_similarity_udf()(F.col("__cv"),
+                                                      F.col("__qv"))))
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cosine_sim").desc(), F.col(id_col))
+        # no dedup needed: each corpus vector lives in exactly one
+        # partition and per-query probe lists are distinct centroid ids
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k)
+                .select(query_id_col, id_col, "cosine_sim",
+                        F.col("__rn").alias("rank")))
+
+    # ---- IVFADC path: ADC over the codes column, exact re-rank ----
+    books = _ivf_read_pq_books(spark, index_dir)
+    if books is None:
+        raise ValueError(
+            "ivf_search: shortlist= needs an IVFADC index — rebuild "
+            "with ivf_index_write(pq_m=...) to store pq codes")
+    m, ksub, dsub = books.shape
+    qids = [r[0] for r in qrows]
+    qn = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    luts = np.stack([
+        np.stack([qn[qi, j * dsub:(j + 1) * dsub] @ books[j].T
+                  for j in range(m)])
+        for qi in range(len(qids))])
+    masks = [probe_sets[q] for q in qids]
+    nq = len(qids)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    vec_schema = spark.read.parquet(vectors_path).schema
+    out_schema = StructType([
+        StructField(query_id_col, qtype_field.dataType, True),
+        vec_schema[id_col],
+        StructField("adc_score", DoubleType(), True)])
+
+    def scan(batches):
+        parts_s = [[] for _ in range(nq)]
+        parts_i = [[] for _ in range(nq)]
+        j_idx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cids = pdf["centroid_id"].to_numpy()
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            for qi in range(nq):
+                # each query scores only ITS probed lists — the scan
+                # reads the union, the mask keeps IVF semantics exact
+                sel = np.isin(cids, list(masks[qi]))
+                if not sel.any():
+                    continue
+                scores = luts[qi][j_idx[None, :], codes[sel]].sum(axis=1)
+                sids = ids[sel]
+                o = np.lexsort((sids, -scores))[:shortlist]
+                parts_s[qi].append(scores[o])
+                parts_i[qi].append(sids[o])
+        out_q, out_i, out_s = [], [], []
+        for qi in range(nq):
+            if parts_s[qi]:
+                s = np.concatenate(parts_s[qi])
+                i = np.concatenate(parts_i[qi])
+                o = np.lexsort((i, -s))[:shortlist]
+                out_s.append(s[o])
+                out_i.append(i[o])
+                out_q.extend([qids[qi]] * len(o))
+        if out_s:
+            yield pd.DataFrame({query_id_col: out_q,
+                                id_col: np.concatenate(out_i),
+                                "adc_score": np.concatenate(out_s)})
+
+    cand = (spark.read.parquet(vectors_path)
+            .where(F.col("centroid_id").isin(lists))
+            # the ADC scan never touches the float vectors: reading
+            # only (id, centroid_id, pq_code) is the IVFADC payoff
+            .select(F.col(id_col), "centroid_id", "pq_code")
+            .mapInPandas(scan, out_schema))
     w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col))
+    ranked = (cand.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= shortlist)
+              .select(query_id_col, id_col))
+    qv = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        f"{query_id_col} {qtype}, __qv array<double>")
+    fetched = (spark.read.parquet(vectors_path)
+               .where(F.col("centroid_id").isin(lists))
+               .select(F.col(id_col), F.col(vec_col).alias("__cv"))
+               .join(F.broadcast(ranked), id_col)
+               .join(F.broadcast(qv), query_id_col)
+               .withColumn("cosine_sim",
+                           cosine_similarity_udf()(F.col("__cv"),
+                                                   F.col("__qv"))))
+    w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col))
-    # no dedup needed: each corpus vector lives in exactly one
-    # partition and per-query probe lists are distinct centroid ids
-    return (scored.withColumn("__rn", F.row_number().over(w))
+    return (fetched.withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "cosine_sim",
                     F.col("__rn").alias("rank")))

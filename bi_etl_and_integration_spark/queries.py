@@ -2754,6 +2754,49 @@ def x44(spark, cat):
     return _ann_recall_certified(cat, ann, min_recall=0.9)
 
 
+def _ivfadc_index_dir(spark, cat) -> str:
+    """Session-memoized persisted IVFADC index (ivf_index_write with
+    pq_m=16/nbits=6 — the x06b codebook-resolution dials — over the
+    x44 nlist=8 coarse config)."""
+    cache = getattr(spark, "_bi_etl_ivfadc_cache", None)
+    if cache is None:
+        cache = {}
+        spark._bi_etl_ivfadc_cache = cache  # noqa: SLF001
+    key = cat.sf_dir
+    if key not in cache:
+        import tempfile
+        d = tempfile.mkdtemp(prefix="bi_etl_ivfadc_")
+        sim_ops.ivf_index_write(cat.embeddings, d, nlist=8,
+                                pq_m=16, pq_nbits=6)
+        cache[key] = d
+    return cache[key]
+
+
+@q("x44c_ann_ivfadc_persisted", _ANN_EXACT_ORACLE)
+def x44c(spark, cat):
+    """IVFADC AT REST (Jégou et al. 2011, the faiss IVFADC+R layout as
+    a parquet scheme): the x44 partitioned index additionally stores
+    16 one-byte PQ codes per vector and the codebooks; the search's
+    candidate scan reads ONLY (id, centroid_id, pq_code) from the
+    probed partitions — never the float vectors — ranks per-query LUT
+    sums against each query's own probed lists, and exact cosine
+    re-ranks the 100-candidate shortlist from a second pruned fetch.
+    The 100 TB shape this certifies: the dominant scan is
+    ~n_probe/nlist of the FILES times m bytes of the ROW (vs x44's
+    full float vectors), the standard at-rest ANN layout for
+    billion-vector corpora.  Same certification as x06b/x44: exact
+    brute-force top-10 hash-matched against the oracle's quadratic
+    restatement, recall@10 of the ADC+rerank probe band-asserted
+    >= 0.9 (x06b measured the m=16/nbits=6/shortlist=100 dials at
+    recall 1.0 on this fixture family)."""
+    idx = _ivfadc_index_dir(spark, cat)
+
+    def ann(queries):
+        return sim_ops.ivf_search(spark, idx, queries, k=10,
+                                  n_probe=6, shortlist=100)
+    return _ann_recall_certified(cat, ann, min_recall=0.9)
+
+
 def _ivf_append_dirs(spark, cat) -> tuple[str, str]:
     """Session-memoized APPEND-CYCLE index pair for x44b: an index
     built over the even-id half then ivf_index_append'ed with the

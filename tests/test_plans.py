@@ -311,3 +311,28 @@ def test_ivf_search_prunes_partitions(cat, spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("centroid_id" in ln for ln in pf), plan[:2000]
+
+
+def test_ivfadc_scan_prunes_partitions_and_columns(cat, spark, tmp_path):
+    """The IVFADC candidate scan must keep the centroid_id partition
+    filter AND read only (vec_id, pq_code) from the files — the float
+    embedding column must not appear in the ADC scan's ReadSchema
+    (the x44c scale contract: n_probe/nlist of the files, m bytes of
+    the row)."""
+    from bi_etl_and_integration_spark.operators import similarity as sim
+    idx = str(tmp_path / "ivfadc")
+    sim.ivf_index_write(cat.embeddings, idx, nlist=4, pq_m=4, pq_nbits=4)
+    queries = (cat.embeddings.where("vec_id < 2")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    plan = sim.ivf_search(spark, idx, queries, k=3, n_probe=2,
+                          shortlist=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("centroid_id" in ln for ln in pf), plan[:2000]
+    # two scans: ADC candidates (pq_code, no embedding) + rerank fetch
+    # (embedding).  The candidate scan's ReadSchema must exclude the
+    # embedding column.
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    adc_reads = [ln for ln in reads if "pq_code" in ln]
+    assert adc_reads and all("embedding" not in ln for ln in adc_reads), \
+        "\n".join(reads)

@@ -644,3 +644,54 @@ def test_ivf_index_append_equals_rebuild(rows, tmp_path):
     assert ([r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
             == [r["vec_id"] for r in sorted(exact,
                                             key=lambda r: r["rank"])])
+
+
+def test_ivf_index_pq_adc_search(rows, tmp_path):
+    """IVFADC at rest (ivf_index_write(pq_m=) + ivf_search(shortlist=)):
+    with every list probed and a full-corpus shortlist the ADC+rerank
+    path must return exactly the brute-force ranking (the rerank is
+    exact cosine, ADC only selects candidates); append must encode the
+    batch with the STORED books; guards must fire."""
+    import numpy as np
+    import pytest
+    from bi_etl_and_integration_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    corpus = rows([(i, [float(x) for x in rng.randn(16)])
+                   for i in range(240)],
+                  "vec_id long, embedding array<double>")
+    queries = rows([(i, [float(x) for x in rng.randn(16)])
+                    for i in range(2)],
+                   "query_id long, embedding array<double>")
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "ivfadc")
+    sim.ivf_index_write(corpus, idx, nlist=4, pq_m=4, pq_nbits=5)
+    vec = spark.read.parquet(idx + "/vectors")
+    assert "pq_code" in vec.columns
+    got = sim.ivf_search(spark, idx, queries, k=5, n_probe=4,
+                         shortlist=240)
+    exact = sim.brute_force_topk(corpus, queries, k=5)
+    assert ({(r["query_id"], r["rank"]): r["vec_id"]
+             for r in got.collect()}
+            == {(r["query_id"], r["rank"]): r["vec_id"]
+                for r in exact.collect()})
+    # narrow shortlist + partial probe still returns k rows per query
+    part = sim.ivf_search(spark, idx, queries, k=5, n_probe=2,
+                          shortlist=20).collect()
+    assert all(sum(1 for r in part if r["query_id"] == q) == 5
+               for q in (0, 1))
+    # append encodes with the stored books: no null codes afterwards
+    batch = rows([(1000 + i, [float(x) for x in rng.randn(16)])
+                  for i in range(40)],
+                 "vec_id long, embedding array<double>")
+    sim.ivf_index_append(batch, idx)
+    allv = spark.read.parquet(idx + "/vectors")
+    assert allv.where("pq_code IS NULL").count() == 0
+    assert allv.count() == 280
+    # guards
+    with pytest.raises(ValueError, match="must exceed"):
+        sim.ivf_search(spark, idx, queries, k=5, shortlist=5)
+    idx2 = str(tmp_path / "plain")
+    sim.ivf_index_write(corpus, idx2, nlist=4)
+    with pytest.raises(ValueError, match="IVFADC|pq"):
+        sim.ivf_search(spark, idx2, queries, k=5, shortlist=20)
