@@ -242,12 +242,16 @@ def main() -> None:
     }
     prev_total = round(sum(v for k, v in prev_times.items()
                            if k in times), 3)
-    if prev_total and batch_s + streaming_s > 1.15 * prev_total:
+    # like-for-like: sum the CURRENT run over the same intersection —
+    # newly added queries must not fire the drift warning (ADVICE r9)
+    cur_total = round(sum(v for k, v in times.items()
+                          if k in prev_times), 3)
+    if prev_total and cur_total > 1.15 * prev_total:
         # never overwrite a quiet committed run with a noisier
         # same-code run without saying so (VERDICT r8 item 1)
-        print(f"bench WARNING: total {batch_s + streaming_s:.1f}s is "
-              f">15% above the committed sidecar's {prev_total:.1f}s "
-              f"for the same query set — if no plans changed, this run "
+        print(f"bench WARNING: total {cur_total:.1f}s over the "
+              f"committed sidecar's query set is >15% above its "
+              f"{prev_total:.1f}s — if no plans changed, this run "
               f"is drifted; re-run at quiet load instead of committing",
               file=sys.stderr)
 

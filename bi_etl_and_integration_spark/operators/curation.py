@@ -689,6 +689,13 @@ def with_url_parts(df: DataFrame, url_col: str, *,
         raise ValueError(
             f"with_url_parts: on_unsupported must be 'raise' or "
             f"'skip', got {on_unsupported!r}")
+    # the hidden once-materialized helper columns below would silently
+    # overwrite (then drop) same-named caller columns (ADVICE r9)
+    clash = [c for c in df.columns if c.startswith("__psl_")]
+    if clash:
+        raise ValueError(
+            f"with_url_parts: input columns {clash} collide with the "
+            "operator's hidden __psl_* helper columns — rename them")
     if public_suffixes is None:
         public_suffixes = PSL_SNAPSHOT
     by_depth: dict[int, list[str]] = {}

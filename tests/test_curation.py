@@ -464,3 +464,18 @@ def test_load_public_suffix_list_vendored_dat(rows):
     assert out[5]["url_domain"] == "shop.co.uk"
     assert out[6]["url_tld"] == "io"          # private rules excluded
     assert out[6]["url_domain"] == "github.io"
+
+
+def test_with_url_parts_rejects_psl_helper_collisions(rows):
+    """The operator materializes hidden __psl_* helper columns and
+    drops them at the end — a caller column with one of those names
+    would be silently overwritten then dropped (ADVICE r9), so the
+    guard must raise instead."""
+    import pytest
+
+    from bi_etl_and_integration_spark.operators.curation import (
+        with_url_parts)
+    df = rows([(1, "http://a.example.com/x", "keep-me")],
+              "doc_id long, u string, __psl_labels string")
+    with pytest.raises(ValueError, match="__psl_"):
+        with_url_parts(df, "u")

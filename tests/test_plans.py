@@ -318,21 +318,34 @@ def test_ivfadc_scan_prunes_partitions_and_columns(cat, spark, tmp_path):
     filter AND read only (vec_id, pq_code) from the files — the float
     embedding column must not appear in the ADC scan's ReadSchema
     (the x44c scale contract: n_probe/nlist of the files, m bytes of
-    the row)."""
+    the row).  The rerank fetch (a separate job since the shortlist
+    ids are collected) must carry BOTH the partition filter and a
+    pushed literal id predicate — row-group skipping inside the
+    probed partitions (VERDICT r9 item 5)."""
     from bi_etl_and_integration_spark.operators import similarity as sim
     idx = str(tmp_path / "ivfadc")
     sim.ivf_index_write(cat.embeddings, idx, nlist=4, pq_m=4, pq_nbits=4)
     queries = (cat.embeddings.where("vec_id < 2")
                .selectExpr("vec_id AS query_id", "embedding"))
-    plan = sim.ivf_search(spark, idx, queries, k=3, n_probe=2,
-                          shortlist=10) \
+    plans = {}
+    rerank_plan = sim.ivf_search(spark, idx, queries, k=3, n_probe=2,
+                                 shortlist=10, _debug_plans=plans) \
         ._jdf.queryExecution().executedPlan().toString()
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and any("centroid_id" in ln for ln in pf), plan[:2000]
-    # two scans: ADC candidates (pq_code, no embedding) + rerank fetch
-    # (embedding).  The candidate scan's ReadSchema must exclude the
-    # embedding column.
-    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    adc_plan = plans["adc"]
+    pf = [ln for ln in adc_plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("centroid_id" in ln for ln in pf), adc_plan[:2000]
+    # the ADC candidate scan's ReadSchema must exclude the embedding
+    # column — it reads (vec_id, pq_code) plus the partition column
+    reads = [ln for ln in adc_plan.splitlines() if "ReadSchema" in ln]
     adc_reads = [ln for ln in reads if "pq_code" in ln]
     assert adc_reads and all("embedding" not in ln for ln in adc_reads), \
         "\n".join(reads)
+    # rerank fetch: partition filter AND pushed shortlist-id predicate
+    pf2 = [ln for ln in rerank_plan.splitlines()
+           if "PartitionFilters" in ln]
+    assert pf2 and any("centroid_id" in ln for ln in pf2), \
+        rerank_plan[:2000]
+    pushed = [ln for ln in rerank_plan.splitlines()
+              if "PushedFilters" in ln]
+    assert pushed and any("In(vec_id" in ln for ln in pushed), \
+        "\n".join(pushed) or rerank_plan[:2000]

@@ -695,3 +695,66 @@ def test_ivf_index_pq_adc_search(rows, tmp_path):
     sim.ivf_index_write(corpus, idx2, nlist=4)
     with pytest.raises(ValueError, match="IVFADC|pq"):
         sim.ivf_search(spark, idx2, queries, k=5, shortlist=20)
+
+
+def test_ivf_rebuild_without_pq_clears_stale_books(rows, tmp_path):
+    """Rebuilding a formerly-IVFADC index with pq_m=None must retire
+    the old pq_books directory (ADVICE r9): a stale codebook dir would
+    make the index read as IVFADC while its vectors carry no pq_code —
+    appends would mix schemas and shortlist searches would crash or
+    silently mis-score."""
+    import os
+
+    import numpy as np
+    import pytest
+    from bi_etl_and_integration_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(13)
+    corpus = rows([(i, [float(x) for x in rng.randn(16)])
+                   for i in range(120)],
+                  "vec_id long, embedding array<double>")
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "ivf_cycle")
+    sim.ivf_index_write(corpus, idx, nlist=4, pq_m=4, pq_nbits=4)
+    assert os.path.isdir(os.path.join(idx, "pq_books"))
+    # rebuild WITHOUT pq: books must be gone, index reads as plain IVF
+    sim.ivf_index_write(corpus, idx, nlist=4)
+    assert not os.path.isdir(os.path.join(idx, "pq_books"))
+    assert sim._ivf_read_pq_books(spark, idx) is None
+    assert "pq_code" not in spark.read.parquet(idx + "/vectors").columns
+    # append into the rebuilt index stays codeless (no mixed schema)
+    batch = rows([(1000 + i, [float(x) for x in rng.randn(16)])
+                  for i in range(10)],
+                 "vec_id long, embedding array<double>")
+    sim.ivf_index_append(batch, idx)
+    allv = spark.read.parquet(idx + "/vectors")
+    assert "pq_code" not in allv.columns and allv.count() == 130
+    # and a shortlist search against it raises the clear guard
+    queries = rows([(0, [float(x) for x in rng.randn(16)])],
+                   "query_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="IVFADC|pq"):
+        sim.ivf_search(spark, idx, queries, k=3, shortlist=10)
+
+
+def test_ivf_search_rejects_duplicate_query_ids(rows, tmp_path):
+    """Probe sets and ADC LUTs are keyed by query id (ADVICE r9):
+    duplicates would silently collapse to one row's probe set, so the
+    guard must fire on both the plain and the shortlist path."""
+    import numpy as np
+    import pytest
+    from bi_etl_and_integration_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(17)
+    corpus = rows([(i, [float(x) for x in rng.randn(16)])
+                   for i in range(80)],
+                  "vec_id long, embedding array<double>")
+    dup = rows([(7, [float(x) for x in rng.randn(16)]),
+                (7, [float(x) for x in rng.randn(16)])],
+               "query_id long, embedding array<double>")
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "ivf_dup")
+    sim.ivf_index_write(corpus, idx, nlist=4, pq_m=4, pq_nbits=4)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        sim.ivf_search(spark, idx, dup, k=3)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        sim.ivf_search(spark, idx, dup, k=3, shortlist=10)

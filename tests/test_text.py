@@ -277,3 +277,25 @@ def test_concat_chunk_pack_rejects_bad_counts(rows):
     with pytest.raises((Py4JJavaError, PySparkException),
                        match="NULL"):
         concat_chunk_pack(nul, "n", "item_id", budget=128).collect()
+
+
+def test_quality_token_count_unicode_runs(rows):
+    """q_n_tokens counts maximal [\\p{L}\\p{N}]+ runs over the text AS
+    WRITTEN (ADVICE r9): pinned on the unicode edge cases where run
+    counting diverges from lowercase-then-whitespace-split — dotted
+    capital İ (whose case fold adds a combining mark), ligatures, and
+    combining marks (which TERMINATE a run: \\p{M} is not \\p{L}) —
+    so a future tokenize()/count change can't silently re-diverge the
+    length_ok gate's semantics."""
+    df = rows([(1, "İstanbul VE İZMİR"),   # case-fold-sensitive letters
+               (2, "ﬁne ﬁsh"),            # ligature is one \p{L}
+               (3, "cafe\u0301s open"),   # decomposed: mark splits run
+               (4, "a,b.c d2d"),           # punct splits, digits join
+               (5, "ＡＢ12 ＣＤ")], DOCS)  # fullwidth letters
+    out = {r["doc_id"]: r["q_n_tokens"]
+           for r in tx.quality_features(df).collect()}
+    assert out[1] == 3
+    assert out[2] == 2
+    assert out[3] == 3   # cafe | s | open — the mark ends the run
+    assert out[4] == 4   # a | b | c | d2d
+    assert out[5] == 2
