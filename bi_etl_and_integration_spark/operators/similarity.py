@@ -460,13 +460,38 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
      .parquet(os.path.join(index_dir, "centroids")))
 
 
+# (path, fingerprint) -> loaded sidecar.  Centroids and codebooks are
+# tiny (nlist / m*ksub rows) but each read is a full Spark job; a
+# repeated-probe session (the real search workload: one index, many
+# query batches) pays that job per batch without this.  The
+# fingerprint is the sidecar files' (name, mtime_ns, size) tuple, so
+# any rebuild (ivf_index_write overwrites the sidecars) invalidates —
+# appends never touch the sidecars, correctly keeping the cache.
+_IVF_SIDECAR_CACHE: dict = {}
+
+
+def _sidecar_fingerprint(path: str):
+    if not os.path.isdir(path):
+        return None
+    st = []
+    for f in sorted(os.listdir(path)):
+        s = os.stat(os.path.join(path, f))
+        st.append((f, s.st_mtime_ns, s.st_size))
+    return tuple(st)
+
+
 def _ivf_read_centroids(spark, index_dir: str):
     """Load the stored centroid table back into the dim × nlist
     matrix + id vector the quantizer udf expects (ids need not be
     contiguous — the matrix column order follows the sorted id
-    order and lookups go through the id vector)."""
+    order and lookups go through the id vector).  Session-cached by
+    file fingerprint (rebuilds invalidate, appends don't need to)."""
     import numpy as np
-    crows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+    path = os.path.join(index_dir, "centroids")
+    key = ("centroids", path, _sidecar_fingerprint(path))
+    if key[2] is not None and key in _IVF_SIDECAR_CACHE:
+        return _IVF_SIDECAR_CACHE[key]
+    crows = (spark.read.parquet(path)
              .orderBy("centroid_id").collect())
     if not crows:
         raise ValueError(f"ivf index: empty centroid table under "
@@ -474,16 +499,22 @@ def _ivf_read_centroids(spark, index_dir: str):
     cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64)
                      for r in crows]).T            # dim × nlist
     cid = np.asarray([r["centroid_id"] for r in crows])
+    _IVF_SIDECAR_CACHE[key] = (cmat, cid)
     return cmat, cid
 
 
 def _ivf_read_pq_books(spark, index_dir: str):
     """Load stored PQ codebooks back into the (m, ksub, dsub) array
-    :func:`pq_encode` expects, or None when the index has no PQ leg."""
+    :func:`pq_encode` expects, or None when the index has no PQ leg.
+    Session-cached by file fingerprint like the centroids."""
     import numpy as np
     path = os.path.join(index_dir, "pq_books")
-    if not os.path.isdir(path):
+    fp = _sidecar_fingerprint(path)
+    if fp is None:
         return None
+    key = ("pq_books", path, fp)
+    if key in _IVF_SIDECAR_CACHE:
+        return _IVF_SIDECAR_CACHE[key]
     rows = (spark.read.parquet(path)
             .orderBy("subspace", "code").collect())
     if not rows:
@@ -494,6 +525,7 @@ def _ivf_read_pq_books(spark, index_dir: str):
     books = np.empty((m, ksub, dsub))
     for r in rows:
         books[r["subspace"], r["code"]] = r["center"]
+    _IVF_SIDECAR_CACHE[key] = books
     return books
 
 

@@ -157,6 +157,47 @@ def test_returned_items_showcase_shape(cat):
     assert "l_returnflag" in pushed, plan
 
 
+def test_bucketed_fact_join_no_exchange_no_sort(cat):
+    """q43/q45 over the _bucketed_facts staging (VERDICT r9 item 2):
+    the orders⋈lineitem join must be a co-located SortMergeJoin with
+    ZERO shuffle Exchange and ZERO Sort below it — both facts are
+    bucketed AND sorted on the join key, single file per bucket, so
+    the one-time staging write paid the shuffle and the sort at rest.
+    q43's groupBy (l_orderkey, o_orderdate) additionally reuses the
+    bucket distribution, so q43's ONLY exchange is the customer
+    broadcast; q45's single hash exchange carries per-custkey partial
+    aggregates, never fact rows."""
+    import re
+
+    from bi_etl_and_integration_spark.queries import QUERIES
+    spark = cat.spark
+    # at sf0.001 AQE would broadcast the tiny orders side, hiding the
+    # property under test; disabling auto-broadcast forces the join
+    # strategy the big-SF plan uses (the explicit F.broadcast hints on
+    # the dim sides are unaffected)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q43 = QUERIES["q43_shipping_topk"](spark, SF)
+        simple = plans.simple_plan(q43)
+        assert plans.shuffle_count(q43) == 0, simple
+        # the SMJ is sort-free: the bucket scan reports its sortBy order
+        assert "SortMergeJoin" in simple, simple
+        assert not re.search(r"\bSort \[", simple), simple
+        formatted = plans.formatted_plan(q43)
+        assert formatted.count("Bucketed: true") == 2, formatted[:3000]
+        # q45: same co-located join; its one hash exchange carries the
+        # per-custkey partial aggregates (the rangepartitioning one is
+        # the final ORDER BY of <= 20 rows)
+        q45 = QUERIES["q45_returned_items"](spark, SF)
+        s45 = plans.simple_plan(q45)
+        assert s45.count("Exchange hashpartitioning") <= 1, s45
+        assert "SortMergeJoin" in s45 and not re.search(
+            r"\bSort \[[lo]_orderkey", s45), s45
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_simhash_self_join_reuses_cached_table(cat):
     """The banding self-join must not recompute the token-explode +
     vote aggregation per side: the simhash table is persisted, so the

@@ -102,3 +102,41 @@ def test_analyze_table_feeds_cbo_stats(spark, rows):
         assert plan_stats.rowCount().get() == 90
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_single_file_sort_free_join(spark, rows):
+    """write_bucketed(single_file_buckets=True) must land exactly one
+    data file per bucket — the condition under which the scan reports
+    its sortBy ordering (session flag in session.py) and a co-located
+    SortMergeJoin runs with zero Exchange AND zero Sort."""
+    import os
+    import re
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"bk1_a_{tag}", f"bk1_b_{tag}"
+    a = rows([(i, f"a{i}") for i in range(500)], "k int, va string")
+    b = rows([(i, f"b{i}") for i in range(500)], "k int, vb string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(a, ta, buckets=4, by=["k"], sort_by=["k"],
+                       single_file_buckets=True)
+        write_bucketed(b, tb, buckets=4, by=["k"], sort_by=["k"],
+                       single_file_buckets=True)
+        loc = (spark.sql(f"DESCRIBE TABLE EXTENDED {ta}")
+               .where("col_name = 'Location'").collect()[0]["data_type"]
+               .removeprefix("file:"))
+        data_files = [f for f in os.listdir(loc)
+                      if f.endswith(".parquet")]
+        assert len(data_files) == 4, data_files
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        simple = plans.simple_plan(joined)
+        assert plans.shuffle_count(joined) == 0, simple
+        assert "SortMergeJoin" in simple, simple
+        assert not re.search(r"\bSort \[", simple), simple
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
