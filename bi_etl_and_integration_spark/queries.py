@@ -2240,9 +2240,14 @@ def q43(spark, cat):
     li = (l_t
           .where(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
           .select("l_orderkey", "l_extendedprice", "l_discount"))
+    # MERGE pins the co-located SMJ: at mid SFs the date-filtered
+    # orders side slips under the broadcast threshold and AQE would
+    # "upgrade" to a broadcast join — paying a multi-MB hash build
+    # that the zero-Exchange zero-Sort bucketed SMJ never needed
+    # (measured at sf1: 2.61 s broadcast vs ~0.5 s pinned SMJ)
     j = (o.join(F.broadcast(c),
                 o["o_custkey"] == c["c_custkey"])
-         .join(li, li["l_orderkey"] == o["o_orderkey"]))
+         .join(li.hint("MERGE"), li["l_orderkey"] == o["o_orderkey"]))
     agg = (j.groupBy("l_orderkey", "o_orderdate")
            .agg(dec_round(F.sum(F.col("l_extendedprice")
                                 * (1 - F.col("l_discount"))))
@@ -2338,7 +2343,10 @@ def q45(spark, cat):
     o_t, l_t = _bucketed_facts(spark, cat)
     li = (l_t.where(F.col("l_returnflag") == "R")
           .select("l_orderkey", "l_extendedprice", "l_discount"))
-    j = (o_t.select("o_orderkey", "o_custkey")
+    # MERGE pins the co-located SMJ against AQE's broadcast upgrade
+    # (the q43 note: a broadcast build is a pessimization when the
+    # bucketed SMJ is exchange- and sort-free)
+    j = (o_t.select("o_orderkey", "o_custkey").hint("MERGE")
          .join(li, F.col("l_orderkey") == F.col("o_orderkey")))
     top = (j.groupBy("o_custkey")
            .agg(F.sum(F.col("l_extendedprice")
