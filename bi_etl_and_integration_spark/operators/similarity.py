@@ -96,6 +96,21 @@ probe batch (the query set is broadcast/collected), and beyond ~10k
 queries the corpus x queries score matrix is the workload — use the
 LSH/IVF paths, which exist for exactly that regime."""
 
+_MAX_SHORTLIST_ROWS = 250_000
+"""Default IVFADC rerank cap on shortlist × nq (ADVICE r10): the
+shortlist is collected driver-side to plan the rerank's literal id
+pushdown, so its size must stay driver-and-plan-friendly — 250k ids
+is ~2 MB collected and a pushable IN set; beyond that, split the
+query batch (each split reruns ADC over its own probed lists only)."""
+
+_DEBUG_CAPTURE_PLANS = False
+"""Test-only introspection (ADVICE r10: keep debug plumbing out of the
+operator signature): when True, intermediate executed plans that a
+returned DataFrame cannot expose (the IVFADC ADC leg runs eagerly
+inside ivf_search) are recorded in _LAST_PLANS keyed by leg name."""
+
+_LAST_PLANS: dict = {}
+
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -460,14 +475,24 @@ def ivf_index_write(corpus: DataFrame, index_dir: str, *,
      .parquet(os.path.join(index_dir, "centroids")))
 
 
-# (path, fingerprint) -> loaded sidecar.  Centroids and codebooks are
-# tiny (nlist / m*ksub rows) but each read is a full Spark job; a
+# (kind, path, fingerprint) -> loaded sidecar.  Centroids and codebooks
+# are tiny (nlist / m*ksub rows) but each read is a full Spark job; a
 # repeated-probe session (the real search workload: one index, many
 # query batches) pays that job per batch without this.  The
 # fingerprint is the sidecar files' (name, mtime_ns, size) tuple, so
 # any rebuild (ivf_index_write overwrites the sidecars) invalidates —
 # appends never touch the sidecars, correctly keeping the cache.
+# Inserting a new fingerprint for a (kind, path) EVICTS the old entry
+# (ADVICE r10): a long-lived session that rebuilds the same index
+# repeatedly must not accumulate dead centroid/codebook arrays.
 _IVF_SIDECAR_CACHE: dict = {}
+
+
+def _sidecar_cache_put(kind: str, path: str, fp, value) -> None:
+    for k in [k for k in _IVF_SIDECAR_CACHE
+              if k[0] == kind and k[1] == path]:
+        del _IVF_SIDECAR_CACHE[k]
+    _IVF_SIDECAR_CACHE[(kind, path, fp)] = value
 
 
 def _sidecar_fingerprint(path: str):
@@ -499,7 +524,7 @@ def _ivf_read_centroids(spark, index_dir: str):
     cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64)
                      for r in crows]).T            # dim × nlist
     cid = np.asarray([r["centroid_id"] for r in crows])
-    _IVF_SIDECAR_CACHE[key] = (cmat, cid)
+    _sidecar_cache_put("centroids", path, key[2], (cmat, cid))
     return cmat, cid
 
 
@@ -525,7 +550,7 @@ def _ivf_read_pq_books(spark, index_dir: str):
     books = np.empty((m, ksub, dsub))
     for r in rows:
         books[r["subspace"], r["code"]] = r["center"]
-    _IVF_SIDECAR_CACHE[key] = books
+    _sidecar_cache_put("pq_books", path, fp, books)
     return books
 
 
@@ -571,7 +596,8 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
                query_id_col: str = "query_id",
                shortlist: int | None = None,
                max_query_rows: int = _MAX_QUERY_ROWS,
-               _debug_plans: dict | None = None) -> DataFrame:
+               max_shortlist_rows: int = _MAX_SHORTLIST_ROWS
+               ) -> DataFrame:
     """Probe a persisted :func:`ivf_index_write` index: per query, the
     ``n_probe`` nearest stored centroids are computed DRIVER-SIDE
     (queries are a small probe batch — same collect contract and
@@ -594,6 +620,16 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
     times m bytes of the ROW, and the rerank reads only the
     shortlisted rows' groups.
 
+    NOTE (eager execution, ADVICE r10): with ``shortlist`` set this
+    call RUNS the ADC job inside the call (``collect()`` of the
+    shortlist) in order to plan the rerank's literal id predicate —
+    the returned DataFrame is only the rerank leg.  The collected set
+    is bounded by ``shortlist × nq`` and guarded by
+    ``max_shortlist_rows`` (mirroring ``max_query_rows``): a probe
+    batch whose shortlist set would exceed it raises instead of
+    collecting hundreds of thousands of rows onto the driver and
+    planting a megabyte-scale IN literal in the rerank plan.
+
     Output: (query_id, vec_id, cosine_sim, rank), ties on neighbor
     id — the same contract as ivf_topk/brute_force_topk."""
     import numpy as np
@@ -610,6 +646,13 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
             "max_query_rows")
     if not qrows:
         raise ValueError("ivf_search: queries is empty")
+    if shortlist is not None and shortlist * len(qrows) > max_shortlist_rows:
+        raise ValueError(
+            f"ivf_search: shortlist × nq = {shortlist} × {len(qrows)} "
+            f"exceeds max_shortlist_rows ({max_shortlist_rows}); the "
+            "IVFADC rerank collects the shortlist to plan a literal id "
+            "pushdown — lower shortlist, split the query batch, or "
+            "raise max_shortlist_rows")
     if len({r[0] for r in qrows}) != len(qrows):
         # probe sets and ADC LUTs are keyed by query id — duplicates
         # would silently collapse to one row's probe set and score the
@@ -726,8 +769,8 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 10,
     ranked = (cand.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= shortlist)
               .select(query_id_col, id_col))
-    if _debug_plans is not None:
-        _debug_plans["adc"] = (
+    if _DEBUG_CAPTURE_PLANS:
+        _LAST_PLANS["adc"] = (
             ranked._jdf.queryExecution().executedPlan().toString())
     # materialize the bounded shortlist (≤ shortlist × nq rows, both
     # driver-chosen dials) so the rerank scan carries a LITERAL id

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -675,24 +676,17 @@ def q13b(spark, cat):
     co-location tool.  The plan property is asserted in
     tests/test_scale_ops.py; here the value hash proves the bucketed
     path returns exactly the plain join's rows."""
-    sfx = os.path.basename(os.path.normpath(cat.sf_dir)).replace(".", "_")
+    sfx = _stage_suffix(spark, cat.sf_dir, ["customer", "orders"])
     tc, to = f"bk_customer_{sfx}", f"bk_orders_{sfx}"
     # bucketing's whole point is that the shuffle is paid ONCE at rest:
     # if this session already built the tables (fixtures are immutable
     # within a session), reuse them — re-running the query measures the
-    # co-located join, not a redundant rebuild
+    # co-located join, not a redundant rebuild.  Names are per-session
+    # and data-fingerprinted (_stage_suffix), so stale reuse and
+    # cross-session rmtree races are impossible by construction.
     if not (spark.catalog.tableExists(tc)
             and spark.catalog.tableExists(to)):
-        for t in (tc, to):
-            # a fresh session's catalog doesn't know tables left by a
-            # prior run, but their managed locations survive — drop both
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            loc = os.path.join(
-                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-                .removeprefix("file:"), t)
-            if os.path.exists(loc):
-                import shutil
-                shutil.rmtree(loc)
+        _drop_staged(spark, tc, to)
         write_bucketed(cat.customer.select(F.col("c_custkey").alias("k"),
                                            "c_name"),
                        tc, buckets=8, by=["k"], sort_by=["k"])
@@ -2167,6 +2161,48 @@ def q42(spark, cat):
                        dec_round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def _stage_suffix(spark, sf_dir: str, sources: Sequence[str]) -> str:
+    """Staging-table name suffix for session-memoized bucketed tables
+    (ADVICE r10, medium): the key must identify the DATA, not just the
+    directory basename — two catalogs whose sf_dirs share a basename
+    under different parents, or a source parquet regenerated in place
+    after staging, must never be served a stale staged snapshot.  The
+    suffix therefore embeds (a) a digest of the REAL sf_dir path plus
+    each source file's (mtime_ns, size) fingerprint, and (b) this
+    session's application id — so staged locations are PER-SESSION and
+    the drop/rmtree below can only ever touch directories this very
+    session created (ADVICE r10: a shared warehouse dir must not let
+    one session delete files a concurrent session's live table still
+    reads).  Dead sessions leave orphan bf_*/bk_* dirs behind; bench.py
+    GCs those at window start (it owns its window), and they are
+    bounded local scratch otherwise."""
+    import hashlib
+    real = os.path.realpath(sf_dir)
+    h = hashlib.md5(real.encode())
+    for s in sources:
+        st = os.stat(os.path.join(real, f"{s}.parquet"))
+        h.update(f"|{s}:{st.st_mtime_ns}:{st.st_size}".encode())
+    app = "".join(ch for ch in spark.sparkContext.applicationId
+                  if ch.isalnum())[-10:]
+    sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return f"{sfx}_{h.hexdigest()[:8]}_a{app}"
+
+
+def _drop_staged(spark, *tables: str) -> None:
+    """Drop a staged table and its managed location.  Safe by
+    construction: staged names embed this session's app id
+    (:func:`_stage_suffix`), so the location can only have been
+    written by this session."""
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            .removeprefix("file:"), t)
+        if os.path.exists(loc):
+            import shutil
+            shutil.rmtree(loc)
+
+
 def _bucketed_facts(spark, cat):
     """Session-memoized BUCKETED-FACT STAGING shared by q43/q45 (VERDICT
     r9 item 2): ``orders`` and ``lineitem`` written ONCE per (session,
@@ -2184,22 +2220,17 @@ def _bucketed_facts(spark, cat):
     shuffle every query repeats is the thing that doesn't scale.
 
     Lifecycle mirrors q13b: the catalog is per-session (in-memory), so
-    a fresh session rebuilds; leftover managed locations from prior
-    sessions are dropped first.  All columns are kept — parquet column
-    pruning makes unused ones free at scan time, and the staging stays
-    honest as a general-purpose mart (not a per-query extract)."""
-    sfx = os.path.basename(os.path.normpath(cat.sf_dir)).replace(".", "_")
+    a fresh session rebuilds; staged names embed the sf_dir + source
+    fingerprint + session app id (:func:`_stage_suffix`), so stale data
+    is never reused and the rebuild can never race another session.
+    All columns are kept — parquet column pruning makes unused ones
+    free at scan time, and the staging stays honest as a
+    general-purpose mart (not a per-query extract)."""
+    sfx = _stage_suffix(spark, cat.sf_dir, ["orders", "lineitem"])
     to, tl = f"bf_orders_{sfx}", f"bf_lineitem_{sfx}"
     if not (spark.catalog.tableExists(to)
             and spark.catalog.tableExists(tl)):
-        for t in (to, tl):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            loc = os.path.join(
-                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-                .removeprefix("file:"), t)
-            if os.path.exists(loc):
-                import shutil
-                shutil.rmtree(loc)
+        _drop_staged(spark, to, tl)
         write_bucketed(cat.orders, to, buckets=32, by=["o_orderkey"],
                        sort_by=["o_orderkey"], single_file_buckets=True)
         write_bucketed(cat.lineitem, tl, buckets=32, by=["l_orderkey"],

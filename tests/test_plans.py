@@ -368,11 +368,15 @@ def test_ivfadc_scan_prunes_partitions_and_columns(cat, spark, tmp_path):
     sim.ivf_index_write(cat.embeddings, idx, nlist=4, pq_m=4, pq_nbits=4)
     queries = (cat.embeddings.where("vec_id < 2")
                .selectExpr("vec_id AS query_id", "embedding"))
-    plans = {}
-    rerank_plan = sim.ivf_search(spark, idx, queries, k=3, n_probe=2,
-                                 shortlist=10, _debug_plans=plans) \
-        ._jdf.queryExecution().executedPlan().toString()
-    adc_plan = plans["adc"]
+    sim._DEBUG_CAPTURE_PLANS = True
+    try:
+        rerank_plan = sim.ivf_search(spark, idx, queries, k=3, n_probe=2,
+                                     shortlist=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        adc_plan = sim._LAST_PLANS["adc"]
+    finally:
+        sim._DEBUG_CAPTURE_PLANS = False
+        sim._LAST_PLANS.clear()
     pf = [ln for ln in adc_plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("centroid_id" in ln for ln in pf), adc_plan[:2000]
     # the ADC candidate scan's ReadSchema must exclude the embedding

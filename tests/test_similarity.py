@@ -758,3 +758,62 @@ def test_ivf_search_rejects_duplicate_query_ids(rows, tmp_path):
         sim.ivf_search(spark, idx, dup, k=3)
     with pytest.raises(ValueError, match="duplicate query ids"):
         sim.ivf_search(spark, idx, dup, k=3, shortlist=10)
+
+
+def test_ivf_search_shortlist_cap_guard(rows, tmp_path):
+    """ADVICE r10: the IVFADC path collects shortlist × nq ids to plan
+    the rerank's literal pushdown — a batch whose bound exceeds
+    max_shortlist_rows must raise BEFORE running the ADC job instead
+    of collecting an unbounded set onto the driver."""
+    import numpy as np
+    import pytest
+    from bi_etl_and_integration_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(19)
+    corpus = rows([(i, [float(x) for x in rng.randn(16)])
+                   for i in range(80)],
+                  "vec_id long, embedding array<double>")
+    queries = rows([(i, [float(x) for x in rng.randn(16)])
+                    for i in range(4)],
+                   "query_id long, embedding array<double>")
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "ivf_cap")
+    sim.ivf_index_write(corpus, idx, nlist=4, pq_m=4, pq_nbits=4)
+    with pytest.raises(ValueError, match="max_shortlist_rows"):
+        sim.ivf_search(spark, idx, queries, k=3, shortlist=10,
+                       max_shortlist_rows=39)        # 10 × 4 > 39
+    got = sim.ivf_search(spark, idx, queries, k=3, shortlist=10,
+                         n_probe=4, max_shortlist_rows=40).collect()
+    assert all(sum(1 for r in got if r["query_id"] == q) == 3
+               for q in range(4))
+
+
+def test_ivf_sidecar_cache_evicts_stale_fingerprints(rows, tmp_path):
+    """ADVICE r10: rebuilding the same index must EVICT the prior
+    fingerprint's cached centroid/codebook arrays for that path —
+    the cache must hold at most one entry per (kind, path), not leak
+    one per rebuild in a long-lived session."""
+    import numpy as np
+    from bi_etl_and_integration_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(23)
+    corpus = rows([(i, [float(x) for x in rng.randn(16)])
+                   for i in range(60)],
+                  "vec_id long, embedding array<double>")
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "ivf_evict")
+    cpath = idx + "/centroids"
+    for seed in (1, 2, 3):
+        sim.ivf_index_write(corpus, idx, nlist=4, seed=seed,
+                            pq_m=4, pq_nbits=4)
+        sim._ivf_read_centroids(spark, idx)
+        sim._ivf_read_pq_books(spark, idx)
+        for kind, sub in (("centroids", "/centroids"),
+                          ("pq_books", "/pq_books")):
+            keys = [k for k in sim._IVF_SIDECAR_CACHE
+                    if k[0] == kind and k[1] == idx + sub]
+            assert len(keys) == 1, (kind, len(keys))
+    # the surviving entry is the CURRENT file state, not a stale one
+    key = next(k for k in sim._IVF_SIDECAR_CACHE
+               if k[0] == "centroids" and k[1] == cpath)
+    assert key[2] == sim._sidecar_fingerprint(cpath)
