@@ -198,6 +198,45 @@ def test_bucketed_fact_join_no_exchange_no_sort(cat):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_custgrain_staging_no_exchange_below_agg_or_window(cat):
+    """q14/q47 over the _custgrain_facts staging (VERDICT r10 items
+    1-2): the per-customer window (q47) and BOTH detail aggregates
+    (q14) run on tables bucketed on exactly their clustering key, so
+    no fact rows ever cross an Exchange — q47's only exchange is the
+    declared final ORDER BY (rangepartitioning of the tiny top-2
+    output), and q14's exchanges are at most the post-agg join legs
+    (already customer-sized), never the raw orders/events."""
+    import re
+
+    from bi_etl_and_integration_spark.queries import QUERIES
+    spark = cat.spark
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q47 = QUERIES["q47_lateral_topk"](spark, SF)
+        s47 = plans.simple_plan(q47)
+        # the window itself is exchange-free: no hashpartitioning
+        # exchange anywhere (the one rangepartitioning is the ORDER BY)
+        assert "Exchange hashpartitioning" not in s47, s47
+        assert s47.count("Exchange rangepartitioning") == 1, s47
+        assert re.search(r"WindowGroupLimit", s47), s47
+
+        q14 = QUERIES["q14_mart_cte_cascade"](spark, SF)
+        s14 = plans.simple_plan(q14)
+        # both aggregates read bucketed scans: no exchange BELOW a
+        # HashAggregate (partial aggs sit directly on the file scans)
+        f14 = plans.formatted_plan(q14)
+        assert f14.count("Bucketed: true") == 3, f14[:3000]
+        # no exchange carries raw fact rows: every hashpartitioning
+        # exchange in the plan sits above an aggregate, not a scan
+        for m in re.finditer(r"Exchange hashpartitioning", s14):
+            below = s14[m.end():]
+            nxt = below.split("\n", 2)
+            assert "HashAggregate" in (nxt[1] if len(nxt) > 1 else ""), s14
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_simhash_self_join_reuses_cached_table(cat):
     """The banding self-join must not recompute the token-explode +
     vote aggregation per side: the simhash table is persisted, so the
