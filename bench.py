@@ -21,6 +21,39 @@ import sys
 import time
 
 
+def normalized_regressions(times: dict, prev_times: dict, spread: dict,
+                           *, spread_gate: float, regress_gate: float,
+                           spread_floor: float) -> tuple[dict, float]:
+    """Window-normalized regressed-vs-committed flags (VERDICT r10
+    item 4: the raw per-query compare flagged 91/180 rows in a
+    loadavg-2.3 window — it measured the WINDOW, not the plans).
+
+    The whole window shares one co-tenant pressure level, so uniform
+    inflation shows up as a common factor across the stable rows.
+    Calibration = median(current/committed) over rows whose samples
+    agree (spread ≤ gate, or sub-floor walls where spread is jitter);
+    a row is flagged only if it exceeds the regress gate AFTER
+    dividing out that factor — a real single-query plan regression
+    sticks out of the window's common mode and survives; uniform
+    inflation does not.  The median is robust: a handful of genuine
+    regressions cannot drag the calibration itself.  Fewer than 5
+    comparable stable rows → calibration 1.0 (raw gate).
+
+    Returns ({query: [committed, current, calibration]}, calibration).
+    """
+    import statistics
+    ratios = [t / prev_times[q] for q, t in times.items()
+              if q in prev_times and t > 0 and prev_times[q] > 0
+              and (t < spread_floor or spread.get(q, 0.0) <= spread_gate)]
+    cal = statistics.median(ratios) if len(ratios) >= 5 else 1.0
+    flagged = {}
+    for q, t in times.items():
+        if (q in prev_times and t > 0 and prev_times[q] > 0
+                and t > (1 + regress_gate) * cal * prev_times[q]):
+            flagged[q] = [prev_times[q], round(t, 3), round(cal, 3)]
+    return flagged, cal
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -146,7 +179,6 @@ def main() -> None:
     spill_mb: dict[str, float] = {}
     loadavg: dict[str, float] = {}
     dispersion_flagged: list[str] = []
-    regressed: dict[str, list[float]] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -166,6 +198,9 @@ def main() -> None:
                 samples.append(time.monotonic() - t0)
 
             def _over(ss: list[float]) -> bool:
+                # RAW compare here, by design: this only triggers extra
+                # samples (cheap insurance).  The FINAL flag list is
+                # window-normalized post-hoc (normalized_regressions).
                 best = min(ss)
                 sp = (max(ss) - best) / best if best > 0 else 0.0
                 over_spread = best >= spread_floor and sp > spread_gate
@@ -195,9 +230,6 @@ def main() -> None:
             loadavg[name] = round(load0, 1)
             if best >= spread_floor and spread[name] > spread_gate:
                 dispersion_flagged.append(name)
-            if (name in prev_times and
-                    best > (1 + regress_gate) * prev_times[name]):
-                regressed[name] = [prev_times[name], round(best, 3)]
             if sw0 is not None and sw1 is not None:
                 shuffle_mb[name] = round(
                     (sw1["shuffle"] - sw0["shuffle"]) / 1e6, 2)
@@ -226,6 +258,11 @@ def main() -> None:
     # are timed and reported, but under a separate total so the batch
     # corpus number stays round-over-round comparable.
     from bi_etl_and_integration_spark.queries import STREAMING_QUERIES
+    # window-normalized regression flags: computed over the FULL window
+    # so uniform co-tenant inflation divides out (VERDICT r10 item 4)
+    regressed, window_cal = normalized_regressions(
+        times, prev_times, spread, spread_gate=spread_gate,
+        regress_gate=regress_gate, spread_floor=spread_floor)
     batch_s = round(sum(t for n, t in times.items()
                         if t >= 0 and n not in STREAMING_QUERIES), 3)
     streaming_s = round(sum(t for n, t in times.items()
@@ -251,12 +288,15 @@ def main() -> None:
         # automatic re-measurement — a committed artifact carrying one
         # of these is carrying a drifted sample, re-run before commit
         "dispersion_flagged": sorted(dispersion_flagged),
-        # rows whose min still exceeds the last committed value by
-        # > regress_gate after re-measurement: [prev, now] — either a
-        # real plan regression or the committed value was unusually
-        # lucky; both deserve eyes before the sidecar is refreshed
+        # rows whose min exceeds the last committed value by
+        # > regress_gate AFTER dividing out the window calibration
+        # factor (median current/committed over stable rows):
+        # [committed, now, calibration] — a genuinely per-query plan
+        # regression, not uniform window inflation; deserves eyes
+        # before the sidecar is refreshed
         "regressed_vs_committed": {k: regressed[k]
                                    for k in sorted(regressed)},
+        "window_calibration": round(window_cal, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     prev_total = round(sum(v for k, v in prev_times.items()

@@ -140,3 +140,59 @@ def test_bucketed_single_file_sort_free_join(spark, rows):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_bucketed_staged_join_under_orderkey_skew(spark, rows):
+    """Skew-stress for the bucketed-fact staging (VERDICT r10 item 6):
+    q43/q45's plan hinges on bucket co-location, and the fixtures'
+    orderkey is uniform — so pin what happens when it is NOT.  With
+    one hot key holding half of the probe side, bucketing by the key
+    lands the entire hot key in ONE bucket (one task), but the staged
+    SMJ must still (a) return exactly the plain join's rows and (b)
+    keep the zero-Exchange zero-Sort shape — degradation is a long
+    task, never a wrong answer or a revived shuffle.  AQE's skew-join
+    splitting CANNOT help here by construction (it re-splits shuffle
+    blocks and this plan has no shuffle); the 100 TB mitigations are
+    dialing the bucket count up so one bucket ~= one file-size target,
+    or falling back to rel_ops.salted_join for pathological keys —
+    recorded in SCALE.md."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_skew_o_{tag}", f"bk_skew_l_{tag}"
+    # build side: uniform keys; probe side: key 7 holds 50% of rows
+    o = rows([(i, float(i)) for i in range(400)], "k int, p double")
+    hot = [(7, i, 1.0) for i in range(2000)]
+    cold = [(i % 400, i, 2.0) for i in range(2000)]
+    li = rows(hot + cold, "k int, line int, v double")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(o, ta, buckets=4, by=["k"], sort_by=["k"],
+                       single_file_buckets=True)
+        write_bucketed(li, tb, buckets=4, by=["k"], sort_by=["k"],
+                       single_file_buckets=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        staged = spark.table(ta).join(spark.table(tb), "k")
+        simple = plans.simple_plan(staged)
+        assert plans.shuffle_count(staged) == 0, simple
+        assert "SortMergeJoin" in simple, simple
+        assert not re.search(r"\bSort \[", simple), simple
+        got = staged.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        want = o.join(li, "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+        # the hot key really is concentrated: its bucket carries >= 50%
+        # of the probe rows (what a task-skew monitor would surface)
+        per_bucket = (spark.table(tb)
+                      .groupBy(F.spark_partition_id().alias("b"))
+                      .count().collect())
+        assert max(r["count"] for r in per_bucket) >= 2000, per_bucket
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

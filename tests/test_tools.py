@@ -257,3 +257,72 @@ def test_make_scale_aborts_on_image_pattern_collision(tmp_path):
         capture_output=True, text=True)
     assert r.returncode != 0
     assert "image pattern" in (r.stdout + r.stderr)
+
+
+def test_normalized_regression_gate():
+    """bench.normalized_regressions (VERDICT r10 item 4): uniform
+    window inflation must NOT flag anything (it divides out through
+    the stable-row median), while a genuinely per-query regression
+    must survive the normalization.  The calibration median must be
+    robust to the regressed rows themselves, and sparse windows
+    (< 5 comparable stable rows) must fall back to the raw gate."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {f"q{i:02d}": 1.0 for i in range(20)}
+    kw = dict(spread_gate=0.20, regress_gate=0.25, spread_floor=0.4)
+
+    # 1) uniform 1.4x inflation, tight spreads: the OLD raw gate would
+    #    flag all 20 rows; the normalized gate flags none
+    times = {q: 1.4 for q in prev}
+    spread = {q: 0.05 for q in prev}
+    flagged, cal = bench.normalized_regressions(times, prev, spread, **kw)
+    assert flagged == {} and abs(cal - 1.4) < 1e-9
+
+    # 2) same window + one real 3x regression: only that row flagged,
+    #    with the calibration recorded alongside
+    times["q07"] = 3.0
+    flagged, cal = bench.normalized_regressions(times, prev, spread, **kw)
+    assert list(flagged) == ["q07"] and abs(cal - 1.4) < 1e-9
+    assert flagged["q07"][0] == 1.0 and flagged["q07"][1] == 3.0
+
+    # 3) a quiet window (ratio 1.0) with one regression: raw behavior
+    times = {q: 1.0 for q in prev}
+    times["q03"] = 1.5
+    flagged, cal = bench.normalized_regressions(times, prev, spread, **kw)
+    assert list(flagged) == ["q03"] and abs(cal - 1.0) < 1e-9
+
+    # 4) high-spread rows are excluded from calibration: 15 stable rows
+    #    at 1.0 + 5 drifted rows at 2.0 with wide spread -> cal stays
+    #    1.0 and the drifted rows ARE flagged (their spread makes them
+    #    suspect; the dispersion gate handles re-measurement)
+    times = {q: 1.0 for q in prev}
+    spread = {q: 0.05 for q in prev}
+    for q in ("q00", "q01", "q02", "q03", "q04"):
+        times[q] = 2.0
+        spread[q] = 0.5
+    flagged, cal = bench.normalized_regressions(times, prev, spread, **kw)
+    assert abs(cal - 1.0) < 1e-9
+    assert sorted(flagged) == ["q00", "q01", "q02", "q03", "q04"]
+
+    # 5) sub-floor walls count as stable even with jittery spread
+    prev_small = {f"s{i}": 0.2 for i in range(6)}
+    times = {q: 0.3 for q in prev_small}        # 1.5x but < floor
+    spread = {q: 0.9 for q in prev_small}       # jitter, not drift
+    flagged, cal = bench.normalized_regressions(times, prev_small,
+                                                spread, **kw)
+    assert flagged == {} and abs(cal - 1.5) < 1e-9
+
+    # 6) sparse window: < 5 comparable rows -> raw gate (cal 1.0)
+    prev2 = {"a": 1.0, "b": 1.0}
+    flagged, cal = bench.normalized_regressions(
+        {"a": 1.4, "b": 1.4}, prev2, {"a": 0.0, "b": 0.0}, **kw)
+    assert cal == 1.0 and sorted(flagged) == ["a", "b"]
+
+    # 7) errored rows (-1) and rows without a committed value ignored
+    flagged, cal = bench.normalized_regressions(
+        {"a": -1.0, "new": 9.9}, {"a": 1.0}, {}, **kw)
+    assert flagged == {} and cal == 1.0
