@@ -19,21 +19,21 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # (CORRECTNESS_r01/r02 each stopped at entry 50 — `_ordered()` below
 # self-rotates the window onto whatever still lacks a verdict).
 # After round 9 every declared query holds a cumulative verdict
-# (178 hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 10
-# changed PLANS (same output) for: q43/q45 (bucketed-fact staging,
-# zero-Exchange zero-Sort fact join, MERGE-pinned), x44c (rerank
-# shortlist-id pushdown + sidecar cache), x44b/x44 (sidecar cache),
-# and q13b (the bucketed scan now reports its sortBy ordering via the
-# session flag) — all front-loaded for fresh verdicts.
+# (178 hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 11
+# changed PLANS (same output) for: q14/q47 (customer-grain bucketed
+# staging: zero-Exchange aggs/window), and touched the staging helper
+# shared by q43/q45/q13b (fingerprinted per-session table names) and
+# the IVF sidecar cache behind x44/x44b/x44c — all front-loaded for
+# fresh verdicts.
 # ``_VERIFY_FIRST`` is only the TIE-BREAK order within the groups;
 # EXACTLY 50 names (pinned by tests/test_entry_window.py).
 _VERIFY_FIRST = [
-    # plans changed in round 10 (same output) — fresh verdicts first
-    "q43_shipping_topk", "q45_returned_items",
+    # plans changed in round 11 (same output) — fresh verdicts first
+    "q14_mart_cte_cascade", "q47_lateral_topk",
+    "q43_shipping_topk", "q45_returned_items", "q13b_bucketed_join",
     "x44c_ann_ivfadc_persisted", "x44b_ann_ivf_append",
-    "x44_ann_ivf_persisted", "q13b_bucketed_join",
-    # round-9 changed set, kept warm one more round
-    "x25_quality_classifier",
+    "x44_ann_ivf_persisted",
+    # round-9/10 changed set, kept warm one more round
     "x08_text_quality", "x27_url_dedup", "x38_url_parts",
     "q24b_fuzzy_grouping", "q24c_fuzzy_grouping_cc",
     "x36_dedup_canonical", "x36b_dedup_keep_longest",
@@ -41,7 +41,7 @@ _VERIFY_FIRST = [
     "x34_semantic_dedup",
     "x07_text_tokens", "x09_text_langid",
     "q39_term_extraction", "q39b_term_lookup",
-    "x26_bm25_search", "x28_lm_score",
+    "x26_bm25_search",
     "q51_hierarchy_flatten",
     "q41d_stateful_sessionize", "x41_jpeg_features", "q64_with_totals",
     "q10b_profile", "q41e_stateful_topk",
