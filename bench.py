@@ -92,6 +92,14 @@ def main() -> None:
     queries = entrymod.queries()
     # warm-up: JIT/codegen + parquet footer caches, excluded from timing
     queries["q18_hash_aggregate"](spark, sf_dir).collect()
+    # build ALL session-staged bucketed tables up front + settle: the
+    # staging is one-time at-rest infrastructure (SCALE.md documents
+    # the build costs); letting the first measured query's warm-up pay
+    # the build leaves GC/page-cache residue that contaminates its
+    # samples (r11: q14 at sf10 read 0.9-2.4 s depending on the
+    # residue, ~1.0 s repeatable once settled)
+    from bi_etl_and_integration_spark.queries import prepare_session
+    prepare_session(spark, sf_dir)
 
     from pyspark.sql import functions as F
 
