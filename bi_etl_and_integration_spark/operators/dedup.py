@@ -27,8 +27,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bi_etl_and_integration_spark.operators.fuzzy import tokenize
+from bi_etl_and_integration_spark.operators.relational import (
+    spread_for_compute)
 
 _P = 2_147_483_647  # Mersenne prime 2^31-1 for the minhash hash family
+
+
+# shared scale-adaptive input spread (defined with the relational
+# operators; used here before every CPU-heavy shingle/window pass)
+_spread_for_compute = spread_for_compute
 
 
 def _normalized(text: Column) -> Column:
@@ -183,9 +190,10 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
        multi-probe the band windows could straddle probe families);
        callers with odd combinations must pick num_hashes = r x bands.
     """
-    base = df.select(F.col(id_col).alias("id"),
-                     hashed_shingles(F.col(text_col), shingle_n)
-                     .alias("__hs")).persist()  # consumed 3x (sig + verify)
+    base = (_spread_for_compute(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    hashed_shingles(F.col(text_col), shingle_n)
+                    .alias("__hs")).persist())  # consumed 3x (sig + verify)
     banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                              seed=seed, n_probes=n_probes)
     a, b = banded.alias("a"), banded.alias("b")
@@ -199,8 +207,12 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                                 F.col("__hs").alias("sh_a")), "id_a")
               .join(base.select(F.col("id").alias("id_b"),
                                 F.col("__hs").alias("sh_b")), "id_b"))
+    # |A∪B| by inclusion-exclusion: shingle arrays are distinct and
+    # null-free, so this is exact — and it skips materializing the
+    # merged array per candidate pair (array_union builds one; the
+    # verify only ever needs its size)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (verify.withColumn("jaccard_sim",
                               (inter / F.greatest(union, F.lit(1)))
                               .cast("double"))
@@ -255,9 +267,10 @@ def minhash_index(df: DataFrame, text_col: str = "text",
     ``params`` and raises on mismatch (a silent mismatch would
     collapse recall to ~0, not error).  Fold a deduped batch's
     survivors back in with :func:`minhash_index_append`."""
-    base = df.select(F.col(id_col).alias("id"),
-                     hashed_shingles(F.col(text_col), shingle_n)
-                     .alias("__hs"))
+    base = (_spread_for_compute(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    hashed_shingles(F.col(text_col), shingle_n)
+                    .alias("__hs")))
     params = MinhashParams(num_hashes, bands, shingle_n, seed, n_probes)
     buckets = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                               seed=seed, n_probes=n_probes)
@@ -282,9 +295,10 @@ def minhash_index_append(index: MinhashIndex, df: DataFrame,
     (signature mins over the doc's own shingles — corpus-independent),
     so union-of-bandings == banding-of-union."""
     p = index.params
-    base = df.select(F.col(id_col).alias("id"),
-                     hashed_shingles(F.col(text_col), p.shingle_n)
-                     .alias("__hs"))
+    base = (_spread_for_compute(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    hashed_shingles(F.col(text_col), p.shingle_n)
+                    .alias("__hs")))
     buckets = _minhash_banded(base, num_hashes=p.num_hashes,
                               bands=p.bands, seed=p.seed,
                               n_probes=p.n_probes)
@@ -327,9 +341,10 @@ def minhash_lookup(df: DataFrame, index: MinhashIndex,
                 "silently collapses recall to ~0; pass the index's "
                 "params (or rely on its defaults)")
     idx_buckets, idx_shingles = index[0], index[1]
-    base = df.select(F.col(id_col).alias("id"),
-                     hashed_shingles(F.col(text_col), shingle_n)
-                     .alias("__hs")).persist()  # banding + verify
+    base = (_spread_for_compute(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    hashed_shingles(F.col(text_col), shingle_n)
+                    .alias("__hs")).persist())  # banding + verify
     banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                              seed=seed, n_probes=n_probes)
     cand = (banded.alias("a")
@@ -345,8 +360,12 @@ def minhash_lookup(df: DataFrame, index: MinhashIndex,
               .join(idx_shingles.select(F.col("id").alias("id_b"),
                                         F.col("__hs").alias("sh_b")),
                     "id_b"))
+    # |A∪B| by inclusion-exclusion: shingle arrays are distinct and
+    # null-free, so this is exact — and it skips materializing the
+    # merged array per candidate pair (array_union builds one; the
+    # verify only ever needs its size)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (verify.withColumn("jaccard_sim",
                               (inter / F.greatest(union, F.lit(1)))
                               .cast("double"))
@@ -473,14 +492,17 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
     variant of minhash_lsh_dedup for modest corpora / audits)."""
     blk = block if block is not None else F.xxhash64(
         F.slice(tokenize(F.col(text_col)), 1, n))
-    base = df.select(F.col(id_col).alias("id"),
-                     hashed_shingles(F.col(text_col), n).alias("sh"),
-                     blk.alias("blk")).persist()  # both sides of self-join
+    base = (_spread_for_compute(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    hashed_shingles(F.col(text_col), n).alias("sh"),
+                    blk.alias("blk")).persist())  # both sides of self-join
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(b, (F.col("a.blk") == F.col("b.blk")) &
                   (F.col("a.id") < F.col("b.id")))
+    # inclusion-exclusion union size (arrays distinct + null-free):
+    # exact, and skips materializing the merged array per pair
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
     return (cand.select(F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"),
                         F.round((inter / F.greatest(union, F.lit(1)))
@@ -550,23 +572,30 @@ def exact_jaccard_join(df: DataFrame, text_col: str = "text",
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    base = df.select(F.col(id_col).alias("id"),
-                     hashed_shingles(F.col(text_col), n).alias("__hs"),
-                     F.lit(0).alias("__side"))
+    base = (_spread_for_compute(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    hashed_shingles(F.col(text_col), n).alias("__hs"),
+                    F.lit(0).alias("__side")))
     if other is not None:
-        base = base.unionByName(other.select(
-            F.col(id_col).alias("id"),
-            hashed_shingles(F.col(text_col), n).alias("__hs"),
-            F.lit(1).alias("__side")))
+        base = base.unionByName(
+            _spread_for_compute(other, id_col)
+            .select(F.col(id_col).alias("id"),
+                    hashed_shingles(F.col(text_col), n).alias("__hs"),
+                    F.lit(1).alias("__side")))
     ex = base.select("id", "__side", F.explode("__hs").alias("__h"))
     freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     # canonical order (df asc, shingle asc) packed into ONE sortable
     # long: df caps at 2^31 rows per shingle and __h < 2^31-1 already
+    # persisted: consumed THREE times (prefix explode + both verify
+    # sides) — without it the scan→shingle→freq-join→collect subtree
+    # recomputes per consumer (ReusedExchange only covers the shuffle,
+    # not the post-shuffle agg or the upstream compute)
     ranked = (ex.join(freq, "__h")
               .groupBy("id", "__side")
               .agg(F.sort_array(F.collect_list(
                   F.col("__df") * F.lit(1 << 31) + F.col("__h")))
-                  .alias("__sorted")))
+                  .alias("__sorted"))
+              .persist())
     sz = F.size("__sorted")
     # Overlap bound with rounding slack: ceil(t*|s|) computed on
     # doubles can round ABOVE the exact rational ceiling (t=0.34,
@@ -608,8 +637,11 @@ def exact_jaccard_join(df: DataFrame, text_col: str = "text",
               .select(F.col("id").alias("id_b"),
                       F.col("__sorted").alias("__sb")))
     verify = cand.join(sets_a, "id_a").join(sets_b, "id_b")
+    # inclusion-exclusion union size (packed shingle arrays are
+    # per-doc distinct + null-free): exact, and skips materializing
+    # the merged array for every candidate pair
     inter = F.size(F.array_intersect("__sa", "__sb"))
-    union = F.size(F.array_union("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
     jac = (inter / F.greatest(union, F.lit(1))).cast("double")
     return (verify.where(jac >= threshold)
             .select("id_a", "id_b",
@@ -854,7 +886,10 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
                          "(gaps would let duplicated runs escape)")
     out_col = out_col or text_col
     t, i = text_col, id_col
-    wins = (df.select(
+    # window hashing is the CPU-heavy pass (len/stride substrings +
+    # xxhash each): spread it when the source can't split (guide §2.5)
+    src = _spread_for_compute(df.select(i, t), i)
+    wins = (src.select(
         F.col(i),
         F.explode(F.expr(
             f"sequence(0, greatest(length({t}) - {window}, 0), "

@@ -1501,7 +1501,13 @@ def semantic_dedup(df: DataFrame,
         # (the old 100k floor let dim-4096 clusters stack ~3.3 GB)
         dim = len(centroids[0][1]) if centroids else 1
         max_cluster_rows = max(10_000, 100_000_000 // max(dim, 1))
-    assigned = kmeans_assign(df, centroids, vec_col=vec_col,
+    # spread first: the assignment fold (k x dim per row) is the
+    # CPU-heavy pass, and single-file embedding fixtures scan with
+    # row-group-bounded parallelism (guide: repartition after read)
+    from bi_etl_and_integration_spark.operators.relational import (
+        spread_for_compute)
+    assigned = kmeans_assign(spread_for_compute(df, id_col),
+                             centroids, vec_col=vec_col,
                              out_col=cluster_col,
                              method=assign_method).persist()
     sizes = assigned.groupBy(cluster_col).agg(

@@ -92,6 +92,22 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         #    measured on q43 at sf10: 4.9 s (sorting SMJ) -> 1.7 s
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering",
                 "true")
+        # -- InferFiltersFromGenerate is a pessimization for every
+        #    explode over a COMPUTED array (shingles, token n-grams):
+        #    the inferred `size(e) > 0 AND isnotnull(e)` filter embeds
+        #    the ENTIRE generator expression and is pushed below
+        #    projects/exchanges into the scan stage, so the expensive
+        #    array is computed twice — once of them serialized into
+        #    the scan's (row-group-bounded) parallelism.  Generate
+        #    with outer=false already drops empty/null inputs at
+        #    execution, so excluding the rule is result-identical.
+        #    Measured (r11, sf1, 25k-doc corpus): minhash banding
+        #    8.7 s -> 1.0 s, same digest; plan-asserted in
+        #    tests/test_plans.py (no shingle expression below the
+        #    spread exchange).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # -- cost-based optimizer: consumes ANALYZE TABLE statistics
         #    (sources.writers.analyze_table) for join reordering on
         #    multi-join marts; inert for tables without stats

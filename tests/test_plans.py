@@ -433,3 +433,42 @@ def test_ivfadc_scan_prunes_partitions_and_columns(cat, spark, tmp_path):
               if "PushedFilters" in ln]
     assert pushed and any("In(vec_id" in ln for ln in pushed), \
         "\n".join(pushed) or rerank_plan[:2000]
+
+
+def test_shingle_explode_not_duplicated_below_exchange(cat):
+    """InferFiltersFromGenerate exclusion (r11, session.py): the
+    explode over a computed shingle array must NOT infer a
+    `size(shingles)>0` pre-filter — that filter embeds the ENTIRE
+    shingle expression and gets pushed below the spread exchange into
+    the (row-group-bounded, often serial) scan stage, computing every
+    shingle twice.  With the rule excluded the plan has exactly ONE
+    occurrence of the shingle expression (in the Project feeding the
+    Generate) and no Filter mentioning it below the Exchange."""
+    from bi_etl_and_integration_spark.operators import dedup as dd
+    base = (dd._spread_for_compute(cat.documents, "doc_id")
+            .select(F.col("doc_id").alias("id"),
+                    dd.hashed_shingles(F.col("text"), 3).alias("__hs")))
+    plan = (base.select("id", F.explode("__hs").alias("__h"))
+            ._jdf.queryExecution().executedPlan().toString())
+    # arrays_zip is the shingle expression's signature sub-term; it
+    # must appear exactly once (the Project), never in a Filter
+    assert plan.count("arrays_zip") == 1, plan[:3000]
+    filters = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert not any("arrays_zip" in ln for ln in filters), "\n".join(filters)
+
+
+def test_spread_for_compute_is_scale_adaptive(cat, spark):
+    """The spread fires for single-file few-row-group sources (the
+    compute would otherwise serialize) and is a NO-OP once the source
+    offers >= core-count files (production-shaped input)."""
+    spread = rel_ops.spread_for_compute(cat.documents, "doc_id")
+    p = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == p  # repartitioned
+    assert "repartition" in spread._jdf.queryExecution().logical() \
+        .toString().lower()
+    # many-file source: write the same rows out as >= p files
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        cat.documents.repartition(p).write.mode("overwrite").parquet(d)
+        many = spark.read.parquet(d)
+        assert rel_ops.spread_for_compute(many, "doc_id") is many

@@ -125,10 +125,22 @@ def main() -> None:
              if t == "documents" and c == "text" else c)
             for c in cols)
         out = os.path.join(dst, f"{t}.parquet")
+        # Row-group sizing (r11, guide §2.5/§6 "fix input skew at the
+        # source"): DuckDB's default 122880-row groups left small
+        # tables with 1-5 row groups, and a Spark scan cannot split
+        # below row-group granularity — every split beyond the group
+        # count is EMPTY, so document/embedding compute serialized
+        # onto 1-5 of 32 cores.  Target >= 64 groups per table
+        # (capped at the default so big facts keep their layout);
+        # at 100 TB this is ordinary file/row-group sizing on write.
+        n_src = con.execute(
+            f"SELECT COUNT(*) FROM '{src}/{t}.parquet'").fetchone()[0]
+        rg = min(122880, max(1024, (n_src * k) // 64))
         con.execute(
             f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
             f"range({k}) AS shard(i) ORDER BY shard.i) "
-            f"TO '{out}' (FORMAT PARQUET, OVERWRITE_OR_IGNORE)")
+            f"TO '{out}' (FORMAT PARQUET, OVERWRITE_OR_IGNORE, "
+            f"ROW_GROUP_SIZE {rg})")
         n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
         print(f"{t}: {n} rows -> {out}")
 
