@@ -196,7 +196,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                     .alias("__hs")).persist())  # consumed 3x (sig + verify)
     banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                              seed=seed, n_probes=n_probes)
-    a, b = banded.alias("a"), banded.alias("b")
+    # SHUFFLE_HASH: equal-sized self-join sides never satisfy the
+    # planner's muchSmaller() SHJ condition, so it would sort BOTH
+    # 16n-row band tables for an SMJ; the per-partition hash build is
+    # bounded (band rows hash-spread over (band,bucket)) and skips
+    # both sorts — measured at sf10 (8M band rows): 8.9 -> 3.1 s,
+    # identical pair set
+    a, b = banded.alias("a"), banded.hint("SHUFFLE_HASH").alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
                    (F.col("a.id") < F.col("b.id")))
@@ -347,7 +353,10 @@ def minhash_lookup(df: DataFrame, index: MinhashIndex,
                     .alias("__hs")).persist())  # banding + verify
     banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                              seed=seed, n_probes=n_probes)
-    cand = (banded.alias("a")
+    # build the hash table on the BATCH side (SHUFFLE_HASH): the probe
+    # batch is the small side of the lookup by construction, and the
+    # SMJ alternative sorts the full index bucket table per probe
+    cand = (banded.hint("SHUFFLE_HASH").alias("a")
             .join(idx_buckets.alias("b"),
                   (F.col("a.band") == F.col("b.band")) &
                   (F.col("a.bucket") == F.col("b.bucket")))
@@ -467,7 +476,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
             F.shiftrightunsigned(F.col("__sh"), b * chunk)
             .bitwiseAND(F.lit((1 << chunk) - 1))
             for b in range(bands)])).alias("band", "key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # SHUFFLE_HASH: same equal-sides self-join rationale as the
+    # minhash band join — skip two full sorts of the band table
+    a, b = banded.alias("a"), banded.hint("SHUFFLE_HASH").alias("b")
     ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
     # verify BEFORE the pair-dedup: the hamming check needs only the two
     # hashes already sitting in the joined row (narrow, codegen'd), so
@@ -611,8 +622,12 @@ def exact_jaccard_join(df: DataFrame, text_col: str = "text",
         "id", "__side", sz.alias("__len"),
         F.explode(F.slice("__sorted", 1, plen)).alias("__k"))
     a = pref.where(F.col("__side") == 0).alias("a")
+    # SHUFFLE_HASH: the prefix self/R-S join's sides are comparable in
+    # size, so the planner's SMJ would sort both exploded prefix
+    # tables; the per-partition hash build over rare-first prefix keys
+    # is bounded and skips the sorts (same rationale as the band join)
     b = (pref.where(F.col("__side") == (1 if other is not None else 0))
-         .alias("b"))
+         .hint("SHUFFLE_HASH").alias("b"))
     # PPJoin length filter with the same epsilon slack: t*|a| on
     # doubles can round up past an exactly-at-threshold |b| (|a|=150,
     # |b|=51, t=0.34: 51 >= 51.000000000000004 is false), rejecting a
