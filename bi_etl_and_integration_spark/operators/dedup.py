@@ -21,6 +21,7 @@ row-wise via higher-order functions — signatures never leave the JVM.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
@@ -36,6 +37,41 @@ _P = 2_147_483_647  # Mersenne prime 2^31-1 for the minhash hash family
 # shared scale-adaptive input spread (defined with the relational
 # operators; used here before every CPU-heavy shingle/window pass)
 _spread_for_compute = spread_for_compute
+
+#: source-size threshold above which AQE's broadcast upgrade of a band
+#: table is a measured pessimization (see _shj_if_big)
+_SHJ_SOURCE_BYTES = 24 * 1024 * 1024
+
+
+def _shj_if_big(src, banded: DataFrame) -> DataFrame:
+    """SHUFFLE_HASH-hint a band self-join side when the corpus is big
+    enough that AQE's broadcast upgrade would be a pessimization.
+
+    AQE decides the upgrade from COMPRESSED shuffle bytes, so an
+    8M-row band table (~160 MB in memory) can slip under the 32 MB
+    broadcast threshold and pay a single-threaded hash build + ship
+    that a shuffled-hash join never needs (the r10 q43 MERGE-pin found
+    the same estimate-vs-reality trap for co-located SMJs).  Measured
+    on the LSH band self-join, interleaved min-of-5: sf0.1 broadcast
+    0.54 s vs SHJ 1.01 s (broadcast wins small), sf1 2.14 vs 2.27
+    (even), sf10 broadcast 9.0 s vs SHJ 3.1 s (broadcast loses big) —
+    so the hint keys on the SOURCE'S known file bytes with the
+    crossover between sf1 (5.9 MB) and sf10 (58 MB).  Unknown sizes
+    (in-memory test frames) stay unhinted: AQE's runtime stats are
+    the right default at small scale, and at genuine cluster scale
+    the band shuffle exceeds every broadcast threshold anyway while
+    the session's maxShuffledHashJoinLocalMapThreshold still converts
+    the SMJ to a shuffled-hash join when partitions allow."""
+    srcs = src if isinstance(src, (list, tuple)) else [src]
+    try:
+        nbytes = sum(os.stat(f.removeprefix("file:")).st_size
+                     for s in srcs if s is not None
+                     for f in s.inputFiles())
+    except Exception:  # noqa: BLE001 — exotic/remote source: AQE decides
+        nbytes = 0
+    if nbytes > _SHJ_SOURCE_BYTES:
+        return banded.hint("SHUFFLE_HASH")
+    return banded
 
 
 def _normalized(text: Column) -> Column:
@@ -196,13 +232,11 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                     .alias("__hs")).persist())  # consumed 3x (sig + verify)
     banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                              seed=seed, n_probes=n_probes)
-    # SHUFFLE_HASH: equal-sized self-join sides never satisfy the
-    # planner's muchSmaller() SHJ condition, so it would sort BOTH
-    # 16n-row band tables for an SMJ; the per-partition hash build is
-    # bounded (band rows hash-spread over (band,bucket)) and skips
-    # both sorts — measured at sf10 (8M band rows): 8.9 -> 3.1 s,
-    # identical pair set
-    a, b = banded.alias("a"), banded.hint("SHUFFLE_HASH").alias("b")
+    # join strategy: broadcast for small corpora (AQE), shuffled-hash
+    # above the measured crossover (see _shj_if_big — AQE's broadcast
+    # upgrade is a pessimization there), SMJ never (equal sides sort
+    # twice): sf10 8.9 -> 3.1 s, identical pair set
+    a, b = banded.alias("a"), _shj_if_big(df, banded).alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
                    (F.col("a.id") < F.col("b.id")))
@@ -353,10 +387,12 @@ def minhash_lookup(df: DataFrame, index: MinhashIndex,
                     .alias("__hs")).persist())  # banding + verify
     banded = _minhash_banded(base, num_hashes=num_hashes, bands=bands,
                              seed=seed, n_probes=n_probes)
-    # build the hash table on the BATCH side (SHUFFLE_HASH): the probe
-    # batch is the small side of the lookup by construction, and the
-    # SMJ alternative sorts the full index bucket table per probe
-    cand = (banded.hint("SHUFFLE_HASH").alias("a")
+    # join strategy: a genuinely small probe batch stays unhinted
+    # (AQE broadcasts it — the rolling-crawl shape); above the
+    # crossover (x43's certification probes HALF the corpus) the
+    # banded batch takes the same SHUFFLE_HASH hint as the self-join,
+    # else AQE broadcasts a multi-million-row side (see _shj_if_big)
+    cand = (_shj_if_big(df, banded).alias("a")
             .join(idx_buckets.alias("b"),
                   (F.col("a.band") == F.col("b.band")) &
                   (F.col("a.bucket") == F.col("b.bucket")))
@@ -476,9 +512,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
             F.shiftrightunsigned(F.col("__sh"), b * chunk)
             .bitwiseAND(F.lit((1 << chunk) - 1))
             for b in range(bands)])).alias("band", "key"))
-    # SHUFFLE_HASH: same equal-sides self-join rationale as the
-    # minhash band join — skip two full sorts of the band table
-    a, b = banded.alias("a"), banded.hint("SHUFFLE_HASH").alias("b")
+    # join strategy: same crossover-keyed hint as the minhash band
+    # self-join (_shj_if_big)
+    a, b = banded.alias("a"), _shj_if_big(df, banded).alias("b")
     ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
     # verify BEFORE the pair-dedup: the hamming check needs only the two
     # hashes already sitting in the joined row (narrow, codegen'd), so
@@ -622,12 +658,14 @@ def exact_jaccard_join(df: DataFrame, text_col: str = "text",
         "id", "__side", sz.alias("__len"),
         F.explode(F.slice("__sorted", 1, plen)).alias("__k"))
     a = pref.where(F.col("__side") == 0).alias("a")
-    # SHUFFLE_HASH: the prefix self/R-S join's sides are comparable in
-    # size, so the planner's SMJ would sort both exploded prefix
-    # tables; the per-partition hash build over rare-first prefix keys
-    # is bounded and skips the sorts (same rationale as the band join)
-    b = (pref.where(F.col("__side") == (1 if other is not None else 0))
-         .hint("SHUFFLE_HASH").alias("b"))
+    # join strategy: same crossover-keyed SHUFFLE_HASH as the band
+    # joins (_shj_if_big, keyed on the union of both sources) — the
+    # static SMJ sorts both exploded prefix tables, and AQE's
+    # broadcast upgrade mis-fires on compressed sizes at mid scale
+    b = _shj_if_big(
+        [df, other],
+        pref.where(F.col("__side") == (1 if other is not None else 0))
+    ).alias("b")
     # PPJoin length filter with the same epsilon slack: t*|a| on
     # doubles can round up past an exactly-at-threshold |b| (|a|=150,
     # |b|=51, t=0.34: 51 >= 51.000000000000004 is false), rejecting a
