@@ -20,15 +20,28 @@ from bi_etl_and_integration_spark.queries import ORACLE, QUERIES
 # self-rotates the window onto whatever still lacks a verdict).
 # After round 9 every declared query holds a cumulative verdict
 # (178 hash-green, 2 rows-only by SURVEY §2.12 declaration).  Round 11
-# changed PLANS (same output) for: q14/q47 (customer-grain bucketed
-# staging: zero-Exchange aggs/window), and touched the staging helper
-# shared by q43/q45/q13b (fingerprinted per-session table names) and
-# the IVF sidecar cache behind x44/x44b/x44c — all front-loaded for
-# fresh verdicts.
+# changed PLANS (same output) for: the optimization round's
+# dedup/similarity family (spread exchange, InferFiltersFromGenerate
+# exclusion, join-strategy crossover, union-by-sizes verify:
+# x02*/x03/x04/x34*/x36*/x42/x43*), q14/q47 (customer-grain bucketed
+# staging), the staging helper shared by q43/q45/q13b, and the IVF
+# sidecar cache behind x44/x44b/x44c — all front-loaded for fresh
+# verdicts.
 # ``_VERIFY_FIRST`` is only the TIE-BREAK order within the groups;
 # EXACTLY 50 names (pinned by tests/test_entry_window.py).
 _VERIFY_FIRST = [
-    # plans changed in round 11 (same output) — fresh verdicts first
+    # plans changed in round 11 (same output) — fresh verdicts first:
+    # the optimization round's dedup/similarity family (spread
+    # exchange, InferFiltersFromGenerate exclusion, join crossover,
+    # union-by-sizes) ...
+    "x43_incremental_dedup", "x43b_incremental_dedup_append",
+    "x02_dedup_minhash", "x02b_dedup_minhash_multiprobe",
+    "x03_dedup_simhash", "x04_dedup_ngram",
+    "x42_substring_dedup",
+    "x34_semantic_dedup", "x34b_semantic_dedup_arrow",
+    "x34c_semantic_dedup_coarse",
+    "x36_dedup_canonical", "x36b_dedup_keep_longest",
+    # ... and the interrupted build session's staging queries
     "q14_mart_cte_cascade", "q47_lateral_topk",
     "q43_shipping_topk", "q45_returned_items", "q13b_bucketed_join",
     "x44c_ann_ivfadc_persisted", "x44b_ann_ivf_append",
@@ -36,15 +49,11 @@ _VERIFY_FIRST = [
     # round-9/10 changed set, kept warm one more round
     "x08_text_quality", "x27_url_dedup", "x38_url_parts",
     "q24b_fuzzy_grouping", "q24c_fuzzy_grouping_cc",
-    "x36_dedup_canonical", "x36b_dedup_keep_longest",
     # high-value carry-overs worth keeping warm
-    "x34_semantic_dedup",
-    "x07_text_tokens", "x09_text_langid",
     "q39_term_extraction", "q39b_term_lookup",
     "x26_bm25_search",
     "q51_hierarchy_flatten",
     "q41d_stateful_sessionize", "x41_jpeg_features", "q64_with_totals",
-    "q10b_profile", "q41e_stateful_topk",
     # corpus-curation block (operators/curation.py)
     "x17_pii_redaction", "x18_quality_filter", "x19_repetition_features",
     "x20_contamination_check", "x21_domain_mix", "x22_split_assignment",
@@ -52,15 +61,12 @@ _VERIFY_FIRST = [
     # oracle-bearing LLM extensions (incl. the scale-set dedup
     # flagship family — sf1/sf10 fixtures regenerated this round,
     # so keep their sf0.01 verdicts fresh)
-    "x02_dedup_minhash",
     "x29_stratified_exact_sample", "x30_semantic_clusters",
     "x32_weighted_sample", "x33_hybrid_rrf",
-    "x43_incremental_dedup", "x43b_incremental_dedup_append",
     "x35_normalize_text", "x37_sum_map",
     "x39_curation_pipeline", "x40_standardize",
     # ClickHouse-parity analytics
-    "q52_inferred_members",
-    "q53_outliers_zscore", "q53b_outliers_iqr", "q57_sessionize",
+    "q53b_outliers_iqr", "q57_sessionize",
 ]
 
 
