@@ -401,6 +401,13 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "streaming_s": streaming_s,
+        # per-query map restored to the printed contract (VERDICT r11
+        # item 2: the driver's PERF needs {name: best_sec} to compute
+        # per-query speedups, geomean and the 32-vs-8-core scaling
+        # block; rounds 7-11 carried it only in the detail sidecar).
+        # Additions-only: every other summary field is unchanged, and
+        # the same values still go to BENCH_DETAIL.json.
+        "queries": times,
         "sf": out["sf"],
         "n_queries": len(times),
         "n_errors": sum(1 for t in times.values() if t < 0),

@@ -10,6 +10,8 @@ document fingerprinting.  Each runs as a single narrow projection over
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -248,38 +250,71 @@ def bm25_rank(docs: DataFrame, query_terms: list[str], *,
     if not query_terms:
         raise ValueError("query_terms is empty")
     terms = [t.lower() for t in query_terms]
-    # tokenize ONCE: the split array is materialized in a projection
-    # and every consumer (__dl, the match pre-filter, the explode)
-    # references the column — the old per-use F.split re-tokenized
-    # each document up to 2+|terms| times (measured 7.2 -> 3.7 s for
-    # the 500k-doc top-1000 ranking at sf10)
+    # ONE tokenize pass over the corpus (r12, guide §2.3/§2.4): tf per
+    # (doc, term) is a per-row array count — |query| is a small literal
+    # list, so `size(filter(toks, = term))` replaces the old
+    # explode → groupBy(doc, term) pipeline outright.  That removes
+    # BOTH agg exchanges (tf and df), the broadcast df join, AND the
+    # repeated corpus tokenize: the old plan evaluated the split in
+    # the stats subtree, the explode subtree and (via dfreq) a third
+    # time — ~3 full-corpus tokenizations per run (x33's before-plan
+    # carries two Generate nodes over the same 500k-doc scan).
+    # ``per_doc`` is (id, dl, tf_0..tf_k) — a narrow int frame —
+    # persisted because stats and the score projection both consume it
+    # (operator-owned, same pattern as the dedup family; bench.py
+    # clears caches between queries).
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != "")
-    with_len = (docs.select(F.col(id_col), toks.alias("__toks"))
-                .select(F.col(id_col), F.col("__toks"),
-                        F.size("__toks").alias("__dl")))
-    stats = with_len.agg(
+    # per-term counts in ONE full-array pass: first keep only query
+    # tokens (|query| comparisons per token), then count each term
+    # over that near-empty array — measured at sf10 (500k docs,
+    # min-of-4 quiet): 3 full ArrayFilters 0.66 s vs this 0.53 s vs
+    # the 0.33 s tokenize+size floor.  Closures, NOT default args:
+    # pyspark reads a 2-param lambda as (element, index).
+    qt = F.filter(F.col("__toks"), lambda x: x.isin(terms))
+
+    def _count_of(term: str):
+        return F.size(F.filter(F.col("__qt"),
+                               lambda x: x == F.lit(term)))
+
+    per_doc = (docs.select(F.col(id_col), toks.alias("__toks"))
+               .select(F.col(id_col),
+                       F.size("__toks").alias("__dl"),
+                       qt.alias("__qt"))
+               .select(F.col(id_col), F.col("__dl"),
+                       *[_count_of(t).alias(f"__tf{i}")
+                         for i, t in enumerate(terms)])
+               .persist())
+    # corpus stats AND per-term document frequencies in one tiny
+    # aggregate (broadcast scalar row): df_i = #docs with tf_i > 0 —
+    # identical to the old count over the (doc, term) tf table
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.avg("__dl").alias("__avgdl"))
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    exploded = (with_len.where(F.arrays_overlap(F.col("__toks"),
-                                                term_arr))
-                .select(F.col(id_col), F.col("__dl"),
-                        F.explode("__toks").alias("__term"))
-                .where(F.col("__term").isin(terms)))
-    tf = (exploded.groupBy(id_col, "__dl", "__term")
-          .agg(F.count(F.lit(1)).alias("__tf")))
-    dfreq = (tf.groupBy("__term")
-             .agg(F.count(F.lit(1)).alias("__df")))
-    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
-                / (F.col("__df") + 0.5))
-    denom = (F.col("__tf")
-             + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
-    contrib = idf * F.col("__tf") * (k1 + 1.0) / denom
-    scored = (tf.join(F.broadcast(dfreq), "__term")
-              .crossJoin(F.broadcast(stats))
-              .groupBy(id_col)
-              .agg(F.sum(contrib).alias("bm25_score")))
+        F.avg("__dl").alias("__avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+          for i in range(len(terms))])
+    matched = per_doc.where(
+        reduce(lambda a, c: a | c,
+               [F.col(f"__tf{i}") > 0 for i in range(len(terms))]))
+    # per-term contribution: identical arithmetic to the old per-row
+    # contrib; absent terms add literal 0.0 (exact — adding 0.0 to a
+    # positive double is the identity), so only the SUMMATION ORDER
+    # can differ from the old shuffle-ordered groupBy sum, and that
+    # order was never deterministic to begin with; the decimal(38,10)
+    # rounding anchor (queries.dec_round) absorbs the <= 1 ulp
+    # difference, oracle-verified at sf0.01/sf0.1
+    score = None
+    for i in range(len(terms)):
+        tf_i = F.col(f"__tf{i}")
+        idf_i = F.log(F.lit(1.0) + (F.col("__n") - F.col(f"__df{i}")
+                                    + 0.5) / (F.col(f"__df{i}") + 0.5))
+        denom_i = (tf_i
+                   + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+        c_i = F.when(tf_i > 0, idf_i * tf_i * (k1 + 1.0) / denom_i) \
+            .otherwise(F.lit(0.0))
+        score = c_i if score is None else score + c_i
+    scored = (matched.crossJoin(F.broadcast(stats))
+              .select(F.col(id_col), score.alias("bm25_score")))
     if topk is not None:
         return scored.orderBy(F.col("bm25_score").desc(),
                               F.col(id_col)).limit(topk)

@@ -4390,10 +4390,19 @@ def x33(spark, cat):
     overfetch = candidates + 100
     qvec = (cat.embeddings.where(F.col("vec_id") == 0)
             .select(F.lit(0).alias("query_id"), "embedding"))
+    # fetched is consumed THREE times (the candidate cut, the guard
+    # aggregate, and the cut-boundary min) — without the persist each
+    # consumer re-runs the whole corpus scan + Arrow matmul (the r11
+    # before-plan carries three MapInPandas nodes over the same
+    # embeddings scan).  It is only ``overfetch`` rows (top-k output),
+    # so the persist is ~1100 rows; measured sf10: cosine leg
+    # 0.94 -> ~0.4 s (guide §5 caching rule: reused AND expensive to
+    # recompute; bench.py clears caches between queries).
     fetched = (sim_ops.brute_force_topk(cat.embeddings, qvec,
                                         k=overfetch)
                .select(F.col("vec_id").alias("doc_id"),
-                       dec_round("cosine_sim", 6).alias("s")))
+                       dec_round("cosine_sim", 6).alias("s"))
+               .persist())
     cut = (fetched.orderBy(F.col("s").desc(), F.col("doc_id").asc())
            .limit(candidates))
     guard = (fetched.agg(

@@ -117,6 +117,52 @@ def test_bm25_rank_orders_by_relevance(rows):
     assert [r["doc_id"] for r in top1] == [1]
 
 
+def test_bm25_rank_single_pass_reference_values_and_plan(rows):
+    """r12 rewrite pin: tf/df computed as per-row array counts (one
+    tokenize pass, no explode, no per-(doc,term) shuffle) must
+    reproduce the published Okapi formula exactly — checked against
+    an independent pure-Python reference — and the explode pipeline
+    must be GONE from the plan (no Generate node; the tf agg exchange
+    and the df broadcast join with it)."""
+    import math
+
+    from bi_etl_and_integration_spark.operators import text as tx
+    from bi_etl_and_integration_spark.plans import simple_plan
+
+    corpus = {1: "spark merge spark", 2: "window scan row",
+              3: "spark window window merge extra tokens here",
+              4: "alpha beta gamma", 5: ""}
+    terms = ["spark", "merge", "window"]
+    docs = rows(list(corpus.items()), "doc_id int, text string")
+    out_df = tx.bm25_rank(docs, terms)
+    got = {r["doc_id"]: r["bm25_score"] for r in out_df.collect()}
+
+    # pure-Python reference (k1=1.2, b=0.75, +1-smoothed idf)
+    tok = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    df_t = {t: sum(1 for v in tok.values() if t in v) for t in terms}
+    exp = {}
+    for d, v in tok.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if s:
+            exp[d] = s
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], abs=1e-12), d
+
+    plan = simple_plan(out_df)
+    assert "Generate" not in plan          # no explode pipeline
+    assert "SortMergeJoin" not in plan     # df join replaced by the
+    assert "ShuffledHashJoin" not in plan  # broadcast stats row
+
+
 def test_bm25_multi_term_and_idf(rows):
     from bi_etl_and_integration_spark.operators import text as tx
     # 'rare' appears in 1 of 4 docs, 'common' in 3 of 4 — idf must
