@@ -38,9 +38,18 @@ _P = 2_147_483_647  # Mersenne prime 2^31-1 for the minhash hash family
 # operators; used here before every CPU-heavy shingle/window pass)
 _spread_for_compute = spread_for_compute
 
-#: source-size threshold above which AQE's broadcast upgrade of a band
-#: table is a measured pessimization (see _shj_if_big)
+#: source-size window inside which a band join side gets the static
+#: SHUFFLE_HASH hint (see _shj_if_big).  Below the floor AQE's
+#: broadcast upgrade is the right plan; above the CEILING the hint is
+#: withheld again (ADVICE r11): a forced shuffled-hash build cannot
+#: spill, so at genuine cluster scale — where one skewed band bucket
+#: could outgrow a build partition — the planner's default (SMJ, plus
+#: the session's maxShuffledHashJoinLocalMapThreshold runtime rewrite,
+#: which only converts partitions that FIT) degrades safely instead
+#: of OOMing.  8 GiB over >= 200 shuffle partitions keeps worst-case
+#: builds tens-of-MB-class; the bench SFs sit far below it.
 _SHJ_SOURCE_BYTES = 24 * 1024 * 1024
+_SHJ_SOURCE_BYTES_MAX = 8 * 1024 * 1024 * 1024
 
 
 def _shj_if_big(src, banded: DataFrame) -> DataFrame:
@@ -69,7 +78,7 @@ def _shj_if_big(src, banded: DataFrame) -> DataFrame:
                      for f in s.inputFiles())
     except Exception:  # noqa: BLE001 — exotic/remote source: AQE decides
         nbytes = 0
-    if nbytes > _SHJ_SOURCE_BYTES:
+    if _SHJ_SOURCE_BYTES < nbytes <= _SHJ_SOURCE_BYTES_MAX:
         return banded.hint("SHUFFLE_HASH")
     return banded
 
@@ -636,7 +645,14 @@ def exact_jaccard_join(df: DataFrame, text_col: str = "text",
     # persisted: consumed THREE times (prefix explode + both verify
     # sides) — without it the scan→shingle→freq-join→collect subtree
     # recomputes per consumer (ReusedExchange only covers the shuffle,
-    # not the post-shuffle agg or the upstream compute)
+    # not the post-shuffle agg or the upstream compute).
+    # LIFETIME (ADVICE r11): the persist is session-scoped by design —
+    # the returned frame is lazy, so there is no safe point inside
+    # this function to unpersist.  Callers looping this operator
+    # (incremental x43-style sessions) should spark.catalog.clearCache()
+    # between rounds (bench.py does, between every query); at cluster
+    # scale the storage-memory fraction evicts LRU cached partitions
+    # under pressure, so the leak degrades to recompute, never OOM.
     ranked = (ex.join(freq, "__h")
               .groupBy("id", "__side")
               .agg(F.sort_array(F.collect_list(

@@ -10,6 +10,7 @@ reference also makes by hand.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -18,8 +19,19 @@ from pyspark.sql.window import Window
 
 ColumnLike = Column | str
 
+#: spread_for_compute source-size floor: below this many bytes the
+#: exchange costs more than the serial pass it parallelizes (VERDICT
+#: r11 item 3, measured on the driver's sf0.1 fixtures: x42 went
+#: 0.68 -> 1.07 s when the spread fired on a 0.6 MB documents file;
+#: at 6 MB/50k docs the spread is a clear win — shingle passes there
+#: run seconds serial vs ~0.1 s exchange).  4 MB sits between those
+#: two measured regimes; env-overridable for bench experiments.
+_SPREAD_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES",
+                                       str(4 * 1024 * 1024)))
 
-def spread_for_compute(df: DataFrame, id_col: str) -> DataFrame:
+
+def spread_for_compute(df: DataFrame, id_col: str, *,
+                       min_bytes: int | None = None) -> DataFrame:
     """Scale-adaptive input spread for CPU-heavy per-row passes
     (shingling, window hashing, embedding folds): when the source's
     scan parallelism is below the session's core count — a single
@@ -33,13 +45,25 @@ def spread_for_compute(df: DataFrame, id_col: str) -> DataFrame:
 
     Hash-partitioned on ``id_col`` (deterministic under task retry,
     and no sortBeforeRepartition pass, unlike round-robin).  Guarded
-    on BOTH file count and split count: file count is the unit of
-    parallelism a source actually guarantees (split count lies for
-    few-row-group files), so production-shaped inputs — many files or
-    many splits of a splittable layout — skip the exchange entirely
-    and the helper is a no-op.  Measured (r11, sf10 one-file
-    fixtures): minhash corpus banding 13.3 -> 2.8 s; x43 bench shape
-    61.6 -> 9.4 s same digest."""
+    three ways (all no-op paths — the spread only fires when every
+    guard agrees the compute would otherwise serialize):
+
+      - file count: >= core-count whole files is production-shaped
+        input, no exchange needed;
+      - source size: below ``min_bytes`` (default
+        ``_SPREAD_MIN_BYTES``) the exchange costs more than the
+        serial pass it parallelizes (VERDICT r11 item 3 — x42 at the
+        0.6 MB sf0.1 fixture regressed 0.68 -> 1.07 s);
+      - split count AND footer row-group count: split count lies for
+        few-row-group files (splits beyond the row-group count are
+        empty), so both must clear the core count.  When the
+        row-group count is unknowable (in-memory frames, non-parquet
+        sources) the SPLIT count alone decides (ADVICE r11: CSV/JSON
+        and createDataFrame inputs are row-splittable, so an
+        already-parallel frame must stay a no-op).
+
+    Measured (r11, sf10 one-file fixtures): minhash corpus banding
+    13.3 -> 2.8 s; x43 bench shape 61.6 -> 9.4 s same digest."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     try:
@@ -48,25 +72,29 @@ def spread_for_compute(df: DataFrame, id_col: str) -> DataFrame:
         files = None
     if files is not None and len(files) >= p:
         return df  # enough whole files to parallelize — no-op
-    # Few files: effective scan parallelism is bounded by BOTH the
-    # byte-sized split count (openCostInBytes floors split size, so a
-    # 6 MB file never exceeds ~6 splits) AND the actual row-group
-    # count (splits beyond it are empty — a 5-row-group file happily
-    # reports 32 splits).  Footers are cheap to read for < p local
-    # files; unreadable ones (remote FS, non-parquet) conservatively
-    # spread — these operators' per-row compute dwarfs one exchange.
+    if files:
+        floor = _SPREAD_MIN_BYTES if min_bytes is None else min_bytes
+        try:
+            nbytes = sum(os.path.getsize(f.removeprefix("file:"))
+                         for f in files)
+        except OSError:  # remote FS: size unknowable, fall through
+            nbytes = None
+        if nbytes is not None and nbytes < floor:
+            return df  # tiny source: serial pass beats the exchange
     splits = df.rdd.getNumPartitions()
-    rgs = 0
+    rgs: int | None = 0
     for f in files or []:
         try:
             import pyarrow.parquet as pq
             path = f.removeprefix("file:")
             rgs += pq.ParquetFile(path).metadata.num_row_groups
-        except Exception:  # noqa: BLE001
-            rgs = 0
+        except Exception:  # noqa: BLE001 — non-parquet/remote footer
+            rgs = None
             break
         if rgs >= p:
             break
+    if rgs is None or not files:
+        rgs = splits  # row-splittable or unknowable: trust splits
     if min(splits, rgs) >= p:
         return df
     return df.repartition(p, F.col(id_col))
@@ -226,7 +254,8 @@ def range_join(left: DataFrame, right: DataFrame, equi_on: Column,
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              right_order: Sequence[str] | None = None) -> DataFrame:
     """As-of join (beyond-reference): for each left row, the latest right
     row with right_ts <= left_ts (backward) per key.
 
@@ -234,7 +263,18 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     explosion: tag both sides, sort by ts within key, carry the last
     right row forward with ``last(..., ignorenulls)`` over an unbounded
     preceding frame.  Scales as a single window over the union.
-    """
+
+    ``right_order`` (r12): deterministic tie-break WITHOUT a pre-pass —
+    when several right rows share (key, right_ts), the one carried is
+    the LAST by these right-side columns ascending (e.g.
+    ``right_order=["order_id"]`` keeps the max order_id per date).
+    This replaces a caller-side ``groupBy(key, ts).agg(max(...))``
+    pre-reduction: that aggregate pays a full extra exchange + hash
+    build over the right table, and on near-unique (key, ts) grain it
+    reduces almost nothing (q17b at sf10: 15.0M -> 14.96M rows for
+    1.6 s of agg time) — the window the join already runs orders the
+    tie for free.  Without ``right_order`` ties keep the previous
+    contract (caller pre-reduces for determinism)."""
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     lcols = [c for c in left.columns]
@@ -255,13 +295,22 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         *[F.col(c).alias(f"__l_{c}") for c in lcols if c != key],
     )
     u = r_tagged.unionByName(l_tagged)
+    # tie-break columns sort only the RIGHT rows (left rows carry NULL
+    # payloads, and left/right never interleave at equal ts — __side
+    # desc already puts every right row first); ascending order makes
+    # the LAST right row of a (key, ts) tie — the one last() carries —
+    # the max by right_order
+    ties = [F.col("__rpay").getField(c).asc()
+            for c in (right_order or [])]
     if direction == "backward":
         w = (Window.partitionBy(key).orderBy(F.col("__ts").asc(),
-                                             F.col("__side").desc())
+                                             F.col("__side").desc(),
+                                             *ties)
              .rowsBetween(Window.unboundedPreceding, 0))
     else:
         w = (Window.partitionBy(key).orderBy(F.col("__ts").desc(),
-                                             F.col("__side").desc())
+                                             F.col("__side").desc(),
+                                             *ties)
              .rowsBetween(Window.unboundedPreceding, 0))
     u = u.withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
     out = u.where(F.col("__side") == 0).select(

@@ -822,17 +822,22 @@ def q17c(spark, cat):
    "ORDER BY event_id")
 def q17b(spark, cat):
     """As-of join (backward): each event matched to the user's latest
-    order on/before the event date.  Right side pre-reduced to one row
-    per (user, date) for deterministic ties; the operator itself is the
-    union+window single-shuffle plan (no range explosion)."""
-    ord_ = (cat.orders
-            .groupBy(F.col("o_custkey").alias("user_id"),
-                     F.col("o_orderdate").cast("date").alias("od"))
-            .agg(F.max("o_orderkey").alias("o_orderkey")))
+    order on/before the event date.  Deterministic ties (max orderkey
+    per (user, date)) via the asof window's ``right_order`` tie-break
+    instead of a groupBy pre-reduction (r12): the (custkey, date)
+    grain is 99.8% unique at sf10 (15.0M -> 14.96M rows), so the old
+    pre-aggregate paid a full extra exchange + 1.6 s of hash-agg time
+    to deduplicate almost nothing — the union+window single-shuffle
+    plan orders the tie for free and carries the SAME row (the max
+    orderkey of the latest date <= event date), oracle-verified."""
+    ord_ = cat.orders.select(F.col("o_custkey").alias("user_id"),
+                             F.col("o_orderdate").cast("date").alias("od"),
+                             "o_orderkey")
     ev = cat.events.select("event_id", "user_id",
                            F.col("ts").cast("date").alias("ed"))
     j = rel_ops.asof_join(ev, ord_, "user_id", "ed", "od",
-                          direction="backward")
+                          direction="backward",
+                          right_order=["o_orderkey"])
     return (j.select("event_id",
                      F.col("o_orderkey").alias("matched_order"))
             .orderBy("event_id"))

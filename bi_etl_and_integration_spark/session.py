@@ -118,6 +118,15 @@ def _builder(app_name: str, master: str | None, shuffle_partitions: int,
         #    8.7 s -> 1.0 s, same digest; plan-asserted in
         #    tests/test_plans.py (no shingle expression below the
         #    spread exchange).
+        #    NOTE (ADVICE r11): this config is a COMMA-SEPARATED LIST —
+        #    a future exclusion must append ",org.apache....RuleName"
+        #    here, never set the key elsewhere (it would silently
+        #    clobber this entry).  Scope note: the exclusion also
+        #    disables inferred-filter pushdown for explodes over
+        #    STORED array columns (result-identical; perf-only risk).
+        #    No declared query explodes a stored array today — if one
+        #    is added, scope the exclusion per-query via
+        #    spark.conf.set inside that operator and add a plan test.
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")

@@ -445,7 +445,9 @@ def test_shingle_explode_not_duplicated_below_exchange(cat):
     occurrence of the shingle expression (in the Project feeding the
     Generate) and no Filter mentioning it below the Exchange."""
     from bi_etl_and_integration_spark.operators import dedup as dd
-    base = (dd._spread_for_compute(cat.documents, "doc_id")
+    # min_bytes=0 forces the spread on the tiny test fixture (the r12
+    # size floor would otherwise no-op it and leave nothing to assert)
+    base = (dd._spread_for_compute(cat.documents, "doc_id", min_bytes=0)
             .select(F.col("doc_id").alias("id"),
                     dd.hashed_shingles(F.col("text"), 3).alias("__hs")))
     plan = (base.select("id", F.explode("__hs").alias("__h"))
@@ -458,17 +460,34 @@ def test_shingle_explode_not_duplicated_below_exchange(cat):
 
 
 def test_spread_for_compute_is_scale_adaptive(cat, spark):
-    """The spread fires for single-file few-row-group sources (the
-    compute would otherwise serialize) and is a NO-OP once the source
-    offers >= core-count files (production-shaped input)."""
-    spread = rel_ops.spread_for_compute(cat.documents, "doc_id")
+    """The spread fires for single-file few-row-group sources above
+    the size floor (the compute would otherwise serialize), and is a
+    NO-OP (a) below the size floor, where the exchange costs more
+    than the serial pass it parallelizes (VERDICT r11 item 3), (b)
+    once the source offers >= core-count files (production-shaped
+    input), and (c) for row-splittable/in-memory frames that already
+    carry >= core-count partitions (ADVICE r11)."""
     p = spark.sparkContext.defaultParallelism
+    # (a) tiny single-file source: the 4 MB floor makes it a no-op
+    assert rel_ops.spread_for_compute(cat.documents, "doc_id") \
+        is cat.documents
+    # forcing the floor off (big-source shape) fires the spread
+    spread = rel_ops.spread_for_compute(cat.documents, "doc_id",
+                                        min_bytes=0)
     assert spread.rdd.getNumPartitions() == p  # repartitioned
     assert "repartition" in spread._jdf.queryExecution().logical() \
         .toString().lower()
-    # many-file source: write the same rows out as >= p files
+    # (b) many-file source: write the same rows out as >= p files
     import tempfile
     with tempfile.TemporaryDirectory() as d:
         cat.documents.repartition(p).write.mode("overwrite").parquet(d)
         many = spark.read.parquet(d)
-        assert rel_ops.spread_for_compute(many, "doc_id") is many
+        assert rel_ops.spread_for_compute(many, "doc_id",
+                                          min_bytes=0) is many
+    # (c) in-memory frame already >= p partitions: no-op even with
+    # the floor forced off (row-group count unknowable -> splits rule)
+    mem = cat.documents.limit(50).collect()
+    memdf = spark.createDataFrame(mem, cat.documents.schema) \
+        .repartition(p)
+    assert rel_ops.spread_for_compute(memdf, "doc_id",
+                                      min_bytes=0) is memdf

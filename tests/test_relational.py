@@ -81,6 +81,38 @@ def test_asof_join_exact_timestamp_matches(rows):
     assert out.collect()[0]["val"] == "exact"
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_right_order_tiebreak(rows, direction):
+    """r12: right_order resolves (key, ts) ties inside the window —
+    equivalent to pre-reducing the right side with groupBy + max but
+    without the extra exchange.  The carried row must be the MAX by
+    the tie column, including when the tie sits exactly at the asof
+    boundary and when it is strictly before/after it."""
+    left = rows([(1, 10), (1, 4)], "k int, ts int")
+    right = rows([(1, 8, 1, "lo"), (1, 8, 3, "hi"), (1, 8, 2, "mid"),
+                  (1, 2, 5, "early_hi"), (1, 2, 4, "early_lo"),
+                  (1, 10, 7, "at_hi"), (1, 10, 6, "at_lo")],
+                 "k int, ts int, ord int, val string")
+    out = rel.asof_join(left, right, "k", "ts", "ts",
+                        direction=direction, right_order=["ord"])
+    got = {r["ts"]: (r["val"], r["ord"]) for r in out.collect()}
+    if direction == "backward":
+        # ts=10 matches the ts=10 tie group -> max ord wins;
+        # ts=4 matches the ts=2 group -> max ord wins
+        assert got == {10: ("at_hi", 7), 4: ("early_hi", 5)}
+    else:
+        # forward: ts=4 -> nearest ts>=4 is the ts=8 group, max ord
+        assert got == {10: ("at_hi", 7), 4: ("hi", 3)}
+    # equivalence with the groupBy+max pre-reduction on the same data
+    pre = (right.groupBy("k", "ts")
+           .agg(F.max(F.struct("ord", "val")).alias("s"))
+           .select("k", "ts", F.col("s.ord").alias("ord"),
+                   F.col("s.val").alias("val")))
+    ref = rel.asof_join(left, pre, "k", "ts", "ts", direction=direction)
+    assert sorted((r["ts"], r["val"], r["ord"]) for r in out.collect()) \
+        == sorted((r["ts"], r["val"], r["ord"]) for r in ref.collect())
+
+
 def test_set_ops(rows):
     a = rows([(1,), (2,), (2,), (3,)], "k int")
     b = rows([(2,), (3,), (4,)], "k int")
