@@ -3675,8 +3675,14 @@ def x18(spark, cat):
     the oracle restates every rule (incl. the 49-word stopword lexicon
     and the translate() punctuation map) so thresholds, guard clauses
     and rule ORDER are all certified."""
+    # spread with min_bytes=0 (r12 quiet-window per-op A/B, VERDICT
+    # r11 item 9): the token-split + stopword HOF pass wins from the
+    # fan-out even on the 0.6 MB sf0.1 fixture (0.50 -> 0.40 s,
+    # order-alternated interleave); still a no-op on production-shaped
+    # inputs via the file-count/row-group guards
     out = cu_ops.quality_filter(
-        cat.documents, "text", min_tokens=40,
+        rel_ops.spread_for_compute(cat.documents, "doc_id", min_bytes=0),
+        "text", min_tokens=40,
         min_mean_word_len=3.8, max_mean_word_len=4.4,
         max_punct_ratio=0.2, min_stopword_ratio=0.05)
     return (out.select("doc_id",
@@ -3741,7 +3747,11 @@ def x20(spark, cat):
     8-gram with the 'benchmark' slice (doc_id < 20 stands in for a
     held-out eval set) are flagged; per-doc distinct matched-gram
     counts certified against the oracle join."""
-    docs = rel_ops.ensure_min_parallelism(cat.documents)
+    # spread with min_bytes=0 (r12 A/B, VERDICT r11 item 9): the
+    # 8-gram shingle pass parallelizes, 1.08 -> 0.89 s at sf0.1;
+    # no-op on production-shaped inputs
+    docs = rel_ops.spread_for_compute(cat.documents, "doc_id",
+                                      min_bytes=0)
     bench = cat.documents.where(F.col("doc_id") < 20)
     return (cu_ops.contamination_check(docs, bench, n=8)
             .orderBy("doc_id"))
@@ -3823,7 +3833,11 @@ def x24(spark, cat):
     preserved (all-boilerplate docs survive empty).  The 70% threshold
     resolves to the same integer doc count on both engines (floor on
     both sides)."""
-    docs = rel_ops.ensure_min_parallelism(cat.documents)
+    # spread with min_bytes=0 (r12 A/B, VERDICT r11 item 9): the token
+    # explode + reassembly passes parallelize, 1.28 -> 0.90 s at
+    # sf0.1; no-op on production-shaped inputs
+    docs = rel_ops.spread_for_compute(cat.documents, "doc_id",
+                                      min_bytes=0)
     # threshold count memoized per (session, sf_dir): the corpus size
     # is a property of the fixture, not of this run — saves a full
     # count job per execution

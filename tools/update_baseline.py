@@ -108,8 +108,13 @@ def delta_stats(det: dict) -> str:
 #: sf10 rows whose DuckDB side restates a CONSTRUCTION (id arithmetic)
 #: rather than doing the engine's work — their ratio measures Spark's
 #: absolute time against a near-zero restatement, so they are
-#: footnoted out of the per-query compliance count (VERDICT r5 item 6)
-CONSTRUCTION_ORACLES = ("x42_substring_dedup",)
+#: footnoted out of the per-query compliance count (VERDICT r5 item 6).
+#: x27 added r12 (VERDICT r11 item 4): its oracle derives the expected
+#: canonical URL from the construction rule by string CONCAT (0.02 s,
+#: no parsing/canonicalization work), so the ratio was comparing
+#: Spark's real URL-normalizer against a restatement — same asymmetry
+#: as x42, now accounted the same way.
+CONSTRUCTION_ORACLES = ("x42_substring_dedup", "x27_url_dedup")
 
 
 def compliance_note(det: dict, threshold: float = 2.0) -> str:
